@@ -1,0 +1,169 @@
+"""Benchmark driver: bf16 GEMM TFLOPs/chip (headline) + attention fwd/bwd.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "details": {...}}
+
+vs_baseline = measured TFLOP/s / (0.9 * chip bf16 roofline) per the
+BASELINE.json target ("bf16 GEMM >= 90% of MXU roofline"): >= 1.0 means met.
+
+Timing method: the TPU is reached through a relayed dispatch path with
+~25 ms round-trip latency and an unreliable block_until_ready, so kernels
+are timed as the SLOPE between two chained-iteration counts inside single
+jit calls, with a device->host fetch as the sync point and min-of-runs to
+reject RTT spikes.  This is the same discipline as the reference's
+cudaEvent profiling mode (launcher_cuda.h:336-349), adapted to a remote
+runtime.
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _sync(x):
+    np.asarray(jax.device_get(jnp.ravel(x)[:1]))
+
+
+def _timed(fn, *args, iters=5):
+    _sync(fn(*args))  # compile + warm
+    best = float("inf")
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        _sync(fn(*args))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def slope_time(make_chain, k1=8, k2=32, iters=5):
+    """Per-iteration time from the slope between two chain lengths."""
+    t1 = _timed(make_chain(k1), iters=iters)
+    t2 = _timed(make_chain(k2), iters=iters)
+    return max((t2 - t1) / (k2 - k1), 1e-9)
+
+
+def bench_gemm(m=4096, k=4096, n=4096, dtype=jnp.bfloat16):
+    from kfunca_tpu.ops.pallas_kernels.matmul import matmul
+
+    key = jax.random.PRNGKey(0)
+    a = jax.random.normal(key, (m, k), dtype)
+    b = jax.random.normal(key, (k, n), dtype)
+
+    def chain_pallas(K):
+        @jax.jit
+        def f():
+            x = a
+            for _ in range(K):
+                x = matmul(x, b)
+            return x
+        return f
+
+    def chain_xla(K):
+        @jax.jit
+        def f():
+            x = a
+            for _ in range(K):
+                x = jnp.matmul(x, b, preferred_element_type=jnp.float32).astype(dtype)
+            return x
+        return f
+
+    dt_p = slope_time(chain_pallas)
+    dt_x = slope_time(chain_xla)
+    flops = 2 * m * k * n
+    return flops / dt_p / 1e12, flops / dt_x / 1e12
+
+
+def bench_attention(b=4, h=16, s=2048, d=128, dtype=jnp.bfloat16):
+    from kfunca_tpu.ops.attention import causal_attention_fn
+
+    key = jax.random.PRNGKey(1)
+    q = jax.random.normal(key, (b, h, s, d), dtype)
+    k = jax.random.normal(key, (b, h, s, d), dtype)
+    v = jax.random.normal(key, (b, h, s, d), dtype)
+    g = jax.random.normal(key, (b, h, s, d), dtype)
+
+    def chain_fwd(K):
+        @jax.jit
+        def f():
+            x = q
+            for _ in range(K):
+                x = causal_attention_fn(x, k, v)
+            return x
+        return f
+
+    def chain_fwd_bwd(K):
+        @jax.jit
+        def f():
+            x = q
+            for _ in range(K):
+                out, vjp = jax.vjp(causal_attention_fn, x, k, v)
+                dq, dk, dv = vjp(g)
+                x = dq
+            return x
+        return f
+
+    dt_fwd = slope_time(chain_fwd, k1=4, k2=16)
+    dt_fb = slope_time(chain_fwd_bwd, k1=2, k2=8)
+    fwd_flops = 0.5 * 4 * b * h * s * s * d  # causal halves the work
+    return fwd_flops / dt_fwd / 1e12, (fwd_flops * 3.5) / dt_fb / 1e12, dt_fwd, dt_fb
+
+
+def detect_peak_tflops():
+    from kfunca_tpu.utils.device_info import _detect_peaks
+
+    peak_tf, _ = _detect_peaks(jax.devices()[0])
+    return peak_tf or 197.0  # default: v5e bf16 peak
+
+
+def main():
+    backend = jax.default_backend()
+    if backend != "tpu":
+        gemm_tflops, xla_tflops = bench_gemm(512, 512, 512, jnp.float32)
+        print(
+            json.dumps(
+                {
+                    "metric": "bf16_gemm_tflops_per_chip",
+                    "value": round(gemm_tflops, 3),
+                    "unit": "TFLOP/s",
+                    "vs_baseline": 0.0,
+                    "details": {"backend": backend, "note": "no TPU available"},
+                }
+            )
+        )
+        return
+
+    peak = detect_peak_tflops()
+    gemm_tflops, xla_tflops = bench_gemm()
+    attn_fwd_tflops, attn_fb_tflops, dt_fwd, dt_fb = bench_attention()
+    value = gemm_tflops  # what kfunca_tpu.gemm dispatches (the Pallas kernel)
+    print(
+        json.dumps(
+            {
+                "metric": "bf16_gemm_tflops_per_chip",
+                "value": round(value, 2),
+                "unit": "TFLOP/s",
+                "vs_baseline": round(value / (0.9 * peak), 4),
+                "details": {
+                    "device": jax.devices()[0].device_kind,
+                    "peak_bf16_tflops": peak,
+                    "pallas_gemm_tflops": round(gemm_tflops, 2),
+                    "xla_gemm_tflops": round(xla_tflops, 2),
+                    "mxu_utilization": round(gemm_tflops / peak, 4),
+                    "attn_fwd_tflops": round(attn_fwd_tflops, 2),
+                    "attn_fwd_bwd_tflops": round(attn_fb_tflops, 2),
+                    "attn_fwd_ms": round(dt_fwd * 1e3, 3),
+                    "attn_fwd_bwd_ms": round(dt_fb * 1e3, 3),
+                    "gemm_shape": "4096x4096x4096 bf16",
+                    "attn_shape": "b4 h16 s2048 d128 bf16 causal",
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, ".")
+    main()

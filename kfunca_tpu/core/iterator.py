@@ -1,0 +1,97 @@
+"""Op planning: broadcast, type promotion, device checks, reduction shapes.
+
+Capability rebuild of the reference TensorIterator build pipeline
+(/root/reference/src/core/tensor_iterator.cpp:486-528).  On TPU the
+iterator's *output* is different: instead of per-operand byte strides feeding
+a generic CUDA kernel, the plan records the broadcast output shape and the
+common dtype, and execution lowers to XLA/Pallas ops on dense arrays (layout
+normalization happens in core/materialize.py).  The pieces of the reference
+pipeline that exist to feed pointer arithmetic (stride-sorted reordering,
+0-stride broadcast dims, dim coalescing) live in the native planner
+(csrc/iterator.cpp) where they accelerate the gather/scatter fallback path
+and are unit-tested for parity.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from .dtype import ScalarType, promote
+
+MAX_TENSOR_DIMS = 12
+
+from ..utils.errors import check  # noqa: E402  (CHECK_FAIL analog)
+
+
+def maybe_wrap_dim(dim: int, ndim: int) -> int:
+    if dim < 0:
+        dim += ndim
+    check(0 <= dim < max(ndim, 1), "dim", dim, "out of range for ndim", ndim)
+    return dim
+
+
+def broadcast_shapes(*shapes) -> tuple:
+    """Size-1 stretch broadcasting (reference tensor_iterator.cpp:110-147).
+    Outputs may not broadcast; that is enforced by the caller."""
+    ndim = max(len(s) for s in shapes)
+    out = []
+    for i in range(ndim):
+        dim = 1
+        for s in shapes:
+            j = i - (ndim - len(s))
+            if j < 0:
+                continue
+            v = int(s[j])
+            if v != 1:
+                check(dim in (1, v), "broadcast shape mismatch:", shapes)
+                dim = v
+        out.append(dim)
+    return tuple(out)
+
+
+@dataclass
+class LoopPlan:
+    out_shape: tuple
+    common_dtype: ScalarType
+    device: int
+
+
+def plan_loops(inputs, out=None) -> LoopPlan:
+    """Plan an elementwise op over `inputs` (Tensors).
+
+    Mirrors the reference build(): common-device check -> dtype promotion ->
+    broadcast shape -> output-shape validation (outputs never broadcast).
+    """
+    check(len(inputs) >= 1, "need at least one input")
+    device = inputs[0].device()
+    for t in inputs:
+        check(t.device() == device, "all operands must live on one device")
+    common = ScalarType.Undefined
+    for t in inputs:
+        common = promote(common, t.dtype())
+    shape = broadcast_shapes(*[t.sizes() for t in inputs])
+    check(len(shape) <= MAX_TENSOR_DIMS, "too many dims")
+    if out is not None and out.defined():
+        check(tuple(out.sizes()) == shape, "output may not broadcast:", out.sizes(), shape)
+        check(out.device() == device, "output on wrong device")
+    return LoopPlan(out_shape=shape, common_dtype=common, device=device)
+
+
+@dataclass
+class ReducePlan:
+    dim: int
+    out_shape: tuple  # keepdim semantics: reduced dim -> 1
+    acc_dtype: ScalarType
+    device: int
+
+
+def plan_reduce(t, dim: int) -> ReducePlan:
+    from .dtype import accumulate_type
+
+    dim = maybe_wrap_dim(dim, t.dim())
+    shape = list(t.sizes())
+    shape[dim] = 1
+    acc = accumulate_type(t.dtype())
+    if acc == ScalarType.Undefined:
+        acc = t.dtype()
+    return ReducePlan(dim=dim, out_shape=tuple(shape), acc_dtype=acc, device=t.device())

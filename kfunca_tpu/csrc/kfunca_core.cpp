@@ -1,0 +1,341 @@
+// kfunca_tpu native runtime core.
+//
+// C++ rebuild of the host-side runtime components of the reference
+// (/root/reference/src/core/): the caching device allocator
+// (device_allocator.cpp), the TensorIterator planning pipeline
+// (tensor_iterator.cpp: dtype promotion, broadcast, stride-sorted dim
+// reordering, adjacent-dim coalescing), and the autograd tape scheduler
+// (tensor.cpp:86-126 two-pass BFS).  The *data plane* is JAX/XLA — these
+// components plan and account; they never touch device memory directly
+// (TPU HBM is owned by the XLA runtime).
+//
+// Exposed as a plain C ABI consumed via ctypes (no pybind11 in this image).
+// Every entry point has a behavior-identical Python fallback; parity is
+// enforced by tests/test_native_core.py.
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <map>
+#include <mutex>
+#include <queue>
+#include <set>
+#include <unordered_map>
+#include <vector>
+
+#define KF_EXPORT extern "C" __attribute__((visibility("default")))
+
+namespace {
+
+// ---------------------------------------------------------------------------
+// Caching allocator bookkeeping (reference device_allocator.h:48-57 pools,
+// device_allocator.cpp:37-78 best-fit reuse; the reference's erase-then-use
+// iterator bug at :56-60 is deliberately fixed).
+// ---------------------------------------------------------------------------
+
+constexpr int64_t kAlignment = 1024;
+constexpr int kNumPools = 8;
+constexpr int64_t kPoolBounds[kNumPools] = {
+    4ll << 10, 64ll << 10, 256ll << 10, 1ll << 20,
+    4ll << 20, 64ll << 20, 256ll << 20, INT64_MAX};
+constexpr int64_t kAddrStride = 1ll << 40;
+
+struct Block {
+    int64_t id;
+    int64_t size;
+    int device;
+    bool in_use;
+};
+
+struct Allocator {
+    std::mutex mu;
+    int64_t next_id = 1;
+    std::unordered_map<int64_t, Block> blocks;
+    // (device, pool) -> set of (size, id) for best-fit lower_bound
+    std::map<std::pair<int, int>, std::set<std::pair<int64_t, int64_t>>> pools;
+    int64_t bytes_in_use = 0;
+    int64_t bytes_pooled = 0;
+    int64_t live_blocks = 0;
+    int64_t fresh_allocs = 0;
+    int64_t pool_reuses = 0;
+};
+
+Allocator &alloc() {
+    static Allocator a;
+    return a;
+}
+
+int pool_index(int64_t nbytes) {
+    for (int i = 0; i < kNumPools; i++) {
+        if (nbytes <= kPoolBounds[i]) return i;
+    }
+    return kNumPools - 1;
+}
+
+} // namespace
+
+KF_EXPORT int64_t kf_allocate(int device, int64_t nbytes, int64_t *out_size,
+                              int *out_reused) {
+    if (nbytes < 1) nbytes = 1;
+    int64_t rounded = (nbytes + kAlignment - 1) / kAlignment * kAlignment;
+    Allocator &a = alloc();
+    std::lock_guard<std::mutex> lock(a.mu);
+    auto &pool = a.pools[{device, pool_index(rounded)}];
+    auto it = pool.lower_bound({rounded, 0});
+    if (it != pool.end()) {
+        int64_t size = it->first;  // read BEFORE erase (reference bug fixed)
+        int64_t id = it->second;
+        pool.erase(it);
+        Block &blk = a.blocks[id];
+        blk.in_use = true;
+        a.bytes_pooled -= size;
+        a.bytes_in_use += size;
+        a.live_blocks++;
+        a.pool_reuses++;
+        if (out_size) *out_size = size;
+        if (out_reused) *out_reused = 1;
+        return id;
+    }
+    int64_t id = a.next_id++;
+    a.blocks[id] = Block{id, rounded, device, true};
+    a.bytes_in_use += rounded;
+    a.live_blocks++;
+    a.fresh_allocs++;
+    if (out_size) *out_size = rounded;
+    if (out_reused) *out_reused = 0;
+    return id;
+}
+
+KF_EXPORT int kf_free(int64_t block_id) {
+    Allocator &a = alloc();
+    std::lock_guard<std::mutex> lock(a.mu);
+    auto it = a.blocks.find(block_id);
+    if (it == a.blocks.end() || !it->second.in_use) return -1;
+    Block &blk = it->second;
+    blk.in_use = false;
+    a.bytes_in_use -= blk.size;
+    a.bytes_pooled += blk.size;
+    a.live_blocks--;
+    a.pools[{blk.device, pool_index(blk.size)}].insert({blk.size, blk.id});
+    return 0;
+}
+
+KF_EXPORT int64_t kf_block_addr(int64_t block_id) {
+    return block_id * kAddrStride;
+}
+
+KF_EXPORT void kf_alloc_stats(int64_t *out5) {
+    Allocator &a = alloc();
+    std::lock_guard<std::mutex> lock(a.mu);
+    out5[0] = a.bytes_in_use;
+    out5[1] = a.bytes_pooled;
+    out5[2] = a.live_blocks;
+    out5[3] = a.fresh_allocs;
+    out5[4] = a.pool_reuses;
+}
+
+KF_EXPORT void kf_alloc_reset() {  // test hook
+    Allocator &a = alloc();
+    std::lock_guard<std::mutex> lock(a.mu);
+    a.blocks.clear();
+    a.pools.clear();
+    a.next_id = 1;
+    a.bytes_in_use = a.bytes_pooled = a.live_blocks = 0;
+    a.fresh_allocs = a.pool_reuses = 0;
+}
+
+// ---------------------------------------------------------------------------
+// dtype promotion (reference tensor_iterator.cpp:32-44) + accumulate type
+// (accumulate_type.h). Enum values match kfunca_tpu.core.dtype.ScalarType.
+// ---------------------------------------------------------------------------
+
+namespace {
+enum ScalarType : int8_t {
+    kBool = 0, kByte, kChar, kShort, kInt, kLong,
+    kHalf, kBFloat16, kFloat, kDouble, kUndefined
+};
+
+bool is_float(int8_t t) { return t == kHalf || t == kBFloat16 || t == kFloat || t == kDouble; }
+bool is_uint(int8_t t) { return t == kByte; }
+} // namespace
+
+KF_EXPORT int8_t kf_promote(int8_t a, int8_t b) {
+    if (a == kUndefined) return b;
+    if (b == kUndefined) return a;
+    if (is_float(a) && is_float(b)) return a >= b ? a : b;
+    if (is_float(a) || is_float(b)) return is_float(a) ? a : b;
+    if (is_uint(a) && is_uint(b)) return a >= b ? a : b;
+    if (is_uint(a) || is_uint(b)) return is_uint(a) ? b : a;
+    return a >= b ? a : b;
+}
+
+KF_EXPORT int8_t kf_accumulate_type(int8_t t) {
+    if (t == kHalf || t == kBFloat16 || t == kFloat) return kFloat;
+    if (t == kDouble) return kDouble;
+    if (t == kBool) return kBool;
+    return kLong;
+}
+
+// ---------------------------------------------------------------------------
+// Iterator planning: broadcast -> per-operand 0-stride expansion ->
+// stride-sorted dim reordering -> adjacent-dim coalescing.
+// (reference tensor_iterator.cpp:110-147, :149-179, :181-244, :263-307)
+// ---------------------------------------------------------------------------
+
+KF_EXPORT int kf_broadcast_shapes(int ntensors, const int64_t *ndims,
+                                  const int64_t *shapes_flat, int64_t *out_ndim,
+                                  int64_t *out_shape /* size >= max ndim */) {
+    int64_t max_nd = 0;
+    for (int t = 0; t < ntensors; t++) max_nd = std::max(max_nd, ndims[t]);
+    std::vector<int64_t> out(max_nd, 1);
+    const int64_t *p = shapes_flat;
+    for (int t = 0; t < ntensors; t++) {
+        int64_t nd = ndims[t];
+        for (int64_t i = 0; i < nd; i++) {
+            int64_t v = p[i];
+            int64_t j = max_nd - nd + i;
+            if (v != 1) {
+                if (out[j] != 1 && out[j] != v) return -1; // mismatch
+                out[j] = v;
+            }
+        }
+        p += nd;
+    }
+    *out_ndim = max_nd;
+    std::copy(out.begin(), out.end(), out_shape);
+    return 0;
+}
+
+// Plans the loop nest for `ntensors` operands already broadcast to a common
+// `ndim`-d shape. strides_flat: ntensors * ndim element strides where
+// broadcast dims carry stride 0. Writes the reordered+coalesced shape and
+// per-operand strides; returns the coalesced rank.
+KF_EXPORT int kf_plan_loop_nest(int ntensors, int64_t ndim,
+                                const int64_t *shape,
+                                const int64_t *strides_flat,
+                                int64_t *out_shape,
+                                int64_t *out_strides_flat) {
+    if (ndim == 0) return 0;
+    std::vector<int64_t> shp(shape, shape + ndim);
+    std::vector<std::vector<int64_t>> str(ntensors);
+    for (int t = 0; t < ntensors; t++)
+        str[t].assign(strides_flat + t * ndim, strides_flat + (t + 1) * ndim);
+
+    // 1. reorder dims so that operand-0's strides descend (front = slowest),
+    //    ties broken by later operands — mirrors reorder_dimensions which
+    //    sorts so the innermost (last) dim has the smallest stride.
+    std::vector<int64_t> perm(ndim);
+    for (int64_t i = 0; i < ndim; i++) perm[i] = i;
+    auto should_swap = [&](int64_t d0, int64_t d1) {
+        // returns true if d0 should come before d1 (d0 outer, larger stride)
+        for (int t = 0; t < ntensors; t++) {
+            int64_t s0 = str[t][d0], s1 = str[t][d1];
+            if (s0 == 0 || s1 == 0) continue;
+            if (s0 != s1) return s0 > s1;
+            if (shp[d0] != shp[d1]) return shp[d0] > shp[d1];
+        }
+        return false;
+    };
+    std::stable_sort(perm.begin(), perm.end(), [&](int64_t a, int64_t b) {
+        if (a == b) return false;
+        return should_swap(a, b);
+    });
+    std::vector<int64_t> nshp(ndim);
+    std::vector<std::vector<int64_t>> nstr(ntensors, std::vector<int64_t>(ndim));
+    for (int64_t i = 0; i < ndim; i++) {
+        nshp[i] = shp[perm[i]];
+        for (int t = 0; t < ntensors; t++) nstr[t][i] = str[t][perm[i]];
+    }
+
+    // 2. coalesce adjacent dims where, for every operand,
+    //    stride[d] == stride[d+1] * shape[d+1]  (or the dim is size-1).
+    std::vector<int64_t> cshape;
+    std::vector<std::vector<int64_t>> cstr(ntensors);
+    int64_t cur = 0; // index of current accumulating dim within output
+    cshape.push_back(nshp[0]);
+    for (int t = 0; t < ntensors; t++) cstr[t].push_back(nstr[t][0]);
+    for (int64_t d = 1; d < ndim; d++) {
+        // try merging dim d into the current dim
+        bool merged = false;
+        if (cshape[cur] == 1) {
+            cshape[cur] = nshp[d];
+            for (int t = 0; t < ntensors; t++) cstr[t][cur] = nstr[t][d];
+            merged = true;
+        } else if (nshp[d] == 1) {
+            merged = true;
+        } else {
+            // merging means current (outer) absorbs d (inner):
+            // combined extent = shape[cur]*shape[d], stride = stride[d];
+            // legal iff stride[cur] == stride[d] * shape[d] for every operand.
+            bool ok = true;
+            for (int t = 0; t < ntensors; t++) {
+                if (cstr[t][cur] != nstr[t][d] * nshp[d]) { ok = false; break; }
+            }
+            if (ok) {
+                cshape[cur] *= nshp[d];
+                for (int t = 0; t < ntensors; t++) cstr[t][cur] = nstr[t][d];
+                merged = true;
+            }
+        }
+        if (!merged) {
+            cshape.push_back(nshp[d]);
+            for (int t = 0; t < ntensors; t++) cstr[t].push_back(nstr[t][d]);
+            cur++;
+        }
+    }
+    int64_t out_nd = (int64_t)cshape.size();
+    std::copy(cshape.begin(), cshape.end(), out_shape);
+    for (int t = 0; t < ntensors; t++)
+        std::copy(cstr[t].begin(), cstr[t].end(), out_strides_flat + t * out_nd);
+    return (int)out_nd;
+}
+
+// ---------------------------------------------------------------------------
+// Autograd tape scheduler (reference tensor.cpp:86-126).
+//
+// Nodes are grad_fn ids; edges (src -> dst) mean "node src feeds gradient to
+// interior node dst".  Pass 1 counts uses; pass 2 emits nodes in the order
+// the reference queue would pop them (a node becomes ready only when all of
+// its uses have delivered gradients).  Returns the number of scheduled nodes;
+// nodes unreachable from the root are not emitted.
+// ---------------------------------------------------------------------------
+
+KF_EXPORT int kf_tape_schedule(int64_t n_nodes, int64_t n_edges,
+                               const int64_t *edge_src, const int64_t *edge_dst,
+                               int64_t root, int64_t *out_order) {
+    std::vector<std::vector<int64_t>> children(n_nodes);
+    std::vector<int64_t> uses(n_nodes, 0);
+    for (int64_t e = 0; e < n_edges; e++) {
+        if (edge_src[e] < 0 || edge_src[e] >= n_nodes) return -1;
+        if (edge_dst[e] < 0 || edge_dst[e] >= n_nodes) return -1;
+        children[edge_src[e]].push_back(edge_dst[e]);
+    }
+    // pass 1: count uses among nodes reachable from root
+    std::vector<char> visited(n_nodes, 0);
+    std::vector<int64_t> stack{root};
+    visited[root] = 1;
+    while (!stack.empty()) {
+        int64_t u = stack.back();
+        stack.pop_back();
+        for (int64_t v : children[u]) {
+            uses[v]++;
+            if (!visited[v]) {
+                visited[v] = 1;
+                stack.push_back(v);
+            }
+        }
+    }
+    // pass 2: FIFO queue, release child when all uses satisfied
+    std::queue<int64_t> q;
+    q.push(root);
+    int64_t count = 0;
+    while (!q.empty()) {
+        int64_t u = q.front();
+        q.pop();
+        out_order[count++] = u;
+        for (int64_t v : children[u]) {
+            if (--uses[v] == 0) q.push(v);
+        }
+    }
+    return (int)count;
+}

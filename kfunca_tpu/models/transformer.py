@@ -1,0 +1,152 @@
+"""Flagship model family: decoder-only multimodal-style transformer LM.
+
+The reference's operator scope is "focused solely on multimodal transformers"
+(reference README.md:2) but ships no model; this is the capability those
+operators exist to serve, built TPU-first:
+
+  * pure-functional params pytree + jax transforms (grad/jit/sharding) —
+    the model layer composes the same kernel library the eager Tensor API
+    uses (flash causal attention fwd+bwd, MXU matmul), picked per backend.
+  * bf16 compute / fp32 params & reductions (MXU-native mixed precision).
+  * static shapes, `jax.checkpoint`-able blocks, shard_map/pjit-compatible:
+    no data-dependent control flow anywhere.
+
+Architecture: RMSNorm -> causal flash attention -> RMSNorm -> SwiGLU MLP,
+rotary position embeddings, tied LM head.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.attention import causal_attention_fn
+
+
+@dataclass(frozen=True)
+class TransformerConfig:
+    vocab_size: int = 32000
+    d_model: int = 512
+    n_heads: int = 8
+    n_layers: int = 4
+    d_ff: int = 1408
+    max_seq_len: int = 1024
+    dtype: str = "bfloat16"  # activation/compute dtype; params stay fp32
+    rope_theta: float = 10000.0
+    remat: bool = False  # jax.checkpoint each block (HBM <-> FLOPs trade)
+
+    @property
+    def head_dim(self) -> int:
+        assert self.d_model % self.n_heads == 0
+        return self.d_model // self.n_heads
+
+    @property
+    def act_dtype(self):
+        return jnp.dtype(self.dtype)
+
+
+def _init_linear(key, fan_in, fan_out):
+    scale = 1.0 / math.sqrt(fan_in)
+    return jax.random.uniform(key, (fan_in, fan_out), jnp.float32, -scale, scale)
+
+
+def init_params(key, cfg: TransformerConfig):
+    keys = jax.random.split(key, cfg.n_layers * 6 + 2)
+    params = {
+        "embed": jax.random.normal(keys[0], (cfg.vocab_size, cfg.d_model), jnp.float32)
+        * 0.02,
+        "final_norm": jnp.ones((cfg.d_model,), jnp.float32),
+        "blocks": [],
+    }
+    for i in range(cfg.n_layers):
+        k = keys[2 + i * 6 : 2 + (i + 1) * 6]
+        params["blocks"].append(
+            {
+                "attn_norm": jnp.ones((cfg.d_model,), jnp.float32),
+                "wqkv": _init_linear(k[0], cfg.d_model, 3 * cfg.d_model),
+                "wo": _init_linear(k[1], cfg.d_model, cfg.d_model),
+                "mlp_norm": jnp.ones((cfg.d_model,), jnp.float32),
+                "w_gate": _init_linear(k[2], cfg.d_model, cfg.d_ff),
+                "w_up": _init_linear(k[3], cfg.d_model, cfg.d_ff),
+                "w_down": _init_linear(k[4], cfg.d_ff, cfg.d_model),
+            }
+        )
+    return params
+
+
+def rms_norm(x, gamma, eps=1e-6):
+    # fp32 statistics regardless of activation dtype (Welford-kernel contract)
+    xf = x.astype(jnp.float32)
+    inv = jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
+    return (xf * inv).astype(x.dtype) * gamma.astype(x.dtype)
+
+
+def _rope(x, theta: float):
+    """Rotary embeddings over the head dim; x: (B, H, S, D)."""
+    b, h, s, d = x.shape
+    half = d // 2
+    freqs = jnp.exp(
+        -math.log(theta) * jnp.arange(0, half, dtype=jnp.float32) / half
+    )
+    pos = jnp.arange(s, dtype=jnp.float32)
+    ang = pos[:, None] * freqs[None, :]  # (S, half)
+    cos, sin = jnp.cos(ang), jnp.sin(ang)
+    x1, x2 = x[..., :half], x[..., half:]
+    xf1, xf2 = x1.astype(jnp.float32), x2.astype(jnp.float32)
+    r1 = xf1 * cos - xf2 * sin
+    r2 = xf2 * cos + xf1 * sin
+    return jnp.concatenate([r1, r2], axis=-1).astype(x.dtype)
+
+
+def _block(x, p, cfg: TransformerConfig):
+    b, s, dm = x.shape
+    h, hd = cfg.n_heads, cfg.head_dim
+
+    # attention
+    y = rms_norm(x, p["attn_norm"])
+    qkv = jnp.dot(y, p["wqkv"].astype(y.dtype), preferred_element_type=jnp.float32)
+    qkv = qkv.astype(y.dtype).reshape(b, s, 3, h, hd)
+    q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))  # (B,H,S,hd)
+    q = _rope(q, cfg.rope_theta)
+    k = _rope(k, cfg.rope_theta)
+    attn = causal_attention_fn(q, k, v)  # Pallas flash kernel on TPU
+    attn = attn.transpose(0, 2, 1, 3).reshape(b, s, dm)
+    x = x + jnp.dot(
+        attn, p["wo"].astype(attn.dtype), preferred_element_type=jnp.float32
+    ).astype(x.dtype)
+
+    # SwiGLU MLP
+    y = rms_norm(x, p["mlp_norm"])
+    gate = jnp.dot(y, p["w_gate"].astype(y.dtype), preferred_element_type=jnp.float32)
+    up = jnp.dot(y, p["w_up"].astype(y.dtype), preferred_element_type=jnp.float32)
+    act = (jax.nn.silu(gate) * up).astype(y.dtype)
+    x = x + jnp.dot(
+        act, p["w_down"].astype(act.dtype), preferred_element_type=jnp.float32
+    ).astype(x.dtype)
+    return x
+
+
+def forward(params, tokens, cfg: TransformerConfig):
+    """tokens: (B, S) int32 -> logits (B, S, vocab) fp32."""
+    x = params["embed"][tokens].astype(cfg.act_dtype)
+    block_fn = _block
+    if cfg.remat:
+        block_fn = jax.checkpoint(_block, static_argnums=(2,))
+    for p in params["blocks"]:
+        x = block_fn(x, p, cfg)
+    x = rms_norm(x, params["final_norm"])
+    # tied LM head
+    return jnp.dot(
+        x, params["embed"].T.astype(x.dtype), preferred_element_type=jnp.float32
+    )
+
+
+def loss_fn(params, tokens, targets, cfg: TransformerConfig):
+    logits = forward(params, tokens, cfg)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+    return jnp.mean(nll)

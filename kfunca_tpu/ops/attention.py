@@ -1,0 +1,116 @@
+"""Causal attention: fused flash-style forward AND backward.
+
+Rebuild of the reference blockwise online-softmax forward
+(causal_attention_kernel.cu, utils/causal_attention.h:113-207): q (B,H,Sq,D),
+k/v (B,H,Skv,D), scale = 1/sqrt(D), top-left-aligned causal mask (row i
+attends cols j <= i, causal_attention.h:128-132).  The reference saves the
+per-row m/l softmax statistics "the hooks a backward pass would need" but has
+NO backward; here the backward exists (flash-style recompute-per-tile), wired
+both into jax.grad (custom_vjp) and the eager tape.
+
+Dispatch:
+  * TPU + {fp32, bf16}   -> Pallas flash kernel (ops/pallas_kernels/flash_attention.py):
+                            q-tile grid, KV streamed through VMEM in tiles,
+                            online-softmax m/l carry — the same tiling
+                            contract as the reference's SLM block (tiles of
+                            32), sized for VMEM/MXU instead.
+  * anywhere else        -> XLA einsum reference path (also the oracle used
+                            by the kernel's own unit tests).
+
+Unlike the reference there is no "naive fallback with a perf warning" —
+arbitrary shapes run through the same kernels via padding/masking.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..core.dtype import ScalarType, to_jnp
+from ..core.iterator import check
+from ..core.tensor import GradFunction, Tensor, empty
+from ..runtime.backend import use_pallas
+
+
+def _sdpa_xla(q, k, v):
+    """Reference-path causal SDPA (numerics oracle)."""
+    scale = 1.0 / math.sqrt(q.shape[-1])
+    acc = jnp.float32 if q.dtype != jnp.float64 else jnp.float64
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=acc) * scale
+    sq, skv = q.shape[2], k.shape[2]
+    row = jax.lax.broadcasted_iota(jnp.int32, (sq, skv), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (sq, skv), 1)
+    s = jnp.where(col <= row, s, jnp.finfo(acc).min)
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", p.astype(q.dtype), v, preferred_element_type=acc).astype(
+        q.dtype
+    )
+
+
+@jax.custom_vjp
+def causal_attention_fn(q, k, v):
+    return _forward(q, k, v)
+
+
+def _forward(q, k, v):
+    if use_pallas() and q.dtype in (jnp.float32, jnp.bfloat16):
+        from .pallas_kernels.flash_attention import flash_attention_forward
+
+        return flash_attention_forward(q, k, v)
+    return _sdpa_xla(q, k, v)
+
+
+def _fwd_rule(q, k, v):
+    if use_pallas() and q.dtype in (jnp.float32, jnp.bfloat16):
+        from .pallas_kernels.flash_attention import flash_attention_fwd_stats
+
+        out, lse = flash_attention_fwd_stats(q, k, v)
+        return out, (q, k, v, out, lse)
+    return _sdpa_xla(q, k, v), (q, k, v, None, None)
+
+
+def _bwd_rule(res, g):
+    q, k, v, out, lse = res
+    if use_pallas() and q.dtype in (jnp.float32, jnp.bfloat16):
+        from .pallas_kernels.flash_attention import flash_attention_backward
+
+        return flash_attention_backward(q, k, v, g, out=out, lse=lse)
+    _, vjp = jax.vjp(_sdpa_xla, q, k, v)
+    return vjp(g)
+
+
+causal_attention_fn.defvjp(_fwd_rule, _bwd_rule)
+
+
+class AttentionGradFunction(GradFunction):
+    def __init__(self, q: Tensor, k: Tensor, v: Tensor):
+        super().__init__([q, k, v])
+
+    def backward(self, grad_output: Tensor):
+        from .elementwise import wrap_array
+
+        q, k, v = self.inputs
+        _, vjp = jax.vjp(causal_attention_fn, q._array(), k._array(), v._array())
+        dq, dk, dv = vjp(grad_output._array().astype(to_jnp(q.dtype())))
+        return [
+            wrap_array(dq, q.dtype(), q.device()),
+            wrap_array(dk, k.dtype(), k.device()),
+            wrap_array(dv, v.dtype(), v.device()),
+        ]
+
+
+def causal_attention(q: Tensor, k: Tensor, v: Tensor) -> Tensor:
+    check(q.dim() == 4 and k.dim() == 4 and v.dim() == 4, "attention: rank-4 (B,H,S,D) inputs")
+    check(q.dtype() == k.dtype() == v.dtype(), "attention: dtype mismatch")
+    b, h, sq, d = q.sizes()
+    check(k.sizes() == [b, h, k.shape(2), d], "attention: k shape mismatch")
+    check(v.sizes() == k.sizes(), "attention: v shape mismatch")
+    out = empty(q.sizes(), q.dtype(), q.device())
+    out._write(causal_attention_fn(q._array(), k._array(), v._array()))
+    if q.requires_grad() or k.requires_grad() or v.requires_grad():
+        out.set_requires_grad(True)
+        out.set_grad_fn(AttentionGradFunction(q, k, v))
+    return out

@@ -1,0 +1,308 @@
+"""Flash causal attention, forward AND backward, as Pallas TPU kernels.
+
+Forward rebuilds the reference's blockwise online-softmax kernel
+(/root/reference/src/device/utils/causal_attention.h:113-207) TPU-first:
+the CUDA version tiles KV by 32 through shared memory with warp reductions;
+here the q-tile grid streams KV blocks through VMEM with the m/l carry kept
+in VMEM scratch (the grid's innermost dimension runs sequentially per core,
+so the carry needs no cross-block synchronization).  Per-row logsumexp is
+written out — the statistic the reference stores "for a future backward"
+(causal_attention.h:191-206) — and the backward actually exists here
+(FlashAttention-2 style: recompute p per tile from saved lse, kv-parallel
+dk/dv kernel + q-parallel dq kernel).
+
+Contract (matches reference + torch sdpa is_causal):
+  scale = 1/sqrt(D); top-left-aligned causal mask (row i attends col j <= i);
+  arbitrary B, H, Sq, Skv, D via zero-padding + masking (no naive fallback).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .common import cdiv, pad_to, pick_block, round_up
+
+import numpy as _np
+
+NEG_INF = _np.float32(-1e30)  # finite f32 mask value: NaN-free exp on masked rows
+_ONE = _np.float32(1.0)
+_ZERO = _np.float32(0.0)
+
+
+# ----------------------------------------------------------------------------
+# forward
+# ----------------------------------------------------------------------------
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, l_ref, acc_ref, *, scale, sq, skv, bq, bk):
+    iq = pl.program_id(1)
+    ik = pl.program_id(2)
+
+    @pl.when(ik == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    # causal: this kv block contributes iff its first col <= q block's last row
+    @pl.when(ik * bk <= iq * bq + bq - 1)
+    def _compute():
+        q = q_ref[0].astype(jnp.float32)
+        k = k_ref[0].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * _np.float32(scale)
+        row = iq * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
+        col = ik * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+        mask = (col <= row) & (col < skv)
+        s = jnp.where(mask, s, NEG_INF)
+
+        m_prev = m_ref[:, 0:1]  # (bq, 1), lanes replicated
+        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)
+        p = jnp.where(mask, p, _ZERO)
+        l_new = l_ref[:, 0:1] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot(
+            p, v_ref[0].astype(jnp.float32), preferred_element_type=jnp.float32
+        )
+        m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+        l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
+
+    @pl.when(ik == pl.num_programs(2) - 1)
+    def _store():
+        l_safe = jnp.where(l_ref[:] == _ZERO, _ONE, l_ref[:])
+        o_ref[0] = (acc_ref[:] / l_safe[:, 0:1]).astype(o_ref.dtype)
+        # lse kept lane-replicated (bq, 128) — no sublane<->lane transpose
+        lse_ref[0] = m_ref[:] + jnp.log(l_safe)
+
+
+@functools.partial(jax.jit, static_argnames=("bq", "bk", "interpret"))
+def flash_attention_fwd_stats(q, k, v, bq=256, bk=256, interpret=False):
+    """Returns (out, lse) with out: (B,H,Sq,D), lse: (B,H,Sq) fp32.
+
+    On HBM the per-row statistics travel lane-replicated as (BH, Sq, 128);
+    the public return value slices lane 0.
+    """
+    b, h, sq, d = q.shape
+    skv = k.shape[2]
+    scale = 1.0 / math.sqrt(d)
+
+    bq = pick_block(sq, bq)
+    bk = pick_block(skv, bk)
+    sqp, skvp, dp = round_up(sq, bq), round_up(skv, bk), round_up(d, 128)
+
+    qf = pad_to(q.reshape(b * h, sq, d), (b * h, sqp, dp))
+    kf = pad_to(k.reshape(b * h, skv, d), (b * h, skvp, dp))
+    vf = pad_to(v.reshape(b * h, skv, d), (b * h, skvp, dp))
+
+    grid = (b * h, sqp // bq, skvp // bk)
+    kernel = functools.partial(_fwd_kernel, scale=scale, sq=sq, skv=skv, bq=bq, bk=bk)
+    out, lse = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq, dp), lambda bh, i, j: (bh, i, _np.int32(0))),
+            pl.BlockSpec((1, bk, dp), lambda bh, i, j: (bh, j, _np.int32(0))),
+            pl.BlockSpec((1, bk, dp), lambda bh, i, j: (bh, j, _np.int32(0))),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bq, dp), lambda bh, i, j: (bh, i, _np.int32(0))),
+            pl.BlockSpec((1, bq, 128), lambda bh, i, j: (bh, i, _np.int32(0))),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, sqp, dp), q.dtype),
+            jax.ShapeDtypeStruct((b * h, sqp, 128), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bq, 128), jnp.float32),  # m
+            pltpu.VMEM((bq, 128), jnp.float32),  # l
+            pltpu.VMEM((bq, dp), jnp.float32),  # acc
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * sqp * skvp * dp,
+            bytes_accessed=(qf.size + kf.size + vf.size) * q.dtype.itemsize,
+            transcendentals=b * h * sqp * skvp,
+        ),
+        interpret=interpret,
+    )(qf, kf, vf)
+    out = out[:, :sq, :d].reshape(b, h, sq, d)
+    lse = lse[:, :sq, 0].reshape(b, h, sq)
+    return out, lse
+
+
+def flash_attention_forward(q, k, v, interpret=False):
+    return flash_attention_fwd_stats(q, k, v, interpret=interpret)[0]
+
+
+# ----------------------------------------------------------------------------
+# backward (FlashAttention-2 style; new work — the reference has no backward)
+# ----------------------------------------------------------------------------
+
+
+def _bwd_dkv_kernel(
+    q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref, dk_ref, dv_ref, dk_acc, dv_acc, *, scale, skv, bq, bk
+):
+    ik = pl.program_id(1)
+    iq = pl.program_id(2)
+
+    @pl.when(iq == 0)
+    def _init():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    # q block contributes iff its last row >= kv block's first col
+    @pl.when(iq * bq + bq - 1 >= ik * bk)
+    def _compute():
+        q = q_ref[0].astype(jnp.float32)
+        k = k_ref[0].astype(jnp.float32)
+        v = v_ref[0].astype(jnp.float32)
+        g = g_ref[0].astype(jnp.float32)
+        lse = lse_ref[0][:, 0:1]  # (bq, 1) from lane-replicated block
+        delta = delta_ref[0][:, 0:1]
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * _np.float32(scale)
+        row = iq * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
+        col = ik * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+        mask = (col <= row) & (col < skv)
+        p = jnp.where(mask, jnp.exp(s - lse), _ZERO)  # (bq, bk)
+
+        # dv += p^T g
+        dv_acc[:] += jax.lax.dot_general(
+            p, g, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        # ds = p * (dp - delta) * _np.float32(scale),  dp = g v^T
+        dp = jax.lax.dot_general(
+            g, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - delta) * _np.float32(scale)
+        # dk += ds^T q
+        dk_acc[:] += jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    @pl.when(iq == pl.num_programs(2) - 1)
+    def _store():
+        dk_ref[0] = dk_acc[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
+
+
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref, dq_ref, dq_acc, *, scale, skv, bq, bk):
+    iq = pl.program_id(1)
+    ik = pl.program_id(2)
+
+    @pl.when(ik == 0)
+    def _init():
+        dq_acc[:] = jnp.zeros_like(dq_acc)
+
+    @pl.when(ik * bk <= iq * bq + bq - 1)
+    def _compute():
+        q = q_ref[0].astype(jnp.float32)
+        k = k_ref[0].astype(jnp.float32)
+        v = v_ref[0].astype(jnp.float32)
+        g = g_ref[0].astype(jnp.float32)
+        lse = lse_ref[0][:, 0:1]
+        delta = delta_ref[0][:, 0:1]
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * _np.float32(scale)
+        row = iq * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
+        col = ik * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+        mask = (col <= row) & (col < skv)
+        p = jnp.where(mask, jnp.exp(s - lse), _ZERO)
+        dp = jax.lax.dot_general(
+            g, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - delta) * _np.float32(scale)
+        dq_acc[:] += jax.lax.dot(ds, k, preferred_element_type=jnp.float32)
+
+    @pl.when(ik == pl.num_programs(2) - 1)
+    def _store():
+        dq_ref[0] = dq_acc[:].astype(dq_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("bq", "bk", "interpret"))
+def flash_attention_backward(q, k, v, g, out=None, lse=None, bq=256, bk=256, interpret=False):
+    b, h, sq, d = q.shape
+    skv = k.shape[2]
+    scale = 1.0 / math.sqrt(d)
+    if out is None or lse is None:
+        out, lse = flash_attention_fwd_stats(q, k, v, interpret=interpret)
+    delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)  # (b,h,sq)
+
+    bq = pick_block(sq, bq)
+    bk = pick_block(skv, bk)
+    sqp, skvp, dp = round_up(sq, bq), round_up(skv, bk), round_up(d, 128)
+
+    qf = pad_to(q.reshape(b * h, sq, d), (b * h, sqp, dp))
+    kf = pad_to(k.reshape(b * h, skv, d), (b * h, skvp, dp))
+    vf = pad_to(v.reshape(b * h, skv, d), (b * h, skvp, dp))
+    gf = pad_to(g.reshape(b * h, sq, d), (b * h, sqp, dp))
+    # lane-replicated row statistics (see flash_attention_fwd_stats)
+    lsef = pad_to(
+        jnp.broadcast_to(lse.reshape(b * h, sq, 1), (b * h, sq, 128)), (b * h, sqp, 128)
+    )
+    deltaf = pad_to(
+        jnp.broadcast_to(delta.reshape(b * h, sq, 1), (b * h, sq, 128)), (b * h, sqp, 128)
+    )
+
+    q_spec_kv = pl.BlockSpec((1, bq, dp), lambda bh, jk, i: (bh, i, _np.int32(0)))
+    kv_spec_kv = pl.BlockSpec((1, bk, dp), lambda bh, jk, i: (bh, jk, _np.int32(0)))
+    row_spec_kv = pl.BlockSpec((1, bq, 128), lambda bh, jk, i: (bh, i, _np.int32(0)))
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, scale=scale, skv=skv, bq=bq, bk=bk),
+        grid=(b * h, skvp // bk, sqp // bq),
+        in_specs=[q_spec_kv, kv_spec_kv, kv_spec_kv, q_spec_kv, row_spec_kv, row_spec_kv],
+        out_specs=[
+            pl.BlockSpec((1, bk, dp), lambda bh, jk, i: (bh, jk, _np.int32(0))),
+            pl.BlockSpec((1, bk, dp), lambda bh, jk, i: (bh, jk, _np.int32(0))),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, skvp, dp), k.dtype),
+            jax.ShapeDtypeStruct((b * h, skvp, dp), v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bk, dp), jnp.float32),
+            pltpu.VMEM((bk, dp), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(qf, kf, vf, gf, lsef, deltaf)
+
+    q_spec_q = pl.BlockSpec((1, bq, dp), lambda bh, i, jk: (bh, i, _np.int32(0)))
+    kv_spec_q = pl.BlockSpec((1, bk, dp), lambda bh, i, jk: (bh, jk, _np.int32(0)))
+    row_spec_q = pl.BlockSpec((1, bq, 128), lambda bh, i, jk: (bh, i, _np.int32(0)))
+
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, scale=scale, skv=skv, bq=bq, bk=bk),
+        grid=(b * h, sqp // bq, skvp // bk),
+        in_specs=[q_spec_q, kv_spec_q, kv_spec_q, q_spec_q, row_spec_q, row_spec_q],
+        out_specs=pl.BlockSpec((1, bq, dp), lambda bh, i, jk: (bh, i, _np.int32(0))),
+        out_shape=jax.ShapeDtypeStruct((b * h, sqp, dp), q.dtype),
+        scratch_shapes=[pltpu.VMEM((bq, dp), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(qf, kf, vf, gf, lsef, deltaf)
+
+    dq = dq[:, :sq, :d].reshape(b, h, sq, d)
+    dk = dk[:, :skv, :d].reshape(b, h, skv, d)
+    dv = dv[:, :skv, :d].reshape(b, h, skv, d)
+    return dq, dk, dv

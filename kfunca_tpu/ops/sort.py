@@ -1,0 +1,97 @@
+"""Stable segmented sort + topk.
+
+The reference implements a 4-bit LSD radix sort with block/upsweep/downsweep
+kernels (sort_ops_kernel.cu, sorting_radix_sort.h) because GPUs need explicit
+shared-memory ranking.  On TPU the idiomatic engine is XLA's variadic
+`lax.sort` (a stable bitonic network tuned for the VPU), which preserves the
+reference's contract exactly:
+
+  * stable ascending/descending per segment (segments = every slice along
+    `dim`; the host wrapper re-lays-out to dense dim-last, mirroring
+    sort_ops_kernel.cu:521-551),
+  * int64 index payload,
+  * descending implemented as stable-ascending over key-negation, which keeps
+    equal elements in original order (same trick as the reference KeyTraits
+    bit flips, sorting_common.h:22-238),
+  * topk = sort + narrow(k) (reference topk_with_sort, sort_ops_kernel.cu:617-632).
+
+Bool keys are unsupported, as in the reference (:565-566).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..core.dtype import ScalarType, is_floating_type, to_jnp
+from ..core.iterator import check, maybe_wrap_dim
+from ..core.tensor import Tensor, empty
+
+
+def _negate_keys(keys):
+    """Order-reversing transform with exact inversion for descending sort."""
+    if jnp.issubdtype(keys.dtype, jnp.integer):
+        return -keys.astype(jnp.int64)
+    return -keys
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def _sort_jit(A, dim, descending):
+    nd = A.ndim
+    perm = tuple(i for i in range(nd) if i != dim) + (dim,)
+    inv = tuple(sorted(range(nd), key=lambda i: perm[i]))
+    At = A.transpose(perm)
+    iota = lax.broadcasted_iota(jnp.int32, At.shape, nd - 1)
+    keys = _negate_keys(At) if descending else At
+    # variadic stable sort: sort (keys, values, indices) by keys only; values
+    # carries the original elements so no inverse transform is needed.
+    _, vals, idx = lax.sort((keys, At, iota), dimension=nd - 1, is_stable=True, num_keys=1)
+    return vals.transpose(inv), idx.astype(jnp.int64).transpose(inv)
+
+
+def sort(t: Tensor, dim: int, descending: bool):
+    check(t.dtype() != ScalarType.Bool, "sort: Bool unsupported")
+    dim = maybe_wrap_dim(dim, t.dim())
+    vals, idx = _sort_jit(t._array(), dim, bool(descending))
+    out_v = empty(t.sizes(), t.dtype(), t.device())
+    out_i = empty(t.sizes(), ScalarType.Long, t.device())
+    out_v._write(vals)
+    out_i._write(idx)
+    return out_v, out_i
+
+
+@partial(jax.jit, static_argnums=(1, 2, 3))
+def _topk_jit(A, k, dim, largest):
+    nd = A.ndim
+    perm = tuple(i for i in range(nd) if i != dim) + (dim,)
+    inv = tuple(sorted(range(nd), key=lambda i: perm[i]))
+    At = A.transpose(perm)
+    if largest and not jnp.issubdtype(At.dtype, jnp.integer):
+        vals, idx = lax.top_k(At, k)  # MXU/VPU-friendly partial selection
+    else:
+        iota = lax.broadcasted_iota(jnp.int32, At.shape, nd - 1)
+        keys = _negate_keys(At) if largest else At
+        _, svals, sidx = lax.sort(
+            (keys, At, iota), dimension=nd - 1, is_stable=True, num_keys=1
+        )
+        vals = lax.slice_in_dim(svals, 0, k, axis=nd - 1)
+        idx = lax.slice_in_dim(sidx, 0, k, axis=nd - 1)
+    return vals.transpose(inv), idx.astype(jnp.int64).transpose(inv)
+
+
+def topk(t: Tensor, k: int, dim: int, largest: bool):
+    check(t.dtype() != ScalarType.Bool, "topk: Bool unsupported")
+    dim = maybe_wrap_dim(dim, t.dim())
+    k = int(k)
+    check(0 < k <= t.shape(dim), "topk: invalid k")
+    vals, idx = _topk_jit(t._array(), k, dim, bool(largest))
+    shape = list(t.sizes())
+    shape[dim] = k
+    out_v = empty(shape, t.dtype(), t.device())
+    out_i = empty(shape, ScalarType.Long, t.device())
+    out_v._write(vals)
+    out_i._write(idx)
+    return out_v, out_i

@@ -1,0 +1,98 @@
+"""Device-mesh scale-out: dp x tp meshes with sequence-parallel activations.
+
+Green-field capability (the reference is strictly single-device; SURVEY.md
+§2.5): parallelism is expressed the TPU-native way — a jax.sharding.Mesh,
+NamedSharding annotations on params/activations, and XLA GSPMD inserting the
+ICI collectives (all-gather/reduce-scatter/psum).  No hand-written NCCL-style
+communication: the scaling-book recipe is "pick a mesh, annotate shardings,
+let XLA insert collectives".
+
+Axes:
+  dp — data parallel: batch dim; gradients psum across dp (via GSPMD).
+  tp — tensor parallel: attention heads / ffn dim (Megatron-style column->row
+       sharded pairs so each block needs exactly one all-reduce per matmul
+       pair); between blocks, activations are re-sharded along the *sequence*
+       dim over tp (sequence parallelism) so norms/elementwise run sharded.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def factor_mesh(n: int) -> tuple[int, int]:
+    """Split n devices into (dp, tp), preferring square-ish with tp a power
+    of two (tp rides ICI-adjacent chips)."""
+    best = (n, 1)
+    tp = 1
+    while tp * 2 <= n:
+        tp *= 2
+        if n % tp == 0:
+            dp = n // tp
+            if abs(math.log2(max(dp, 1)) - math.log2(tp)) <= abs(
+                math.log2(max(best[0], 1)) - math.log2(max(best[1], 1))
+            ):
+                best = (dp, tp)
+    return best
+
+
+def make_mesh(n_devices: int | None = None, dp: int | None = None, tp: int | None = None) -> Mesh:
+    devices = jax.devices()
+    n = n_devices or len(devices)
+    if dp is None or tp is None:
+        dp, tp = factor_mesh(n)
+    assert dp * tp == n, (dp, tp, n)
+    arr = np.asarray(devices[:n]).reshape(dp, tp)
+    return Mesh(arr, axis_names=("dp", "tp"))
+
+
+# -- sharding rules for the transformer param pytree ---------------------------
+
+
+def param_specs(params) -> dict:
+    """Megatron-style TP sharding: qkv/gate/up column-parallel (shard the
+    output dim), wo/down row-parallel (shard the input dim), embeddings
+    sharded over d_model, norms replicated."""
+
+    def block_spec(_):
+        return {
+            "attn_norm": P(),
+            "wqkv": P(None, "tp"),
+            "wo": P("tp", None),
+            "mlp_norm": P(),
+            "w_gate": P(None, "tp"),
+            "w_up": P(None, "tp"),
+            "w_down": P("tp", None),
+        }
+
+    return {
+        "embed": P(None, "tp"),
+        "final_norm": P(),
+        "blocks": [block_spec(b) for b in params["blocks"]],
+    }
+
+
+def shard_params(params, mesh: Mesh):
+    specs = param_specs(params)
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs,
+        is_leaf=lambda x: not isinstance(x, (dict, list)),
+    )
+
+
+def batch_spec() -> P:
+    return P("dp", None)
+
+
+def activation_spec() -> P:
+    """(B, S, D) activations between blocks: batch over dp, sequence over tp
+    (sequence parallelism)."""
+    return P("dp", "tp", None)
+
+
+def constrain_seq_parallel(x, mesh: Mesh):
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, activation_spec()))

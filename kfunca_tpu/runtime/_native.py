@@ -1,0 +1,93 @@
+"""Loader/builder for the native C++ runtime core (csrc/kfunca_core.cpp).
+
+Builds libkfunca_core.so with g++ on first import (cached next to the
+source; rebuilt when the source is newer).  pybind11 is unavailable in this
+image, so the ABI is plain C consumed via ctypes.
+
+If no C++ toolchain is present the framework falls back to the
+behavior-identical Python implementations; tests/test_native_core.py
+enforces parity between the two.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+_LIB = None
+_LOCK = threading.Lock()
+_TRIED = False
+
+_CSRC = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "csrc")
+_SRC = os.path.join(_CSRC, "kfunca_core.cpp")
+_SO = os.path.join(_CSRC, "libkfunca_core.so")
+
+
+def _build() -> bool:
+    try:
+        if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
+            return True
+        cmd = [
+            "g++",
+            "-O2",
+            "-std=c++17",
+            "-shared",
+            "-fPIC",
+            "-fvisibility=hidden",
+            _SRC,
+            "-o",
+            _SO + ".tmp",
+        ]
+        subprocess.run(cmd, check=True, capture_output=True, timeout=180)
+        os.replace(_SO + ".tmp", _SO)
+        return True
+    except Exception:
+        return False
+
+
+def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
+    i64, i64p = ctypes.c_int64, ctypes.POINTER(ctypes.c_int64)
+    i8, i32p = ctypes.c_int8, ctypes.POINTER(ctypes.c_int)
+    lib.kf_allocate.restype = i64
+    lib.kf_allocate.argtypes = [ctypes.c_int, i64, i64p, i32p]
+    lib.kf_free.restype = ctypes.c_int
+    lib.kf_free.argtypes = [i64]
+    lib.kf_block_addr.restype = i64
+    lib.kf_block_addr.argtypes = [i64]
+    lib.kf_alloc_stats.restype = None
+    lib.kf_alloc_stats.argtypes = [i64p]
+    lib.kf_alloc_reset.restype = None
+    lib.kf_alloc_reset.argtypes = []
+    lib.kf_promote.restype = i8
+    lib.kf_promote.argtypes = [i8, i8]
+    lib.kf_accumulate_type.restype = i8
+    lib.kf_accumulate_type.argtypes = [i8]
+    lib.kf_broadcast_shapes.restype = ctypes.c_int
+    lib.kf_broadcast_shapes.argtypes = [ctypes.c_int, i64p, i64p, i64p, i64p]
+    lib.kf_plan_loop_nest.restype = ctypes.c_int
+    lib.kf_plan_loop_nest.argtypes = [ctypes.c_int, i64, i64p, i64p, i64p, i64p]
+    lib.kf_tape_schedule.restype = ctypes.c_int
+    lib.kf_tape_schedule.argtypes = [i64, i64, i64p, i64p, i64, i64p]
+    return lib
+
+
+def get_lib():
+    """The native library, or None when unavailable."""
+    global _LIB, _TRIED
+    if _LIB is not None or _TRIED:
+        return _LIB
+    with _LOCK:
+        if _LIB is None and not _TRIED:
+            _TRIED = True
+            if os.environ.get("KFUNCA_NO_NATIVE", "0") != "1" and _build():
+                try:
+                    _LIB = _bind(ctypes.CDLL(_SO))
+                except OSError:
+                    _LIB = None
+    return _LIB
+
+
+def i64_array(values):
+    return (ctypes.c_int64 * len(values))(*values)

@@ -1,0 +1,164 @@
+"""Parity tests: native C++ runtime core vs the Python fallbacks.
+
+Covers the components the reference implements in C++ (allocator pooling,
+iterator planning, dtype promotion, tape scheduling) so both engines are
+pinned to the same behavior.
+"""
+
+import ctypes
+
+import pytest
+
+from kfunca_tpu.core.dtype import ScalarType, accumulate_type, promote
+from kfunca_tpu.core.iterator import broadcast_shapes
+from kfunca_tpu.runtime import _native
+
+lib = _native.get_lib()
+
+pytestmark = pytest.mark.skipif(lib is None, reason="native core unavailable")
+
+
+class TestPromotion:
+    def test_promote_parity_all_pairs(self):
+        types = [t for t in ScalarType if t != ScalarType.Undefined]
+        for a in types:
+            for b in types:
+                assert lib.kf_promote(a, b) == promote(a, b), (a, b)
+
+    def test_accumulate_parity(self):
+        for t in ScalarType:
+            if t == ScalarType.Undefined:
+                continue
+            assert lib.kf_accumulate_type(t) == accumulate_type(t), t
+
+
+class TestBroadcast:
+    @pytest.mark.parametrize(
+        "shapes",
+        [
+            [(16, 1), (1, 6)],
+            [(162, 1, 345), (162, 6, 1)],
+            [(5, 7, 11), (5, 1, 11)],
+            [(3,), (2, 1, 3)],
+            [(1,), (1,)],
+        ],
+    )
+    def test_parity(self, shapes):
+        ndims = _native.i64_array([len(s) for s in shapes])
+        flat = _native.i64_array([d for s in shapes for d in s])
+        out_ndim = ctypes.c_int64()
+        out_shape = _native.i64_array([0] * 12)
+        rc = lib.kf_broadcast_shapes(
+            len(shapes), ndims, flat, ctypes.byref(out_ndim), out_shape
+        )
+        assert rc == 0
+        got = tuple(out_shape[i] for i in range(out_ndim.value))
+        assert got == broadcast_shapes(*shapes)
+
+    def test_mismatch_rejected(self):
+        shapes = [(3, 4), (2, 4)]
+        ndims = _native.i64_array([2, 2])
+        flat = _native.i64_array([3, 4, 2, 4])
+        out_ndim = ctypes.c_int64()
+        out_shape = _native.i64_array([0] * 12)
+        assert (
+            lib.kf_broadcast_shapes(2, ndims, flat, ctypes.byref(out_ndim), out_shape)
+            == -1
+        )
+
+
+def plan_nest(shape, strides_per_op):
+    n = len(strides_per_op)
+    nd = len(shape)
+    out_shape = _native.i64_array([0] * max(nd, 1))
+    out_strides = _native.i64_array([0] * max(nd * n, 1))
+    rc = lib.kf_plan_loop_nest(
+        n,
+        nd,
+        _native.i64_array(shape),
+        _native.i64_array([s for ss in strides_per_op for s in ss]),
+        out_shape,
+        out_strides,
+    )
+    assert rc >= 0
+    cshape = [out_shape[i] for i in range(rc)]
+    cstrides = [[out_strides[t * rc + i] for i in range(rc)] for t in range(n)]
+    return cshape, cstrides
+
+
+class TestLoopNestPlanner:
+    def test_contiguous_collapses_to_1d(self):
+        """Fully contiguous operands coalesce to a single flat loop
+        (reference coalesce_dimensions, tensor_iterator.cpp:263-307)."""
+        shape = [4, 5, 6]
+        s = [30, 6, 1]
+        cshape, cstrides = plan_nest(shape, [s, s])
+        assert cshape == [120]
+        assert cstrides == [[1], [1]]
+
+    def test_broadcast_dim_not_merged(self):
+        # b broadcasts over dim 1 (stride 0): dims cannot fully collapse
+        shape = [4, 5, 6]
+        a = [30, 6, 1]
+        b = [6, 0, 1]
+        cshape, cstrides = plan_nest(shape, [a, b])
+        # dim1+dim2 can't merge for b (0*6 != 6); dim0 can't merge w/ dim1
+        assert len(cshape) > 1
+        # extent product preserved
+        import math
+
+        assert math.prod(cshape) == 120
+
+    def test_permuted_reordered(self):
+        """Stride-sorted reordering puts the smallest stride innermost
+        (reference reorder_dimensions, tensor_iterator.cpp:181-244)."""
+        shape = [6, 4]  # transposed view of contiguous (4,6)
+        a = [1, 6]
+        cshape, cstrides = plan_nest(shape, [a])
+        # after reorder: shape (4,6) strides (6,1) -> coalesces to 24/1
+        assert cshape == [24]
+        assert cstrides == [[1]]
+
+    def test_size1_dims_dropped(self):
+        shape = [1, 5, 1, 7]
+        a = [35, 7, 7, 1]
+        cshape, cstrides = plan_nest(shape, [a])
+        assert cshape == [35]
+        assert cstrides == [[1]]
+
+
+class TestTapeSchedule:
+    def test_reference_dag(self):
+        """The add-DAG of reference test_tensor.py:286-309:
+        accba(0) -> accb(1) -> {ca(2), ab(3)}; interior nodes only."""
+        src = _native.i64_array([0, 1, 1])
+        dst = _native.i64_array([1, 2, 3])
+        out = _native.i64_array([0] * 4)
+        n = lib.kf_tape_schedule(4, 3, src, dst, 0, out)
+        assert n == 4
+        order = [out[i] for i in range(n)]
+        assert order[0] == 0 and order[1] == 1
+        assert set(order[2:]) == {2, 3}
+
+    def test_multi_use_released_last(self):
+        """A node consumed twice runs only after both consumers."""
+        src = _native.i64_array([0, 0, 1, 2])
+        dst = _native.i64_array([1, 2, 3, 3])
+        out = _native.i64_array([0] * 4)
+        n = lib.kf_tape_schedule(4, 4, src, dst, 0, out)
+        order = [out[i] for i in range(n)]
+        assert order.index(3) > order.index(1)
+        assert order.index(3) > order.index(2)
+
+
+class TestNativeAllocator:
+    def test_pool_roundtrip(self):
+        size = ctypes.c_int64()
+        reused = ctypes.c_int()
+        b1 = lib.kf_allocate(3, 5000, ctypes.byref(size), ctypes.byref(reused))
+        assert size.value == 5120 and reused.value == 0  # 1KB aligned
+        assert lib.kf_free(b1) == 0
+        assert lib.kf_free(b1) == -1  # double free rejected
+        b2 = lib.kf_allocate(3, 4500, ctypes.byref(size), ctypes.byref(reused))
+        assert b2 == b1 and reused.value == 1
+        lib.kf_free(b2)

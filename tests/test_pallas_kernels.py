@@ -1,0 +1,145 @@
+"""Pallas TPU kernel unit tests (interpret mode on CPU, small shapes).
+
+This is the hermetic tier the reference never had: its CI requires a real
+GPU, while these validate the exact kernel code that runs on TPU hardware
+against jnp oracles without any accelerator.
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from kfunca_tpu.ops.pallas_kernels.elementwise import elementwise
+from kfunca_tpu.ops.pallas_kernels.flash_attention import (
+    flash_attention_backward,
+    flash_attention_fwd_stats,
+)
+from kfunca_tpu.ops.pallas_kernels.matmul import matmul
+from kfunca_tpu.ops.pallas_kernels.welford import welford_norm_stat
+
+
+def sdpa_oracle(q, k, v):
+    scale = 1.0 / math.sqrt(q.shape[-1])
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale
+    sq, skv = q.shape[2], k.shape[2]
+    row = jax.lax.broadcasted_iota(jnp.int32, (sq, skv), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (sq, skv), 1)
+    s = jnp.where(col <= row, s, -jnp.inf)
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", p, v)
+
+
+class TestMatmul:
+    @pytest.mark.parametrize("m,k,n", [(128, 128, 128), (256, 384, 128), (123, 57, 34)])
+    def test_fp32(self, m, k, n):
+        rng = np.random.default_rng(0)
+        a = rng.uniform(-1, 1, (m, k)).astype(np.float32)
+        b = rng.uniform(-1, 1, (k, n)).astype(np.float32)
+        out = matmul(jnp.asarray(a), jnp.asarray(b), bm=128, bn=128, bk=128, interpret=True)
+        assert np.allclose(np.asarray(out), a @ b, atol=1e-4, rtol=1e-4)
+
+    def test_bf16_fp32_acc(self):
+        rng = np.random.default_rng(1)
+        a = rng.uniform(-1, 1, (128, 256)).astype(np.float32)
+        b = rng.uniform(-1, 1, (256, 128)).astype(np.float32)
+        out = matmul(
+            jnp.asarray(a, jnp.bfloat16),
+            jnp.asarray(b, jnp.bfloat16),
+            out_dtype=jnp.float32,
+            bm=128,
+            bn=128,
+            bk=128,
+            interpret=True,
+        )
+        assert np.allclose(np.asarray(out), a @ b, atol=0.5, rtol=0.05)
+
+
+class TestFlashAttention:
+    @pytest.mark.parametrize(
+        "b,h,sq,skv,d",
+        [
+            (1, 2, 128, 128, 128),
+            (1, 1, 128, 256, 128),  # kv longer than q (reference case 1 shape class)
+            (1, 1, 35, 67, 40),  # ragged everything (reference naive-fallback class)
+        ],
+    )
+    def test_forward(self, b, h, sq, skv, d):
+        rng = np.random.default_rng(2)
+        q = jnp.asarray(rng.uniform(-1, 1, (b, h, sq, d)), jnp.float32)
+        k = jnp.asarray(rng.uniform(-1, 1, (b, h, skv, d)), jnp.float32)
+        v = jnp.asarray(rng.uniform(-1, 1, (b, h, skv, d)), jnp.float32)
+        out, lse = flash_attention_fwd_stats(q, k, v, bq=128, bk=128, interpret=True)
+        ref = sdpa_oracle(q, k, v)
+        assert np.allclose(np.asarray(out), np.asarray(ref), atol=1e-4, rtol=1e-4)
+        # lse parity with oracle logsumexp
+        scale = 1.0 / math.sqrt(d)
+        s = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale
+        row = jax.lax.broadcasted_iota(jnp.int32, (sq, skv), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (sq, skv), 1)
+        s = jnp.where(col <= row, s, -jnp.inf)
+        lse_ref = jax.scipy.special.logsumexp(s, axis=-1)
+        assert np.allclose(np.asarray(lse), np.asarray(lse_ref), atol=1e-4, rtol=1e-4)
+
+    @pytest.mark.parametrize(
+        "b,h,sq,skv,d",
+        [
+            (1, 1, 128, 128, 128),
+            (1, 2, 64, 96, 32),  # ragged
+        ],
+    )
+    def test_backward(self, b, h, sq, skv, d):
+        rng = np.random.default_rng(3)
+        q = jnp.asarray(rng.uniform(-1, 1, (b, h, sq, d)), jnp.float32)
+        k = jnp.asarray(rng.uniform(-1, 1, (b, h, skv, d)), jnp.float32)
+        v = jnp.asarray(rng.uniform(-1, 1, (b, h, skv, d)), jnp.float32)
+        g = jnp.asarray(rng.uniform(-1, 1, (b, h, sq, d)), jnp.float32)
+        dq, dk, dv = flash_attention_backward(q, k, v, g, bq=128, bk=128, interpret=True)
+        ref_out, vjp = jax.vjp(sdpa_oracle, q, k, v)
+        rdq, rdk, rdv = vjp(g)
+        assert np.allclose(np.asarray(dq), np.asarray(rdq), atol=1e-4, rtol=1e-4)
+        assert np.allclose(np.asarray(dk), np.asarray(rdk), atol=1e-4, rtol=1e-4)
+        assert np.allclose(np.asarray(dv), np.asarray(rdv), atol=1e-4, rtol=1e-4)
+
+
+class TestWelford:
+    @pytest.mark.parametrize("r,c", [(64, 128), (1000, 257), (515, 128)])
+    def test_norm_stat(self, r, c):
+        rng = np.random.default_rng(4)
+        x = jnp.asarray(rng.uniform(-10, 10, (r, c)), jnp.float32)
+        mean, invstd = welford_norm_stat(x, br=128, bc=128, interpret=True)
+        ref_mean = jnp.mean(x, axis=0, keepdims=True)
+        ref_var = jnp.mean((x - ref_mean) ** 2, axis=0, keepdims=True)
+        ref_invstd = 1.0 / jnp.sqrt(ref_var + 1e-12)
+        assert np.allclose(np.asarray(mean), np.asarray(ref_mean), atol=1e-3, rtol=1e-3)
+        assert np.allclose(np.asarray(invstd), np.asarray(ref_invstd), atol=1e-3, rtol=1e-3)
+
+
+class TestElementwise:
+    def test_binary_family(self):
+        rng = np.random.default_rng(5)
+        a = jnp.asarray(rng.uniform(1, 2, (8, 128)), jnp.float32)
+        b = jnp.asarray(rng.uniform(1, 2, (8, 128)), jnp.float32)
+        for name, ref in [
+            ("add", a + b),
+            ("sub", a - b),
+            ("mul", a * b),
+            ("div", a / b),
+        ]:
+            out = elementwise(
+                name, a, b, acc_dt=jnp.float32, out_dt=jnp.float32, interpret=True
+            )
+            assert np.allclose(np.asarray(out), np.asarray(ref), atol=1e-6), name
+
+    def test_acc_dtype_bf16(self):
+        """bf16 storage computes in fp32 (reference acc-type contract)."""
+        rng = np.random.default_rng(6)
+        a = jnp.asarray(rng.uniform(-2, 2, (16, 128)), jnp.bfloat16)
+        b = jnp.asarray(rng.uniform(-2, 2, (16, 128)), jnp.bfloat16)
+        out = elementwise("mul", a, b, acc_dt=jnp.float32, out_dt=jnp.bfloat16, interpret=True)
+        ref = (a.astype(jnp.float32) * b.astype(jnp.float32)).astype(jnp.bfloat16)
+        assert np.array_equal(
+            np.asarray(out, dtype=np.float32), np.asarray(ref, dtype=np.float32)
+        )

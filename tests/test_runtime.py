@@ -1,0 +1,123 @@
+"""Runtime-layer unit tests: allocator pooling, storage recycling, refcounts.
+
+Port of the reference C++ unit-test quartet (test/core/test_device_allocator.cpp,
+test_intrusive_ptr.cpp, test_data_ptr.cpp, test_tensor.cpp) to the TPU
+runtime's equivalents.
+"""
+
+import gc
+
+import numpy as np
+
+import kfunca_tpu as kfunca
+from kfunca_tpu.runtime.allocator import ALIGNMENT, DeviceAllocator
+
+
+class TestAllocator:
+    def test_alignment_and_reuse(self):
+        alloc = DeviceAllocator.instance()
+        blk = alloc.allocate(1, 0)
+        assert blk.size == ALIGNMENT
+        base = alloc.stats()["pool_reuses"]
+        alloc.free(blk)
+        blk2 = alloc.allocate(100, 0)
+        # same size class, best-fit -> the freed block comes back
+        assert blk2.block_id == blk.block_id
+        assert alloc.stats()["pool_reuses"] == base + 1
+        alloc.free(blk2)
+
+    def test_best_fit(self):
+        alloc = DeviceAllocator.instance()
+        small = alloc.allocate(2048, 0)
+        large = alloc.allocate(4096, 0)
+        alloc.free(large)
+        alloc.free(small)
+        # a 2000-byte request best-fits the 2048-block, not the 4096 one
+        got = alloc.allocate(2000, 0)
+        assert got.block_id == small.block_id
+        alloc.free(got)
+        got2 = alloc.allocate(4000, 0)
+        assert got2.block_id == large.block_id
+        alloc.free(got2)
+
+    def test_distinct_addresses(self):
+        alloc = DeviceAllocator.instance()
+        a = alloc.allocate(4096, 0)
+        b = alloc.allocate(4096, 0)
+        assert a.addr != b.addr
+        alloc.free(a)
+        alloc.free(b)
+
+    def test_storage_buffer_recycling(self):
+        """Freed storage's device buffer is recycled for a matching empty()
+        (the TPU analog of the caching allocator handing back pooled
+        cudaMalloc'd memory)."""
+        t = kfunca.from_numpy(np.zeros((1000, 100), dtype=np.float32), 0)
+        stats0 = DeviceAllocator.instance().stats()
+        del t
+        gc.collect()
+        t2 = kfunca.empty((1000, 100), kfunca.ScalarType.Float, 0)
+        assert t2.impl().storage.buffer is not None  # recycled, not fresh
+        stats1 = DeviceAllocator.instance().stats()
+        assert stats1["pool_reuses"] > stats0["pool_reuses"]
+
+    def test_memstat_smoke(self, capsys):
+        kfunca.memstat()
+        out = capsys.readouterr().out
+        assert "bytes in use" in out
+
+
+class TestRefcounts:
+    """Python-refcount semantics replacing the reference intrusive_ptr tests."""
+
+    def test_impl_sharing(self):
+        t = kfunca.from_numpy(np.ones((3, 4), dtype=np.float32), 0)
+        assert t.impl_ref_count() == 1
+        u = t.__copy__()
+        assert t.impl_ref_count() == 2
+        del u
+        assert t.impl_ref_count() == 1
+
+    def test_view_shares_storage(self):
+        t = kfunca.from_numpy(np.ones((4, 4), dtype=np.float32), 0)
+        assert t.storage_ref_count() == 1
+        v = t.permute(1, 0)
+        assert t.storage_ref_count() == 2
+        assert v.data_ptr() == t.data_ptr()
+        del v
+        assert t.storage_ref_count() == 1
+
+    def test_view_offset_pointer(self):
+        t = kfunca.from_numpy(np.ones((4, 4), dtype=np.float32), 0)
+        v = t.select(0, 2)
+        assert v.data_ptr() == t.data_ptr() + 2 * 4 * 4  # 2 rows * 4 cols * fp32
+
+
+class TestEndToEnd:
+    def test_empty_h2d_add_d2h(self):
+        """Port of reference test/core/test_tensor.cpp:8-25."""
+        a = np.arange(24, dtype=np.int32).reshape(2, 3, 4)
+        t = kfunca.from_numpy(a, 0)
+        out = t + t
+        assert np.array_equal(out.numpy(), a + a)
+        assert out.dtype() == kfunca.ScalarType.Int
+
+    def test_zeros_lazy(self):
+        z = kfunca.zeros((5, 5), kfunca.ScalarType.Float, 0)
+        assert np.array_equal(z.numpy(), np.zeros((5, 5), dtype=np.float32))
+
+    def test_item_and_fill(self):
+        t = kfunca.empty((2, 3), kfunca.ScalarType.Float, 0)
+        t.fill_(2.5)
+        assert t.item([1, 2]) == 2.5
+        assert t.item([0, 0]) == 2.5
+
+    def test_inplace_through_view(self):
+        """In-place writes through a strided view must hit the base storage
+        (aliasing contract of the reference's raw-pointer kernels)."""
+        a = np.arange(16, dtype=np.float32).reshape(4, 4)
+        t = kfunca.from_numpy(a, 0)
+        col = t[:, 1:2]
+        col += 100
+        a[:, 1:2] += 100
+        assert np.array_equal(t.numpy(), a)
