@@ -16,10 +16,19 @@ runtime.
 """
 
 import json
+import os
 import sys
 import time
 
 import jax
+
+# persistent compile cache: chained benchmark programs compile once per
+# machine, not once per run (remote TPU compiles are expensive)
+_cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+os.makedirs(_cache_dir, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 import jax.numpy as jnp
 import numpy as np
 

@@ -40,7 +40,13 @@ from .ops.attention import causal_attention  # noqa: E402
 from .ops.gemm import gemm  # noqa: E402
 from .ops.shape_ops import concat as cat  # noqa: E402
 from .runtime.allocator import memstat  # noqa: E402
+from .runtime.launcher import Launcher  # noqa: E402
+from .utils.compare import all_close, max_diff  # noqa: E402
 from .utils.device_info import device_info  # noqa: E402
+
+launcher = Launcher.instance()
+set_device = launcher.set_device
+device_count = launcher.device_count
 
 # dtype enum values exported at module level (pybind export_values analog).
 for _name, _member in {
@@ -76,4 +82,10 @@ __all__ = [
     "causal_attention",
     "device_info",
     "memstat",
+    "Launcher",
+    "launcher",
+    "set_device",
+    "device_count",
+    "all_close",
+    "max_diff",
 ]

@@ -132,10 +132,19 @@ def write_view(buf: jax.Array, shape, strides, offset: int, value: jax.Array) ->
 
     Donation lets XLA update in place at the HBM level — the TPU-native
     equivalent of the reference kernels writing through raw pointers.
+    Self-overlapping views are rejected (reference memory_overlap.h checks;
+    such a write is a data race on GPU, a nondeterministic scatter here).
     """
+    from ..utils.errors import check
+    from .overlap import may_self_overlap
+
     shape = tuple(int(x) for x in shape)
     strides = tuple(int(x) for x in strides)
     offset = int(offset)
+    check(
+        not may_self_overlap(shape, strides),
+        "write through a self-overlapping view is rejected",
+    )
     n = numel_of(shape)
     if is_contiguous(shape, strides):
         if offset == 0 and n == buf.shape[0]:

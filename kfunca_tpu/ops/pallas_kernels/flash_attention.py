@@ -35,12 +35,18 @@ _ONE = _np.float32(1.0)
 _ZERO = _np.float32(0.0)
 
 
+def _prec(hi_prec: bool):
+    # fp32 storage demands full-precision MXU passes; bf16 storage uses the
+    # native single pass (see matmul.py for the rationale).
+    return jax.lax.Precision.HIGHEST if hi_prec else None
+
+
 # ----------------------------------------------------------------------------
 # forward
 # ----------------------------------------------------------------------------
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, l_ref, acc_ref, *, scale, sq, skv, bq, bk):
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, l_ref, acc_ref, *, scale, sq, skv, bq, bk, hi_prec):
     iq = pl.program_id(1)
     ik = pl.program_id(2)
 
@@ -56,7 +62,8 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, l_ref, acc_ref, *, s
         q = q_ref[0].astype(jnp.float32)
         k = k_ref[0].astype(jnp.float32)
         s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_prec(hi_prec),
         ) * _np.float32(scale)
         row = iq * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
         col = ik * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
@@ -71,7 +78,8 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, l_ref, acc_ref, *, s
         p = jnp.where(mask, p, _ZERO)
         l_new = l_ref[:, 0:1] * alpha + jnp.sum(p, axis=1, keepdims=True)
         acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot(
-            p, v_ref[0].astype(jnp.float32), preferred_element_type=jnp.float32
+            p, v_ref[0].astype(jnp.float32),
+            preferred_element_type=jnp.float32, precision=_prec(hi_prec),
         )
         m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
         l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
@@ -104,7 +112,7 @@ def flash_attention_fwd_stats(q, k, v, bq=256, bk=256, interpret=False):
     vf = pad_to(v.reshape(b * h, skv, d), (b * h, skvp, dp))
 
     grid = (b * h, sqp // bq, skvp // bk)
-    kernel = functools.partial(_fwd_kernel, scale=scale, sq=sq, skv=skv, bq=bq, bk=bk)
+    kernel = functools.partial(_fwd_kernel, scale=scale, sq=sq, skv=skv, bq=bq, bk=bk, hi_prec=q.dtype == jnp.float32)
     out, lse = pl.pallas_call(
         kernel,
         grid=grid,
@@ -151,7 +159,7 @@ def flash_attention_forward(q, k, v, interpret=False):
 
 
 def _bwd_dkv_kernel(
-    q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref, dk_ref, dv_ref, dk_acc, dv_acc, *, scale, skv, bq, bk
+    q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref, dk_ref, dv_ref, dk_acc, dv_acc, *, scale, skv, bq, bk, hi_prec
 ):
     ik = pl.program_id(1)
     iq = pl.program_id(2)
@@ -172,7 +180,8 @@ def _bwd_dkv_kernel(
         delta = delta_ref[0][:, 0:1]
 
         s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_prec(hi_prec),
         ) * _np.float32(scale)
         row = iq * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
         col = ik * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
@@ -181,16 +190,19 @@ def _bwd_dkv_kernel(
 
         # dv += p^T g
         dv_acc[:] += jax.lax.dot_general(
-            p, g, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            p, g, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_prec(hi_prec),
         )
         # ds = p * (dp - delta) * _np.float32(scale),  dp = g v^T
         dp = jax.lax.dot_general(
-            g, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            g, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_prec(hi_prec),
         )
         ds = p * (dp - delta) * _np.float32(scale)
         # dk += ds^T q
         dk_acc[:] += jax.lax.dot_general(
-            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            ds, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_prec(hi_prec),
         )
 
     @pl.when(iq == pl.num_programs(2) - 1)
@@ -199,7 +211,7 @@ def _bwd_dkv_kernel(
         dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
 
 
-def _bwd_dq_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref, dq_ref, dq_acc, *, scale, skv, bq, bk):
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref, dq_ref, dq_acc, *, scale, skv, bq, bk, hi_prec):
     iq = pl.program_id(1)
     ik = pl.program_id(2)
 
@@ -217,17 +229,19 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref, dq_ref, dq_ac
         delta = delta_ref[0][:, 0:1]
 
         s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_prec(hi_prec),
         ) * _np.float32(scale)
         row = iq * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
         col = ik * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
         mask = (col <= row) & (col < skv)
         p = jnp.where(mask, jnp.exp(s - lse), _ZERO)
         dp = jax.lax.dot_general(
-            g, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            g, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_prec(hi_prec),
         )
         ds = p * (dp - delta) * _np.float32(scale)
-        dq_acc[:] += jax.lax.dot(ds, k, preferred_element_type=jnp.float32)
+        dq_acc[:] += jax.lax.dot(ds, k, preferred_element_type=jnp.float32, precision=_prec(hi_prec))
 
     @pl.when(ik == pl.num_programs(2) - 1)
     def _store():
@@ -264,7 +278,7 @@ def flash_attention_backward(q, k, v, g, out=None, lse=None, bq=256, bk=256, int
     row_spec_kv = pl.BlockSpec((1, bq, 128), lambda bh, jk, i: (bh, i, _np.int32(0)))
 
     dk, dv = pl.pallas_call(
-        functools.partial(_bwd_dkv_kernel, scale=scale, skv=skv, bq=bq, bk=bk),
+        functools.partial(_bwd_dkv_kernel, scale=scale, skv=skv, bq=bq, bk=bk, hi_prec=q.dtype == jnp.float32),
         grid=(b * h, skvp // bk, sqp // bq),
         in_specs=[q_spec_kv, kv_spec_kv, kv_spec_kv, q_spec_kv, row_spec_kv, row_spec_kv],
         out_specs=[
@@ -290,7 +304,7 @@ def flash_attention_backward(q, k, v, g, out=None, lse=None, bq=256, bk=256, int
     row_spec_q = pl.BlockSpec((1, bq, 128), lambda bh, i, jk: (bh, i, _np.int32(0)))
 
     dq = pl.pallas_call(
-        functools.partial(_bwd_dq_kernel, scale=scale, skv=skv, bq=bq, bk=bk),
+        functools.partial(_bwd_dq_kernel, scale=scale, skv=skv, bq=bq, bk=bk, hi_prec=q.dtype == jnp.float32),
         grid=(b * h, sqp // bq, skvp // bk),
         in_specs=[q_spec_q, kv_spec_q, kv_spec_q, q_spec_q, row_spec_q, row_spec_q],
         out_specs=pl.BlockSpec((1, bq, dp), lambda bh, i, jk: (bh, i, _np.int32(0))),

@@ -34,7 +34,13 @@ def _matmul_kernel(a_ref, b_ref, o_ref, acc_ref):
     def _init():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    acc_ref[:] += jnp.dot(a_ref[:], b_ref[:], preferred_element_type=jnp.float32)
+    # fp32 inputs demand full fp32 MXU passes (bf16x6); the MXU default of
+    # single-bf16-pass would give ~1e-2 relative error, breaking the
+    # reference's fp32 GEMM contract (CUTLASS computes true fp32).
+    prec = jax.lax.Precision.HIGHEST if a_ref.dtype == jnp.float32 else None
+    acc_ref[:] += jnp.dot(
+        a_ref[:], b_ref[:], preferred_element_type=jnp.float32, precision=prec
+    )
 
     @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
     def _store():

@@ -59,7 +59,20 @@ def _sum_jit(A, dim, acc_dt, out_dt, mean: bool):
 def _reduce_common(t: Tensor, dim: int, mean: bool) -> Tensor:
     plan = plan_reduce(t, dim)
     out = empty(plan.out_shape, t.dtype(), plan.device)
-    out._write(_sum_jit(t._array(), plan.dim, to_jnp(plan.acc_dtype), to_jnp(t.dtype()), mean))
+    if use_pallas() and plan.acc_dtype in (ScalarType.Float,) and t.numel() >= 1 << 16:
+        from .pallas_kernels.reduce import reduce_2d
+
+        A = jnp.moveaxis(t._array(), plan.dim, 0)
+        r = reduce_2d(
+            A.reshape(A.shape[0], -1),
+            op="mean" if mean else "sum",
+            out_dt=to_jnp(t.dtype()),
+        )
+        out._write(jnp.moveaxis(r.reshape((1,) + A.shape[1:]), 0, plan.dim))
+    else:
+        out._write(
+            _sum_jit(t._array(), plan.dim, to_jnp(plan.acc_dtype), to_jnp(t.dtype()), mean)
+        )
     if t.requires_grad():
         out.set_requires_grad(True)
         out.set_grad_fn(SumGradFunction(t, 1.0 / t.shape(plan.dim) if mean else 1.0))

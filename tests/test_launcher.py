@@ -1,0 +1,50 @@
+"""Launcher runtime tests (reference Launcher, launcher_cuda.h:139-353)."""
+
+import numpy as np
+import pytest
+
+import kfunca_tpu as kfunca
+from kfunca_tpu.utils.profiling import PROFILER
+
+
+class TestLauncher:
+    def test_device_enumeration(self):
+        n = kfunca.device_count()
+        assert n == 8  # virtual CPU mesh from conftest
+        props = kfunca.launcher.device_properties(0)
+        assert props["platform"] == "cpu"
+
+    def test_set_device(self):
+        kfunca.set_device(1)
+        assert kfunca.launcher.current_device() == 1
+        t = kfunca.from_numpy(np.ones((2, 2), np.float32), 1)
+        assert t.device() == 1
+        kfunca.set_device(0)
+        with pytest.raises(IndexError):
+            kfunca.set_device(99)
+
+    def test_profiling_mode(self):
+        kfunca.launcher.set_profiling_mode(True)
+        try:
+            PROFILER.records.clear()
+            out = kfunca.launcher.submit(lambda x: x * 2, np.arange(4.0), name="double")
+            assert np.array_equal(np.asarray(out), np.arange(4.0) * 2)
+            assert PROFILER.records and PROFILER.records[0].name == "double"
+            assert "double" in PROFILER.summary()
+        finally:
+            kfunca.launcher.set_profiling_mode(False)
+
+    def test_sync_mode(self):
+        kfunca.launcher.set_sync_mode(True)
+        try:
+            import jax.numpy as jnp
+
+            out = kfunca.launcher.submit(lambda x: x + 1, jnp.ones((4,)))
+            assert np.array_equal(np.asarray(out), np.full(4, 2.0))
+        finally:
+            kfunca.launcher.set_sync_mode(False)
+
+    def test_compare_utils(self):
+        a = kfunca.from_numpy(np.ones((3, 3), np.float32), 0)
+        assert kfunca.all_close(a, np.ones((3, 3)))
+        assert kfunca.max_diff(a, np.zeros((3, 3))) == 1.0
