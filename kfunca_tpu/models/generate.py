@@ -1,0 +1,147 @@
+"""Autoregressive generation with a KV cache (serving path).
+
+Green-field capability (the reference ships no models, no serving).
+TPU-first construction:
+
+  * the KV cache is a static-shape (B, H, max_len, hd) buffer per layer;
+    writes are dynamic_update_slice (XLA aliases them in place under jit),
+    so one compiled decode step serves the whole generation — no dynamic
+    shapes, no recompiles.
+  * prefill processes the whole prompt in one call (flash-attention-sized
+    matmuls on the MXU); decode steps attend q-len-1 against the cache with
+    a position mask.
+  * the decode loop is a lax.scan carrying (cache, token, pos): the entire
+    generation compiles to a single XLA program.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .transformer import TransformerConfig, rms_norm
+
+
+def init_kv_cache(cfg: TransformerConfig, batch: int, max_len: int):
+    shape = (batch, cfg.n_heads, max_len, cfg.head_dim)
+    return [
+        {
+            "k": jnp.zeros(shape, cfg.act_dtype),
+            "v": jnp.zeros(shape, cfg.act_dtype),
+        }
+        for _ in range(cfg.n_layers)
+    ]
+
+
+def _rope_at(x, positions, theta: float):
+    """RoPE with explicit absolute positions; x: (B, H, T, D), positions (T,)."""
+    b, h, t, d = x.shape
+    half = d // 2
+    freqs = jnp.exp(-math.log(theta) * jnp.arange(0, half, dtype=jnp.float32) / half)
+    ang = positions.astype(jnp.float32)[:, None] * freqs[None, :]
+    cos, sin = jnp.cos(ang), jnp.sin(ang)
+    x1, x2 = x[..., :half].astype(jnp.float32), x[..., half:].astype(jnp.float32)
+    r1 = x1 * cos - x2 * sin
+    r2 = x2 * cos + x1 * sin
+    return jnp.concatenate([r1, r2], axis=-1).astype(x.dtype)
+
+
+def _block_with_cache(x, p, layer_cache, start_pos, cfg: TransformerConfig):
+    """Apply one block over T new tokens at absolute position start_pos,
+    reading/writing the KV cache. Returns (x, new_layer_cache)."""
+    b, t, dm = x.shape
+    h, hd = cfg.n_heads, cfg.head_dim
+    max_len = layer_cache["k"].shape[2]
+
+    y = rms_norm(x, p["attn_norm"])
+    qkv = jnp.dot(y, p["wqkv"].astype(y.dtype), preferred_element_type=jnp.float32)
+    qkv = qkv.astype(y.dtype).reshape(b, t, 3, h, hd)
+    q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
+    positions = start_pos + jnp.arange(t)
+    q = _rope_at(q, positions, cfg.rope_theta)
+    k = _rope_at(k, positions, cfg.rope_theta)
+
+    zero = jnp.int32(0)  # all indices same dtype (x64 would promote raw 0s)
+    idx = (zero, zero, start_pos.astype(jnp.int32), zero)
+    kc = jax.lax.dynamic_update_slice(layer_cache["k"], k, idx)
+    vc = jax.lax.dynamic_update_slice(layer_cache["v"], v, idx)
+
+    # attend the T new queries against the first start_pos+T cache entries
+    scale = 1.0 / math.sqrt(hd)
+    s = jnp.einsum(
+        "bhtd,bhld->bhtl", q.astype(jnp.float32), kc.astype(jnp.float32)
+    ) * scale
+    q_pos = positions[:, None]  # (T, 1)
+    l_pos = jnp.arange(max_len)[None, :]  # (1, L)
+    mask = l_pos <= q_pos
+    s = jnp.where(mask, s, jnp.float32(-1e30))
+    prob = jax.nn.softmax(s, axis=-1)
+    attn = jnp.einsum("bhtl,bhld->bhtd", prob, vc.astype(jnp.float32)).astype(x.dtype)
+    attn = attn.transpose(0, 2, 1, 3).reshape(b, t, dm)
+    x = x + jnp.dot(
+        attn, p["wo"].astype(attn.dtype), preferred_element_type=jnp.float32
+    ).astype(x.dtype)
+
+    y = rms_norm(x, p["mlp_norm"])
+    gate = jnp.dot(y, p["w_gate"].astype(y.dtype), preferred_element_type=jnp.float32)
+    up = jnp.dot(y, p["w_up"].astype(y.dtype), preferred_element_type=jnp.float32)
+    act = (jax.nn.silu(gate) * up).astype(y.dtype)
+    x = x + jnp.dot(
+        act, p["w_down"].astype(act.dtype), preferred_element_type=jnp.float32
+    ).astype(x.dtype)
+    return x, {"k": kc, "v": vc}
+
+
+def forward_with_cache(params, tokens, cache, start_pos, cfg: TransformerConfig):
+    """tokens (B, T) at absolute start_pos -> (logits (B, T, V), new cache)."""
+    x = params["embed"][tokens].astype(cfg.act_dtype)
+    new_cache = []
+    for p, lc in zip(params["blocks"], cache):
+        x, nlc = _block_with_cache(x, p, lc, start_pos, cfg)
+        new_cache.append(nlc)
+    x = rms_norm(x, params["final_norm"])
+    logits = jnp.dot(
+        x, params["embed"].T.astype(x.dtype), preferred_element_type=jnp.float32
+    )
+    return logits, new_cache
+
+
+@partial(jax.jit, static_argnames=("cfg", "max_new"))
+def generate(params, prompt, cfg: TransformerConfig, max_new: int, temperature=0.0, key=None):
+    """Greedy (temperature=0) or sampled generation.
+
+    prompt: (B, T_prompt) int32.  Returns (B, max_new) generated tokens.
+    The whole loop is one compiled program: prefill + scan of decode steps.
+    """
+    b, t_prompt = prompt.shape
+    max_len = t_prompt + max_new
+    cache = init_kv_cache(cfg, b, max_len)
+    if key is None:
+        key = jax.random.PRNGKey(0)
+
+    logits, cache = forward_with_cache(
+        params, prompt, cache, jnp.int32(0), cfg
+    )  # prefill
+    last = logits[:, -1]
+
+    def pick(logits_1, k):
+        if temperature == 0.0:
+            return jnp.argmax(logits_1, axis=-1).astype(jnp.int32)
+        return jax.random.categorical(k, logits_1 / temperature, axis=-1).astype(jnp.int32)
+
+    def step(carry, i):
+        cache, logits_1, key = carry
+        key, sub = jax.random.split(key)
+        tok = pick(logits_1, sub)
+        lg, cache = forward_with_cache(
+            params, tok[:, None], cache, (t_prompt + i).astype(jnp.int32), cfg
+        )
+        return (cache, lg[:, -1], key), tok
+
+    (_, _, _), toks = jax.lax.scan(
+        step, (cache, last, key), jnp.arange(max_new)
+    )
+    return toks.T  # (B, max_new)

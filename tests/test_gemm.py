@@ -5,6 +5,11 @@ import numpy as np
 import kfunca_tpu as kfunca
 from common import assert_allclose
 
+# Deterministic draws: the reference suite is unseeded and its fp16
+# round-trip margin (test_convert) sits within one fp16 double-rounding of
+# the 1e-3 tolerance, so unlucky draws fail ~5% of runs there too.
+np.random.seed(0)
+
 
 class TestGemm:
     def test_gemm_base(self):

