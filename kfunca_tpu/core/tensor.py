@@ -316,6 +316,16 @@ class Tensor:
     def __truediv__(self, other):
         return self._binary("div", other)
 
+    def __neg__(self):
+        from ..ops import elementwise
+
+        return elementwise.unary_op("neg", self)
+
+    def __matmul__(self, other):
+        from ..ops import gemm as _gemm
+
+        return _gemm.gemm(self, other, 1.0, 0.0)
+
     def __iadd__(self, other):
         return self._binary("add", other, inplace=True)
 
@@ -327,6 +337,40 @@ class Tensor:
 
     def __itruediv__(self, other):
         return self._binary("div", other, inplace=True)
+
+    # -- unary math (extension; reference unary layer is clone/copy/convert) ----
+
+    def _unary(self, name):
+        from ..ops import elementwise
+
+        return elementwise.unary_op(name, self)
+
+    def neg(self):
+        return self._unary("neg")
+
+    def abs(self):
+        return self._unary("abs")
+
+    def exp(self):
+        return self._unary("exp")
+
+    def log(self):
+        return self._unary("log")
+
+    def sqrt(self):
+        return self._unary("sqrt")
+
+    def rsqrt(self):
+        return self._unary("rsqrt")
+
+    def relu(self):
+        return self._unary("relu")
+
+    def sigmoid(self):
+        return self._unary("sigmoid")
+
+    def tanh(self):
+        return self._unary("tanh")
 
     # -- reductions / sort / nn -------------------------------------------------
 

@@ -152,3 +152,69 @@ def convert(t: Tensor, dtype: ScalarType) -> Tensor:
     out = empty(t.sizes(), dtype, t.device())
     out._write(t._array().astype(to_jnp(dtype)))
     return out
+
+
+# -- unary math family (capability extension: the reference's unary layer has
+#    only clone/copy/convert, unary_ops.cpp:7-24; these round out the eager
+#    API with the same acc-dtype contract and tape autograd) ----------------
+
+_UNARY_FWD = {
+    "neg": lambda x: -x,
+    "abs": jnp.abs,
+    "exp": jnp.exp,
+    "log": jnp.log,
+    "sqrt": jnp.sqrt,
+    "rsqrt": lax.rsqrt,
+    "relu": lambda x: jnp.maximum(x, 0),
+    "sigmoid": jax.nn.sigmoid,
+    "tanh": jnp.tanh,
+}
+
+_UNARY_GRAD = {
+    "neg": lambda x, y, g: -g,
+    "abs": lambda x, y, g: g * jnp.sign(x),
+    "exp": lambda x, y, g: g * y,
+    "log": lambda x, y, g: g / x,
+    "sqrt": lambda x, y, g: g * 0.5 / y,
+    "rsqrt": lambda x, y, g: g * (-0.5) * y / x,
+    "relu": lambda x, y, g: g * (x > 0),
+    "sigmoid": lambda x, y, g: g * y * (1 - y),
+    "tanh": lambda x, y, g: g * (1 - y * y),
+}
+
+
+@partial(jax.jit, static_argnums=(0, 2, 3))
+def _unary_jit(name, A, acc_dt, common_dt):
+    return _UNARY_FWD[name](A.astype(acc_dt)).astype(common_dt)
+
+
+class UnaryGradFunction(GradFunction):
+    def __init__(self, name, x: Tensor, y: Tensor):
+        super().__init__([x])
+        self.name = name
+        self.y = y
+
+    def backward(self, grad_output: Tensor):
+        x = self.inputs[0]
+        g = grad_output._array().astype(jnp.float32)
+        gx = _UNARY_GRAD[self.name](
+            x._array().astype(jnp.float32), self.y._array().astype(jnp.float32), g
+        )
+        return [wrap_array(gx.astype(to_jnp(x.dtype())), x.dtype(), x.device())]
+
+
+def unary_op(name, t: Tensor, out: Tensor | None = None, track_grad=True) -> Tensor:
+    common = t.dtype()
+    acc = accumulate_type(common)
+    if acc == ScalarType.Undefined:
+        acc = common
+    result = _unary_jit(name, t._array(), to_jnp(acc), to_jnp(common))
+    if out is not None and out.defined():
+        out._write(result)
+        return out
+    out = empty(t.sizes(), common, t.device())
+    out._write(result)
+    if track_grad and t.requires_grad() and is_floating_type(common):
+        out.set_requires_grad(True)
+        out.set_grad_fn(UnaryGradFunction(name, t, out))
+    return out
