@@ -47,10 +47,17 @@ def _timed(fn, *args, iters=5):
     return best
 
 
-def slope_time(make_chain, k1=8, k2=32, iters=5):
+def _log(msg):
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+
+def slope_time(make_chain, k1=8, k2=32, iters=5, label=""):
     """Per-iteration time from the slope between two chain lengths."""
+    _log(f"{label}: compiling/timing chain K={k1}")
     t1 = _timed(make_chain(k1), iters=iters)
+    _log(f"{label}: chain K={k1} -> {t1 * 1e3:.1f} ms; chain K={k2}")
     t2 = _timed(make_chain(k2), iters=iters)
+    _log(f"{label}: chain K={k2} -> {t2 * 1e3:.1f} ms")
     return max((t2 - t1) / (k2 - k1), 1e-9)
 
 
@@ -61,26 +68,27 @@ def bench_gemm(m=4096, k=4096, n=4096, dtype=jnp.bfloat16):
     a = jax.random.normal(key, (m, k), dtype)
     b = jax.random.normal(key, (k, n), dtype)
 
+    # NOTE: operands must be ARGUMENTS, not closure captures — captured
+    # arrays become program constants, and 32 MB of constants per program
+    # makes the (remote) compile pathologically slow.
     def chain_pallas(K):
         @jax.jit
-        def f():
-            x = a
+        def f(x, y):
             for _ in range(K):
-                x = matmul(x, b)
+                x = matmul(x, y)
             return x
-        return f
+        return lambda: f(a, b)
 
     def chain_xla(K):
         @jax.jit
-        def f():
-            x = a
+        def f(x, y):
             for _ in range(K):
-                x = jnp.matmul(x, b, preferred_element_type=jnp.float32).astype(dtype)
+                x = jnp.matmul(x, y, preferred_element_type=jnp.float32).astype(dtype)
             return x
-        return f
+        return lambda: f(a, b)
 
-    dt_p = slope_time(chain_pallas)
-    dt_x = slope_time(chain_xla)
+    dt_p = slope_time(chain_pallas, label='gemm-pallas')
+    dt_x = slope_time(chain_xla, label='gemm-xla')
     flops = 2 * m * k * n
     return flops / dt_p / 1e12, flops / dt_x / 1e12
 
@@ -96,26 +104,24 @@ def bench_attention(b=4, h=16, s=2048, d=128, dtype=jnp.bfloat16):
 
     def chain_fwd(K):
         @jax.jit
-        def f():
-            x = q
+        def f(x, kk, vv):
             for _ in range(K):
-                x = causal_attention_fn(x, k, v)
+                x = causal_attention_fn(x, kk, vv)
             return x
-        return f
+        return lambda: f(q, k, v)
 
     def chain_fwd_bwd(K):
         @jax.jit
-        def f():
-            x = q
+        def f(x, kk, vv, gg):
             for _ in range(K):
-                out, vjp = jax.vjp(causal_attention_fn, x, k, v)
-                dq, dk, dv = vjp(g)
+                out, vjp = jax.vjp(causal_attention_fn, x, kk, vv)
+                dq, dk, dv = vjp(gg)
                 x = dq
             return x
-        return f
+        return lambda: f(q, k, v, g)
 
-    dt_fwd = slope_time(chain_fwd, k1=4, k2=16)
-    dt_fb = slope_time(chain_fwd_bwd, k1=2, k2=8)
+    dt_fwd = slope_time(chain_fwd, k1=4, k2=16, label='attn-fwd')
+    dt_fb = slope_time(chain_fwd_bwd, k1=2, k2=8, label='attn-fwd-bwd')
     fwd_flops = 0.5 * 4 * b * h * s * s * d  # causal halves the work
     return fwd_flops / dt_fwd / 1e12, (fwd_flops * 3.5) / dt_fb / 1e12, dt_fwd, dt_fb
 

@@ -93,7 +93,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, l_ref, acc_ref, *, s
 
 
 @functools.partial(jax.jit, static_argnames=("bq", "bk", "interpret"))
-def flash_attention_fwd_stats(q, k, v, bq=256, bk=256, interpret=False):
+def flash_attention_fwd_stats(q, k, v, bq=1024, bk=1024, interpret=False):
     """Returns (out, lse) with out: (B,H,Sq,D), lse: (B,H,Sq) fp32.
 
     On HBM the per-row statistics travel lane-replicated as (BH, Sq, 128);
@@ -136,6 +136,7 @@ def flash_attention_fwd_stats(q, k, v, bq=256, bk=256, interpret=False):
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=4 * b * h * sqp * skvp * dp,
@@ -249,7 +250,7 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref, dq_ref, dq_ac
 
 
 @functools.partial(jax.jit, static_argnames=("bq", "bk", "interpret"))
-def flash_attention_backward(q, k, v, g, out=None, lse=None, bq=256, bk=256, interpret=False):
+def flash_attention_backward(q, k, v, g, out=None, lse=None, bq=1024, bk=1024, interpret=False):
     b, h, sq, d = q.shape
     skv = k.shape[2]
     scale = 1.0 / math.sqrt(d)
@@ -295,6 +296,7 @@ def flash_attention_backward(q, k, v, g, out=None, lse=None, bq=256, bk=256, int
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(qf, kf, vf, gf, lsef, deltaf)
@@ -312,6 +314,7 @@ def flash_attention_backward(q, k, v, g, out=None, lse=None, bq=256, bk=256, int
         scratch_shapes=[pltpu.VMEM((bq, dp), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(qf, kf, vf, gf, lsef, deltaf)
