@@ -14,6 +14,12 @@ dk/dv kernel + q-parallel dq kernel).
 Contract (matches reference + torch sdpa is_causal):
   scale = 1/sqrt(D); top-left-aligned causal mask (row i attends col j <= i);
   arbitrary B, H, Sq, Skv, D via zero-padding + masking (no naive fallback).
+
+Tile sizes (measured on TPU v5e, b4 h16 s2048 d128 bf16): the grid runs
+sequentially per core, so large tiles purely amortize per-step overhead —
+bq=bk=2048 gives fwd 0.84 ms (82 TFLOP/s, 3.6x over 256^2 tiles) and full
+fwd+bwd 2.53 ms (95 TFLOP/s effective) under a 100MB VMEM cap; pick_block
+shrinks tiles for short sequences.
 """
 
 from __future__ import annotations
@@ -93,7 +99,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, l_ref, acc_ref, *, s
 
 
 @functools.partial(jax.jit, static_argnames=("bq", "bk", "interpret"))
-def flash_attention_fwd_stats(q, k, v, bq=1024, bk=1024, interpret=False):
+def flash_attention_fwd_stats(q, k, v, bq=2048, bk=2048, interpret=False):
     """Returns (out, lse) with out: (B,H,Sq,D), lse: (B,H,Sq) fp32.
 
     On HBM the per-row statistics travel lane-replicated as (BH, Sq, 128);
@@ -250,7 +256,7 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref, dq_ref, dq_ac
 
 
 @functools.partial(jax.jit, static_argnames=("bq", "bk", "interpret"))
-def flash_attention_backward(q, k, v, g, out=None, lse=None, bq=1024, bk=1024, interpret=False):
+def flash_attention_backward(q, k, v, g, out=None, lse=None, bq=2048, bk=2048, interpret=False):
     b, h, sq, d = q.shape
     skv = k.shape[2]
     scale = 1.0 / math.sqrt(d)

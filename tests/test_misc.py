@@ -1,0 +1,89 @@
+"""Coverage for API surfaces not exercised elsewhere: printer, item,
+empty_strided, fill through views, device_info, dtype promotion table."""
+
+import numpy as np
+import pytest
+
+import kfunca_tpu as kfunca
+from kfunca_tpu.core.dtype import ScalarType, promote
+
+np.random.seed(0)
+
+
+class TestMisc:
+    def test_repr_contains_metadata_and_values(self):
+        t = kfunca.from_numpy(np.arange(6, dtype=np.float32).reshape(2, 3), 0)
+        r = repr(t)
+        assert "shape=[2, 3]" in r and "dtype=Float" in r and "5." in r
+        v = t.permute(1, 0)
+        assert "strides=[1, 3]" in repr(v)
+
+    def test_undefined_tensor(self):
+        t = kfunca.Tensor()
+        assert not t.defined()
+        assert repr(t) == "tensor(undefined)"
+
+    def test_item(self):
+        t = kfunca.from_numpy(np.arange(12, dtype=np.int32).reshape(3, 4), 0)
+        assert t.item([2, 3]) == 11
+        assert t.permute(1, 0).item([3, 2]) == 11  # strided view indexing
+        with pytest.raises(Exception):
+            t.item([3, 0])
+
+    def test_empty_strided(self):
+        t = kfunca.empty_strided((3, 4), (1, 3), kfunca.ScalarType.Float, 0)
+        assert t.sizes() == [3, 4] and t.strides() == [1, 3]
+        t.fill_(2.0)
+        assert np.all(t.contiguous().numpy() == 2.0)
+
+    def test_fill_through_strided_view(self):
+        t = kfunca.from_numpy(np.zeros((4, 4), np.float32), 0)
+        t[1:3, 1:3].fill_(7.0)
+        expect = np.zeros((4, 4), np.float32)
+        expect[1:3, 1:3] = 7.0
+        assert np.array_equal(t.numpy(), expect)
+
+    def test_scalar_op_dtype_follows_self(self):
+        """reference pattern: scalar ops materialize empty_like(self).fill_,
+        so an int tensor plus a float scalar stays int (register.cpp:172)."""
+        t = kfunca.from_numpy(np.array([1, 2, 3], np.int32), 0)
+        out = t + 2
+        assert out.dtype() == kfunca.ScalarType.Int
+        assert np.array_equal(out.numpy(), np.array([3, 4, 5], np.int32))
+
+    def test_promotion_table_spotchecks(self):
+        S = ScalarType
+        assert promote(S.Int, S.Float) == S.Float
+        assert promote(S.Half, S.BFloat16) == S.BFloat16  # wider enum wins
+        assert promote(S.Byte, S.Char) == S.Char  # signed beats unsigned
+        assert promote(S.Bool, S.Long) == S.Long
+        assert promote(S.Double, S.BFloat16) == S.Double
+
+    def test_int_division_truncates(self):
+        """reference functors divide in int64 with C trunc semantics."""
+        a = kfunca.from_numpy(np.array([7, -7], np.int32), 0)
+        b = kfunca.from_numpy(np.array([2, 2], np.int32), 0)
+        out = a / b
+        assert out.dtype() == kfunca.ScalarType.Int
+        assert np.array_equal(out.numpy(), np.array([3, -3], np.int32))
+
+    def test_device_info_smoke(self, capsys):
+        kfunca.device_info(run_benchmarks=False)
+        out = capsys.readouterr().out
+        assert "device_kind" in out or "platform" in out
+
+    def test_cat_dtype_cast(self):
+        a = kfunca.from_numpy(np.ones((2, 2), np.float32), 0)
+        b = kfunca.from_numpy(np.ones((2, 2), np.int32) * 3, 0)
+        out = kfunca.cat([a, b], 0)
+        assert out.dtype() == kfunca.ScalarType.Float
+        assert np.array_equal(
+            out.numpy(), np.concatenate([np.ones((2, 2)), 3 * np.ones((2, 2))], 0)
+        )
+
+    def test_mean_var_take_sqrt(self):
+        arr = np.random.uniform(-5, 5, (8, 16)).astype(np.float32)
+        t = kfunca.from_numpy(arr, 0)
+        m, s = t.mean_var(1, True)
+        ref_std = arr.std(axis=1, keepdims=True, ddof=1)
+        assert np.allclose(s.numpy(), ref_std, atol=1e-4, rtol=1e-4)
