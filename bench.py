@@ -37,7 +37,7 @@ def _sync(x):
     np.asarray(jax.device_get(jnp.ravel(x)[:1]))
 
 
-def _timed(fn, *args, iters=5):
+def _timed(fn, *args, iters=8):
     _sync(fn(*args))  # compile + warm
     best = float("inf")
     for _ in range(iters):
@@ -87,8 +87,8 @@ def bench_gemm(m=4096, k=4096, n=4096, dtype=jnp.bfloat16):
             return x
         return lambda: f(a, b)
 
-    dt_p = slope_time(chain_pallas, label='gemm-pallas')
-    dt_x = slope_time(chain_xla, label='gemm-xla')
+    dt_p = slope_time(chain_pallas, k1=8, k2=40, label='gemm-pallas')
+    dt_x = slope_time(chain_xla, k1=8, k2=40, label='gemm-xla')
     flops = 2 * m * k * n
     return flops / dt_p / 1e12, flops / dt_x / 1e12
 
