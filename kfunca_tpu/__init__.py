@@ -32,6 +32,7 @@ from .core.tensor import (  # noqa: E402
     empty,
     empty_like,
     empty_strided,
+    from_jax,
     from_numpy,
     to_numpy,
     zeros,

@@ -158,7 +158,16 @@ class Tensor:
 
     def numpy(self):
         check(self.is_contiguous(), "to_numpy() requires a contiguous tensor")
-        return np.asarray(self._array())
+        # copy, not alias: on the CPU backend np.asarray can return a
+        # read-only view of the device buffer (reference to_numpy is a D2H
+        # memcpy; callers expect an owned, writable array)
+        return np.array(self._array(), copy=True)
+
+    def to_jax(self):
+        """Materialize as a dense jax.Array — the bridge from the eager
+        Tensor layer to jax-transform code (models/, custom training loops).
+        Zero-copy for contiguous whole-storage tensors."""
+        return self._array()
 
     def item(self, indices):
         check(len(indices) == self.dim(), "item(): index rank mismatch")
@@ -605,8 +614,13 @@ def from_numpy(array, device: int = 0) -> Tensor:
     import jax
     import jax.numpy as jnp
 
+    # COPY semantics are mandatory (reference copy_from_cpu_ptr is an H2D
+    # memcpy): on the CPU backend jnp.asarray may zero-copy ALIAS the numpy
+    # buffer, and later in-place numpy mutations would silently corrupt the
+    # tensor. jnp.array(copy=True) severs the aliasing.
     buf = jax.device_put(
-        jnp.asarray(array.reshape(-1), dtype=to_jnp(dtype)), jax_device(device)
+        jnp.array(array.reshape(-1), dtype=to_jnp(dtype), copy=True),
+        jax_device(device),
     )
     out._impl.storage.write(buf)
     return out
@@ -614,3 +628,19 @@ def from_numpy(array, device: int = 0) -> Tensor:
 
 def to_numpy(t: Tensor):
     return t.numpy()
+
+
+def from_jax(arr, device: int = 0) -> Tensor:
+    """Wrap a jax.Array as an eager Tensor (device transfer if needed)."""
+    import jax
+
+    from .dtype import _NUMPY_TO_SCALAR
+
+    name = str(arr.dtype)
+    check(name in _NUMPY_TO_SCALAR, "from_jax: unsupported dtype", name)
+    dtype = _NUMPY_TO_SCALAR[name]
+    out = empty(arr.shape, dtype, device)
+    out._impl.storage.write(
+        jax.device_put(arr.reshape(-1), jax_device(device))
+    )
+    return out

@@ -27,7 +27,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..parallel.pipeline import make_pipelined_forward, stack_stages
 from .moe import MoEConfig, init_moe_params, moe_ffn
-from .transformer import TransformerConfig, _rope, rms_norm
+from .transformer import _rope, rms_norm
 from ..ops.attention import causal_attention_fn
 
 

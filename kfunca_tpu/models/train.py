@@ -10,8 +10,6 @@ moments exactly like weights).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 

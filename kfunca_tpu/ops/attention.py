@@ -24,12 +24,10 @@ arbitrary shapes run through the same kernels via padding/masking.
 from __future__ import annotations
 
 import math
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 
-from ..core.dtype import ScalarType, to_jnp
+from ..core.dtype import to_jnp
 from ..core.iterator import check
 from ..core.tensor import GradFunction, Tensor, empty
 from ..runtime.backend import use_pallas

@@ -32,7 +32,7 @@ from ..core.dtype import (
     is_integral_type,
     to_jnp,
 )
-from ..core.iterator import check, plan_loops
+from ..core.iterator import plan_loops
 from ..core.tensor import GradFunction, Tensor, empty
 
 

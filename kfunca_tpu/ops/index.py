@@ -21,8 +21,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ..core.dtype import ScalarType, to_jnp
-from ..core.iterator import broadcast_shapes, check
+from ..core.dtype import ScalarType
+from ..core.iterator import check
 from ..core.tensor import Tensor
 
 

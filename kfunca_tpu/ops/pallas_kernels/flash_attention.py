@@ -32,7 +32,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .common import cdiv, pad_to, pick_block, round_up
+from .common import pad_to, pick_block, round_up
 
 import numpy as _np
 

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .common import cdiv, pad_to, pick_block, round_up
+from .common import pad_to, pick_block, round_up
 
 
 def _welford_kernel(x_ref, mean_ref, invstd_ref, mean_acc, m2_acc, cnt_acc, *, rows, br):

@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ..core.dtype import ScalarType, is_floating_type, to_jnp
+from ..core.dtype import ScalarType
 from ..core.iterator import check, maybe_wrap_dim
 from ..core.tensor import Tensor, empty
 

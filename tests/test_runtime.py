@@ -121,3 +121,22 @@ class TestEndToEnd:
         col += 100
         a[:, 1:2] += 100
         assert np.array_equal(t.numpy(), a)
+
+
+class TestHostDeviceCopySemantics:
+    """from_numpy/to_numpy must COPY, never alias (reference does real H2D/
+    D2H memcpys). On the CPU backend jnp.asarray can zero-copy alias numpy
+    buffers, which silently corrupted tensors when callers mutated their
+    arrays in place (regression: test_inplace_op double-add)."""
+
+    def test_from_numpy_is_a_copy(self):
+        src = np.arange(16, dtype=np.float32)
+        t = kfunca.from_numpy(src, 0)
+        src += 100.0  # mutate the source AFTER ingest
+        assert np.array_equal(t.numpy(), np.arange(16, dtype=np.float32))
+
+    def test_to_numpy_is_writable_copy(self):
+        t = kfunca.from_numpy(np.zeros(8, dtype=np.float32), 0)
+        out = t.numpy()
+        out += 5.0  # must be legal and must not touch the tensor
+        assert np.array_equal(t.numpy(), np.zeros(8, dtype=np.float32))
