@@ -1,0 +1,109 @@
+"""Ring attention: context-parallel causal attention over a mesh axis.
+
+Green-field capability — SURVEY.md §5 notes the reference's only
+long-context mechanism is single-chip KV-tile streaming, and that scale-out
+would be "shard_map + ppermute ring over ICI — no reference analog exists".
+This is that ring:
+
+  * the sequence is sharded over the `cp` axis: every device holds Q/K/V
+    shards of S_local = S / cp tokens;
+  * K/V shards rotate around the ring with `jax.lax.ppermute` (neighbor ICI
+    transfers) while each device accumulates its Q shard's attention with
+    the same online-softmax m/l merge the flash kernel uses — after cp hops
+    every Q row has seen every K/V row, with O(S_local) memory per device;
+  * causality uses GLOBAL positions, so the result is bit-comparable to
+    single-device causal attention over the gathered sequence;
+  * everything is differentiable (ppermute + scan transpose cleanly), so
+    jax.grad gives the backward ring for free.
+
+The blockwise math mirrors ops/pallas_kernels/flash_attention.py; fusing
+each ring step into the Pallas kernel is a planned optimization — this
+module establishes the collective structure and its correctness contract.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as _np
+from jax.sharding import PartitionSpec as P
+
+NEG_INF = _np.float32(-1e30)
+
+
+def _block_attend(q, k, v, q_off, kv_off, m, l, acc, scale):
+    """One online-softmax accumulation of q against a (k, v) block.
+
+    q: (B,H,Sq,D) fp32; k/v: (B,H,Sk,D) fp32; m/l: (B,H,Sq,1); acc like q.
+    q_off/kv_off are the blocks' global sequence offsets (traced scalars).
+    """
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32) * scale
+    sq, sk = q.shape[2], k.shape[2]
+    row = q_off + jax.lax.broadcasted_iota(jnp.int32, (sq, sk), 0)
+    col = kv_off + jax.lax.broadcasted_iota(jnp.int32, (sq, sk), 1)
+    s = jnp.where(col <= row, s, NEG_INF)
+
+    m_cur = jnp.max(s, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m, m_cur)
+    alpha = jnp.exp(m - m_new)
+    p = jnp.exp(s - m_new)
+    p = jnp.where(col <= row, p, _np.float32(0.0))
+    l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    acc_new = acc * alpha + jnp.einsum(
+        "bhqk,bhkd->bhqd", p, v, preferred_element_type=jnp.float32
+    )
+    return m_new, l_new, acc_new
+
+
+def ring_attention_spmd(q, k, v, *, axis: str = "cp"):
+    """Runs INSIDE shard_map over `axis`; q/k/v: local (B,H,S_local,D)."""
+    n = jax.lax.psum(1, axis)
+    idx = jax.lax.axis_index(axis)
+    s_local = q.shape[2]
+    scale = _np.float32(1.0 / math.sqrt(q.shape[-1]))
+    perm = [(i, (i + 1) % n) for i in range(n)]
+
+    qf = q.astype(jnp.float32)
+    m = jnp.full(q.shape[:3] + (1,), NEG_INF, jnp.float32)
+    l = jnp.zeros_like(m)
+    acc = jnp.zeros_like(qf)
+
+    def hop(carry, i):
+        k_cur, v_cur, m, l, acc = carry
+        src = (idx - i) % n  # whose shard we hold at hop i
+        m, l, acc = _block_attend(
+            qf,
+            k_cur.astype(jnp.float32),
+            v_cur.astype(jnp.float32),
+            idx * s_local,
+            src * s_local,
+            m,
+            l,
+            acc,
+            scale,
+        )
+        # rotate shards to the next neighbor (ICI hop)
+        k_nxt = jax.lax.ppermute(k_cur, axis, perm)
+        v_nxt = jax.lax.ppermute(v_cur, axis, perm)
+        return (k_nxt, v_nxt, m, l, acc), None
+
+    (k, v, m, l, acc), _ = jax.lax.scan(hop, (k, v, m, l, acc), jnp.arange(n))
+    l_safe = jnp.where(l == 0.0, _np.float32(1.0), l)
+    return (acc / l_safe).astype(q.dtype)
+
+
+def make_ring_attention(mesh, *, cp_axis: str = "cp"):
+    """Returns fn(q, k, v) with (B, H, S, D) GLOBAL shapes, sequence sharded
+    over `cp_axis`; other mesh axes stay GSPMD-auto."""
+    spec = P(None, None, cp_axis, None)
+    return jax.shard_map(
+        partial(ring_attention_spmd, axis=cp_axis),
+        mesh=mesh,
+        in_specs=(spec, spec, spec),
+        out_specs=spec,
+        axis_names=frozenset({cp_axis}),
+        check_vma=False,
+    )

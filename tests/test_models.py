@@ -132,3 +132,39 @@ class TestCheckpoint:
             checkpoint.save(path, {"a": jnp.ones((2,))})
             with pytest.raises(ValueError):
                 checkpoint.load(path, like={"a": jnp.ones((2,)), "b": jnp.ones((2,))})
+
+
+class TestData:
+    def test_token_dataset_shapes_and_determinism(self):
+        from kfunca_tpu.models.data import TokenDataset
+
+        corpus = np.arange(1000, dtype=np.int32) % 64
+        ds1 = TokenDataset(corpus, seq_len=16, batch_size=4, seed=7)
+        ds2 = TokenDataset(corpus, seq_len=16, batch_size=4, seed=7)
+        x1, y1 = ds1.sample_batch()
+        x2, y2 = ds2.sample_batch()
+        assert x1.shape == (4, 16) and y1.shape == (4, 16)
+        assert np.array_equal(x1, x2) and np.array_equal(y1, y2)
+        # targets are next tokens
+        assert np.array_equal(x1[:, 1:], y1[:, :-1])
+
+    def test_prefetcher_feeds_training(self):
+        from kfunca_tpu.models.data import Prefetcher, TokenDataset
+        from kfunca_tpu.models.train import init_opt_state, make_train_step
+
+        cfg = tiny_cfg()
+        corpus = np.random.default_rng(0).integers(0, cfg.vocab_size, 4096).astype(np.int32)
+        ds = TokenDataset(corpus, seq_len=16, batch_size=4, seed=1)
+        pf = Prefetcher(ds, depth=2)
+        try:
+            params = init_params(jax.random.PRNGKey(0), cfg)
+            opt = init_opt_state(params)
+            step = jax.jit(make_train_step(cfg))
+            losses = []
+            for _ in range(4):
+                tokens, targets = pf.next()
+                params, opt, loss = step(params, opt, tokens, targets)
+                losses.append(float(loss))
+        finally:
+            pf.close()
+        assert all(np.isfinite(losses))
