@@ -52,10 +52,54 @@ def _sort_jit(A, dim, descending):
     return vals.transpose(inv), idx.astype(jnp.int64).transpose(inv)
 
 
+def _pallas_eligible(t: Tensor, dim: int) -> bool:
+    from .pallas_kernels.bitonic_sort import MAX_N, _next_pow2
+    from ..runtime.backend import use_pallas
+
+    if not use_pallas():
+        return False
+    if t.dtype() in (ScalarType.Double, ScalarType.Long, ScalarType.Bool):
+        return False  # 64-bit keys are not Mosaic-friendly; XLA handles them
+    return _next_pow2(max(t.shape(dim), 128)) <= MAX_N
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def _pallas_sort_jit(A, dim, descending):
+    """Dispatch to the Pallas bitonic kernel: dim -> last, dense rows,
+    order-reversing key transform for descending (exactly invertible)."""
+    from .pallas_kernels.bitonic_sort import bitonic_sort_pairs
+
+    nd = A.ndim
+    perm = tuple(i for i in range(nd) if i != dim) + (dim,)
+    inv = tuple(sorted(range(nd), key=lambda i: perm[i]))
+    At = A.transpose(perm)
+    shape_t = At.shape
+    n = shape_t[-1]
+    flat = At.reshape(-1, n)
+
+    if jnp.issubdtype(flat.dtype, jnp.integer):
+        keys = flat.astype(jnp.int32)
+        keys = ~keys if descending else keys
+    else:
+        keys = flat.astype(jnp.float32)
+        keys = -keys if descending else keys
+    skeys, sidx = bitonic_sort_pairs(keys)
+    if jnp.issubdtype(flat.dtype, jnp.integer):
+        vals = (~skeys if descending else skeys).astype(flat.dtype)
+    else:
+        vals = (-skeys if descending else skeys).astype(flat.dtype)
+    vals = vals.reshape(shape_t).transpose(inv)
+    idx = sidx.astype(jnp.int64).reshape(shape_t).transpose(inv)
+    return vals, idx
+
+
 def sort(t: Tensor, dim: int, descending: bool):
     check(t.dtype() != ScalarType.Bool, "sort: Bool unsupported")
     dim = maybe_wrap_dim(dim, t.dim())
-    vals, idx = _sort_jit(t._array(), dim, bool(descending))
+    if _pallas_eligible(t, dim):
+        vals, idx = _pallas_sort_jit(t._array(), dim, bool(descending))
+    else:
+        vals, idx = _sort_jit(t._array(), dim, bool(descending))
     out_v = empty(t.sizes(), t.dtype(), t.device())
     out_i = empty(t.sizes(), ScalarType.Long, t.device())
     out_v._write(vals)
@@ -69,8 +113,11 @@ def _topk_jit(A, k, dim, largest):
     perm = tuple(i for i in range(nd) if i != dim) + (dim,)
     inv = tuple(sorted(range(nd), key=lambda i: perm[i]))
     At = A.transpose(perm)
-    if largest and not jnp.issubdtype(At.dtype, jnp.integer):
-        vals, idx = lax.top_k(At, k)  # MXU/VPU-friendly partial selection
+    # lax.top_k only for small k: the XLA:TPU TopkEmitter crashes outright
+    # for large k (observed SIGABRT at k=2049 on v5e), and large-k selection
+    # degenerates to a sort anyway.
+    if largest and k <= 256 and not jnp.issubdtype(At.dtype, jnp.integer):
+        vals, idx = lax.top_k(At, k)  # VPU-friendly partial selection
     else:
         iota = lax.broadcasted_iota(jnp.int32, At.shape, nd - 1)
         keys = _negate_keys(At) if largest else At
@@ -87,7 +134,14 @@ def topk(t: Tensor, k: int, dim: int, largest: bool):
     dim = maybe_wrap_dim(dim, t.dim())
     k = int(k)
     check(0 < k <= t.shape(dim), "topk: invalid k")
-    vals, idx = _topk_jit(t._array(), k, dim, bool(largest))
+    if k > 256 and _pallas_eligible(t, dim):
+        # reference semantics exactly: topk = full sort + narrow(k)
+        # (topk_with_sort, sort_ops_kernel.cu:617-632), on the Pallas engine
+        vals, idx = _pallas_sort_jit(t._array(), dim, bool(largest))
+        vals = lax.slice_in_dim(vals, 0, k, axis=dim)
+        idx = lax.slice_in_dim(idx, 0, k, axis=dim)
+    else:
+        vals, idx = _topk_jit(t._array(), k, dim, bool(largest))
     shape = list(t.sizes())
     shape[dim] = k
     out_v = empty(shape, t.dtype(), t.device())

@@ -143,3 +143,19 @@ class TestElementwise:
         assert np.array_equal(
             np.asarray(out, dtype=np.float32), np.asarray(ref, dtype=np.float32)
         )
+
+
+class TestBitonicSort:
+    @pytest.mark.parametrize("rows,n,dtype", [(4, 23, np.float32), (13, 1049, np.float32), (8, 128, np.int32), (3, 500, np.int32)])
+    def test_stable_ascending(self, rows, n, dtype):
+        from kfunca_tpu.ops.pallas_kernels.bitonic_sort import bitonic_sort_pairs
+
+        rng = np.random.default_rng(0)
+        if np.issubdtype(dtype, np.integer):
+            x = rng.integers(-1000, 1000, (rows, n)).astype(dtype)
+        else:
+            x = rng.uniform(-1000, 1000, (rows, n)).astype(dtype)
+        x[:, ::7] = x[:, 0:1]  # duplicates exercise stability
+        ks, idx = bitonic_sort_pairs(jnp.asarray(x), interpret=True)
+        assert np.array_equal(np.asarray(ks), np.sort(x, axis=1))
+        assert np.array_equal(np.asarray(idx), np.argsort(x, axis=1, kind="stable"))
