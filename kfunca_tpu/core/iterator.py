@@ -56,20 +56,49 @@ class LoopPlan:
     device: int
 
 
+def _native_plan(inputs):
+    """Broadcast + promotion via the C++ planner (csrc kf_broadcast_shapes /
+    kf_promote); returns (shape, dtype) or None when the lib is absent."""
+    import ctypes
+
+    from ..runtime import _native
+
+    lib = _native.get_lib()
+    if lib is None:
+        return None
+    shapes = [t.sizes() for t in inputs]
+    ndims = _native.i64_array([len(s) for s in shapes])
+    flat = _native.i64_array([d for s in shapes for d in s])
+    out_ndim = ctypes.c_int64()
+    out_shape = (ctypes.c_int64 * MAX_TENSOR_DIMS)()
+    rc = lib.kf_broadcast_shapes(len(shapes), ndims, flat, ctypes.byref(out_ndim), out_shape)
+    check(rc == 0, "broadcast shape mismatch:", shapes)
+    common = ScalarType.Undefined
+    for t in inputs:
+        common = ScalarType(lib.kf_promote(common, t.dtype()))
+    return tuple(out_shape[i] for i in range(out_ndim.value)), common
+
+
 def plan_loops(inputs, out=None) -> LoopPlan:
     """Plan an elementwise op over `inputs` (Tensors).
 
     Mirrors the reference build(): common-device check -> dtype promotion ->
     broadcast shape -> output-shape validation (outputs never broadcast).
+    Runs in the native C++ planner when built; Python fallback otherwise
+    (parity enforced by tests/test_native_core.py).
     """
     check(len(inputs) >= 1, "need at least one input")
     device = inputs[0].device()
     for t in inputs:
         check(t.device() == device, "all operands must live on one device")
-    common = ScalarType.Undefined
-    for t in inputs:
-        common = promote(common, t.dtype())
-    shape = broadcast_shapes(*[t.sizes() for t in inputs])
+    native = _native_plan(inputs)
+    if native is not None:
+        shape, common = native
+    else:
+        common = ScalarType.Undefined
+        for t in inputs:
+            common = promote(common, t.dtype())
+        shape = broadcast_shapes(*[t.sizes() for t in inputs])
     check(len(shape) <= MAX_TENSOR_DIMS, "too many dims")
     if out is not None and out.defined():
         check(tuple(out.sizes()) == shape, "output may not broadcast:", out.sizes(), shape)
