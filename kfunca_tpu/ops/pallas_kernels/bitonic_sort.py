@@ -31,9 +31,16 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .common import pad_to, round_up
+from .common import round_up
 
-MAX_N = 8192  # largest padded segment the single-tile network accepts
+MAX_N = 8192  # kernel capability (VMEM bound); see DISPATCH_MAX_N below
+
+# Largest padded segment the TPU *dispatcher* uses. n=1024 compiles in ~4 s
+# on v5e; n>=2048 networks reproducibly hang the remote Mosaic compile
+# helper (three independent attempts wedged at the same point), so dispatch
+# stays at 1024 until the compiler issue is understood — larger segments
+# take the XLA sort fallback. Interpret mode (tests) is unaffected.
+DISPATCH_MAX_N = 1024
 
 
 def _next_pow2(n: int) -> int:

@@ -53,14 +53,14 @@ def _sort_jit(A, dim, descending):
 
 
 def _pallas_eligible(t: Tensor, dim: int) -> bool:
-    from .pallas_kernels.bitonic_sort import MAX_N, _next_pow2
+    from .pallas_kernels.bitonic_sort import DISPATCH_MAX_N, _next_pow2
     from ..runtime.backend import use_pallas
 
     if not use_pallas():
         return False
     if t.dtype() in (ScalarType.Double, ScalarType.Long, ScalarType.Bool):
         return False  # 64-bit keys are not Mosaic-friendly; XLA handles them
-    return _next_pow2(max(t.shape(dim), 128)) <= MAX_N
+    return _next_pow2(max(t.shape(dim), 128)) <= DISPATCH_MAX_N
 
 
 @partial(jax.jit, static_argnums=(1, 2))
