@@ -93,7 +93,9 @@ def bitonic_sort_pairs(keys, interpret=False):
     rows, n = keys.shape
     np2 = _next_pow2(max(n, 128))
     assert np2 <= MAX_N, (n, np2)
-    rblock = max(8, min(round_up(rows, 8), max(8, (1 << 21) // np2)))
+    # row blocks capped at 128: Mosaic compile time explodes on big tiles
+    # (an (848,1024) block hangs the compiler; (128,1024) compiles in seconds)
+    rblock = max(8, min(round_up(rows, 8), 128, max(8, (1 << 21) // np2)))
     rp = round_up(rows, rblock)
 
     if jnp.issubdtype(keys.dtype, jnp.integer):
