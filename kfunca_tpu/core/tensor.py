@@ -40,6 +40,7 @@ class TensorImpl:
         "dtype",
         "requires_grad",
         "grad",
+        "_mat_cache",
         "__weakref__",
     )
 
@@ -51,6 +52,10 @@ class TensorImpl:
         self.dtype = dtype
         self.requires_grad = False
         self.grad = None  # Tensor
+        # (buffer-object, materialized array): skips the re-materialization
+        # dispatch on repeated reads; self-invalidates because every storage
+        # write replaces the buffer object (the key is compared by identity)
+        self._mat_cache = None
 
     @property
     def numel(self) -> int:
@@ -138,17 +143,34 @@ class Tensor:
     # -- device data ---------------------------------------------------------
 
     def _array(self):
-        """Dense jax.Array of shape self.sizes() (layout-normalizing read)."""
+        """Dense jax.Array of shape self.sizes() (layout-normalizing read,
+        cached per storage-buffer generation)."""
         impl = self._impl
-        return mat.read_view(impl.storage.read(), impl.shape, impl.strides, impl.offset)
+        buf = impl.storage.read()
+        cache = impl._mat_cache
+        if cache is not None and cache[0] is buf:
+            return cache[1]
+        arr = mat.read_view(buf, impl.shape, impl.strides, impl.offset)
+        impl._mat_cache = (buf, arr)
+        return arr
 
     def _write(self, value) -> "Tensor":
         """Write a dense array through this (possibly strided) view."""
-        impl = self._impl
+        import jax
         import jax.numpy as jnp
 
+        impl = self._impl
+        whole = impl.numel == impl.storage.numel and impl.is_contiguous() and impl.offset == 0
+        if (
+            whole
+            and isinstance(value, jax.Array)
+            and value.dtype == to_jnp(impl.dtype)
+            and value.ndim == 1
+        ):
+            impl.storage.write(value)  # pre-flattened fast path (no dispatch)
+            return self
         value = jnp.asarray(value, dtype=to_jnp(impl.dtype))
-        if impl.numel == impl.storage.numel and impl.is_contiguous() and impl.offset == 0:
+        if whole:
             impl.storage.write(value.reshape(-1))
         else:
             impl.storage.write(

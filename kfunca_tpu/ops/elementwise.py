@@ -67,6 +67,13 @@ def _binary_jit(name, A, B, acc_dt, common_dt):
     return _binary_math(name, A, B, acc_dt, common_dt)
 
 
+@partial(jax.jit, static_argnums=(0, 3, 4))
+def _binary_flat_jit(name, A, B, acc_dt, common_dt):
+    """Same op, result pre-flattened inside the program: the fresh-output
+    path then writes the storage with zero extra dispatches."""
+    return _binary_math(name, A, B, acc_dt, common_dt).reshape(-1)
+
+
 def _reduce_grad_to_shape(g_arr, shape):
     """Sum-reduce a broadcast gradient back to an input's shape."""
     extra = g_arr.ndim - len(shape)
@@ -115,16 +122,22 @@ def binary_op(name, a: Tensor, b: Tensor, out: Tensor | None = None, track_grad=
     acc = accumulate_type(common)
     if acc == ScalarType.Undefined:
         acc = common
-    result = _binary_jit(name, a._array(), b._array(), to_jnp(acc), to_jnp(common))
     if out is not None and out.defined():
+        result = _binary_jit(name, a._array(), b._array(), to_jnp(acc), to_jnp(common))
         out._write(result)  # dynamic-cast store to out dtype
         return out
+    flat = _binary_flat_jit(name, a._array(), b._array(), to_jnp(acc), to_jnp(common))
     out = empty(plan.out_shape, common, plan.device)
-    out._write(result)
+    out._write(flat)
     if track_grad and (a.requires_grad() or b.requires_grad()) and is_floating_type(common):
         out.set_requires_grad(True)
         out.set_grad_fn(BinaryGradFunction(name, a, b))
     return out
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def _fill_flat_jit(value, numel, dt):
+    return jnp.full((numel,), value, dtype=dt)
 
 
 def fill_(t: Tensor, value) -> Tensor:
@@ -133,6 +146,9 @@ def fill_(t: Tensor, value) -> Tensor:
     dt = to_jnp(t.dtype())
     if is_integral_type(t.dtype()):
         value = int(value)
+    impl = t.impl()
+    if impl.numel == impl.storage.numel and impl.is_contiguous() and impl.offset == 0:
+        return t._write(_fill_flat_jit(float(value), impl.numel, dt))
     arr = jnp.full(tuple(t.sizes()), value, dtype=dt)
     return t._write(arr)
 
