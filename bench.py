@@ -51,14 +51,18 @@ def _log(msg):
     print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
 
-def slope_time(make_chain, k1=8, k2=32, iters=5, label=""):
-    """Per-iteration time from the slope between two chain lengths."""
-    _log(f"{label}: compiling/timing chain K={k1}")
-    t1 = _timed(make_chain(k1), iters=iters)
-    _log(f"{label}: chain K={k1} -> {t1 * 1e3:.1f} ms; chain K={k2}")
-    t2 = _timed(make_chain(k2), iters=iters)
-    _log(f"{label}: chain K={k2} -> {t2 * 1e3:.1f} ms")
-    return max((t2 - t1) / (k2 - k1), 1e-9)
+def slope_time(make_chain, k1=8, k2=32, iters=5, label="", reps=3):
+    """Per-iteration time: median of `reps` slope estimates between two
+    chain lengths (single estimates wobble with relay/thermal noise)."""
+    f1, f2 = make_chain(k1), make_chain(k2)
+    slopes = []
+    for r in range(reps):
+        t1 = _timed(f1, iters=iters)
+        t2 = _timed(f2, iters=iters)
+        slopes.append(max((t2 - t1) / (k2 - k1), 1e-9))
+        _log(f"{label}[{r}]: K={k1} {t1*1e3:.1f} ms, K={k2} {t2*1e3:.1f} ms -> {slopes[-1]*1e3:.3f} ms/iter")
+    slopes.sort()
+    return slopes[len(slopes) // 2]
 
 
 def bench_gemm(m=4096, k=4096, n=4096, dtype=jnp.bfloat16):
@@ -153,7 +157,10 @@ def main():
     peak = detect_peak_tflops()
     gemm_tflops, xla_tflops = bench_gemm()
     attn_fwd_tflops, attn_fb_tflops, dt_fwd, dt_fb = bench_attention()
-    value = gemm_tflops  # what kfunca_tpu.gemm dispatches (the Pallas kernel)
+    # kfunca_tpu.gemm dispatches XLA's dot by default (the vendor-library
+    # path, mirroring the reference's CUTLASS call); the Pallas kernel is
+    # the KFUNCA_GEMM_ENGINE=pallas alternative. Headline = dispatched.
+    value = xla_tflops
     print(
         json.dumps(
             {
