@@ -31,7 +31,14 @@ def jax_device(index: int):
 class Storage:
     __slots__ = ("numel", "dtype", "device", "block", "buffer", "__weakref__")
 
-    def __init__(self, numel: int, dtype: ScalarType, device: int = 0, buffer=None):
+    def __init__(
+        self,
+        numel: int,
+        dtype: ScalarType,
+        device: int = 0,
+        buffer=None,
+        recycle: bool = True,
+    ):
         self.numel = int(numel)
         self.dtype = dtype
         self.device = device
@@ -39,11 +46,20 @@ class Storage:
         self.block = DeviceAllocator.instance().allocate(nbytes, device)
         if buffer is not None:
             self.buffer = buffer
-        else:
+        elif recycle:
             # Zero-copy recycle of a parked buffer with matching (numel, dtype).
             self.buffer = DeviceAllocator.instance().take_recycled_buffer(
                 self.block, self.numel, dtype
             )
+        else:
+            # Caller requires never-written semantics (zeros): a parked
+            # buffer holds the PREVIOUS storage's contents, so adopting it
+            # would violate the lazy-zero contract of read().  Discard any
+            # parked buffer and leave the storage uninitialized (reference
+            # memsets instead, tensor.cpp:62-69; here the zero-fill stays
+            # lazy but is now guaranteed).
+            DeviceAllocator.instance().take_recycled_buffer(self.block, -1, None)
+            self.buffer = None
 
     # -- device data -------------------------------------------------------
 

@@ -188,8 +188,19 @@ class Tensor:
     def to_jax(self):
         """Materialize as a dense jax.Array — the bridge from the eager
         Tensor layer to jax-transform code (models/, custom training loops).
-        Zero-copy for contiguous whole-storage tensors."""
-        return self._array()
+
+        The result never aliases the live storage buffer: in-place ops on
+        this tensor donate the storage buffer to XLA (materialize.py
+        donate_argnums), which would delete an aliased caller-held array
+        out from under them.  The only aliasing case (1-D whole-storage
+        contiguous view, where _array() returns the buffer itself) is
+        severed with a device-side copy."""
+        arr = self._array()
+        if arr is self._impl.storage.buffer:
+            import jax.numpy as jnp
+
+            arr = jnp.array(arr, copy=True)
+        return arr
 
     def item(self, indices):
         check(len(indices) == self.dim(), "item(): index rank mismatch")
@@ -626,7 +637,14 @@ def empty_strided(shape, strides, dtype: ScalarType, device: int = 0) -> Tensor:
 def zeros(shape, dtype: ScalarType, device: int = 0) -> Tensor:
     # Storage reads of never-written buffers materialize zeros lazily, which
     # is exactly `zeros` semantics with no eager memset (cf. tensor.cpp:62-69).
-    return empty(shape, dtype, device)
+    # recycle=False: a recycled parked buffer would carry the previous
+    # storage's contents and break the never-written contract.
+    if isinstance(shape, (int, np.integer)):
+        shape = (int(shape),)
+    shape = tuple(int(s) for s in shape)
+    check(len(shape) <= MAX_TENSOR_DIMS, "too many dims")
+    storage = Storage(mat.numel_of(shape), dtype, device, recycle=False)
+    return Tensor(TensorImpl(storage, shape, mat.contiguous_strides(shape), 0, dtype))
 
 
 def from_numpy(array, device: int = 0) -> Tensor:
@@ -662,7 +680,13 @@ def from_jax(arr, device: int = 0) -> Tensor:
     check(name in _NUMPY_TO_SCALAR, "from_jax: unsupported dtype", name)
     dtype = _NUMPY_TO_SCALAR[name]
     out = empty(arr.shape, dtype, device)
-    out._impl.storage.write(
-        jax.device_put(arr.reshape(-1), jax_device(device))
-    )
+    import jax.numpy as jnp
+
+    # COPY: device_put of an on-device array is a no-op alias, and a later
+    # in-place op would donate (delete) the caller's own input array.
+    if arr.ndim == 1:  # reshape(-1) of a 1-D array aliases the input
+        flat = jnp.array(arr, copy=True)
+    else:
+        flat = arr.reshape(-1)
+    out._impl.storage.write(jax.device_put(flat, jax_device(device)))
     return out

@@ -109,12 +109,15 @@ def forward_with_cache(params, tokens, cache, start_pos, cfg: TransformerConfig)
     return logits, new_cache
 
 
-@partial(jax.jit, static_argnames=("cfg", "max_new"))
+@partial(jax.jit, static_argnames=("cfg", "max_new", "temperature"))
 def generate(params, prompt, cfg: TransformerConfig, max_new: int, temperature=0.0, key=None):
     """Greedy (temperature=0) or sampled generation.
 
     prompt: (B, T_prompt) int32.  Returns (B, max_new) generated tokens.
     The whole loop is one compiled program: prefill + scan of decode steps.
+    `temperature` is static: the greedy/sampled branch is a Python-level
+    choice (a traced temperature would make `temperature == 0.0` raise
+    TracerBoolConversionError), and each distinct value compiles once.
     """
     b, t_prompt = prompt.shape
     max_len = t_prompt + max_new

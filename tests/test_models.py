@@ -96,6 +96,26 @@ class TestKVCacheGeneration:
         out2 = generate(params, prompt, cfg, max_new=6)
         assert np.array_equal(np.asarray(out), np.asarray(out2))
 
+    def test_sampled_generate(self):
+        """Regression (round-1 ADVICE): temperature != 0 raised
+        TracerBoolConversionError because the greedy/sampled branch tested
+        a traced value; temperature is static now."""
+        cfg = tiny_cfg()
+        params = init_params(jax.random.PRNGKey(0), cfg)
+        prompt = jnp.ones((2, 4), jnp.int32)
+        out = generate(
+            params, prompt, cfg, max_new=6, temperature=0.8,
+            key=jax.random.PRNGKey(7),
+        )
+        assert out.shape == (2, 6)
+        assert out.dtype == jnp.int32
+        # same key -> deterministic; different key -> (almost surely) differs
+        out2 = generate(
+            params, prompt, cfg, max_new=6, temperature=0.8,
+            key=jax.random.PRNGKey(7),
+        )
+        assert np.array_equal(np.asarray(out), np.asarray(out2))
+
 
 class TestCheckpoint:
     def test_pytree_roundtrip(self):
