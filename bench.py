@@ -130,6 +130,66 @@ def bench_attention(b=4, h=16, s=2048, d=128, dtype=jnp.bfloat16):
     return fwd_flops / dt_fwd / 1e12, (fwd_flops * 3.5) / dt_fb / 1e12, dt_fwd, dt_fb
 
 
+def bench_eager_dispatch(n=256, iters=400):
+    """Host-side eager dispatch overhead: median us per op for the fused
+    single-program dispatch (core/dispatch.py).  The reference's analog is
+    TensorIterator::build + one launch per op call."""
+    import kfunca_tpu as kfunca
+
+    a = kfunca.from_numpy(np.random.rand(n, n).astype(np.float32), 0)
+    b = kfunca.from_numpy(np.random.rand(n, n).astype(np.float32), 0)
+    results = {}
+    for label, fn in [
+        ("binary_fresh", lambda: a + b),
+        ("binary_inplace", lambda: a.__iadd__(b)),
+        ("scalar_mul", lambda: a * 2.0),
+        ("fill", lambda: a.fill_(1.0)),
+    ]:
+        for _ in range(10):
+            fn()
+        times = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                fn()
+            times.append((time.perf_counter() - t0) / iters * 1e6)
+        times.sort()
+        results[label] = round(times[len(times) // 2], 1)
+        _log(f"eager {label}: {results[label]} us/op")
+    return results
+
+
+def bench_elementwise_engines(shape=(4096, 4096), dtype=jnp.float32):
+    """A/B the XLA vs Pallas elementwise engines on an aligned contiguous
+    add (HBM-bandwidth-bound; reports effective GB/s for each)."""
+    from kfunca_tpu.ops.pallas_kernels.elementwise import elementwise as pl_ew
+
+    key = jax.random.PRNGKey(2)
+    a = jax.random.normal(key, shape, dtype)
+    b = jax.random.normal(key, shape, dtype)
+
+    def chain_xla(K):
+        @jax.jit
+        def f(x, y):
+            for _ in range(K):
+                x = x + y
+            return x
+        return lambda: f(a, b)
+
+    def chain_pallas(K):
+        @jax.jit
+        def f(x, y):
+            for _ in range(K):
+                x = pl_ew("add", x, y, acc_dt=jnp.float32, out_dt=dtype)
+            return x
+        return lambda: f(a, b)
+
+    dt_x = slope_time(chain_xla, k1=8, k2=64, label="ew-xla", reps=2)
+    dt_p = slope_time(chain_pallas, k1=8, k2=64, label="ew-pallas", reps=2)
+    nbytes = 3 * a.size * a.dtype.itemsize  # 2 reads + 1 write
+    return nbytes / dt_x / 1e9, nbytes / dt_p / 1e9
+
+
 def detect_peak_tflops():
     from kfunca_tpu.utils.device_info import _detect_peaks
 
@@ -157,6 +217,8 @@ def main():
     peak = detect_peak_tflops()
     gemm_tflops, xla_tflops = bench_gemm()
     attn_fwd_tflops, attn_fb_tflops, dt_fwd, dt_fb = bench_attention()
+    eager = bench_eager_dispatch()
+    ew_xla_gbs, ew_pallas_gbs = bench_elementwise_engines()
     # kfunca_tpu.gemm dispatches XLA's dot by default (the vendor-library
     # path, mirroring the reference's CUTLASS call); the Pallas kernel is
     # the KFUNCA_GEMM_ENGINE=pallas alternative. Headline = dispatched.
@@ -180,6 +242,9 @@ def main():
                     "attn_fwd_bwd_ms": round(dt_fb * 1e3, 3),
                     "gemm_shape": "4096x4096x4096 bf16",
                     "attn_shape": "b4 h16 s2048 d128 bf16 causal",
+                    "eager_dispatch_us": eager,
+                    "elementwise_xla_gbs": round(ew_xla_gbs, 1),
+                    "elementwise_pallas_gbs": round(ew_pallas_gbs, 1),
                 },
             }
         )

@@ -8,8 +8,11 @@ common dtype, and execution lowers to XLA/Pallas ops on dense arrays (layout
 normalization happens in core/materialize.py).  The pieces of the reference
 pipeline that exist to feed pointer arithmetic (stride-sorted reordering,
 0-stride broadcast dims, dim coalescing) live in the native planner
-(csrc/iterator.cpp) where they accelerate the gather/scatter fallback path
-and are unit-tested for parity.
+(csrc kf_plan_loop_nest), which materialize.plan_view calls on every
+hostile-layout read/write so gathers and scatters run over the coalesced
+loop nest instead of the full logical rank (strided lax.slice when the nest
+collapses to rank 1).  Parity between the native planner and the Python
+fallback is unit-tested (tests/test_native_core.py).
 """
 
 from __future__ import annotations
@@ -95,6 +98,18 @@ def plan_loops(inputs, out=None) -> LoopPlan:
     device = inputs[0].device()
     for t in inputs:
         check(t.device() == device, "all operands must live on one device")
+    # fast path: identical shapes and dtypes need no broadcast/promotion
+    # machinery (the overwhelmingly common case in the eager hot loop)
+    first = inputs[0].impl()
+    if all(
+        t.impl().shape == first.shape and t.impl().dtype == first.dtype
+        for t in inputs[1:]
+    ):
+        shape, common = first.shape, first.dtype
+        if out is not None and out.defined():
+            check(tuple(out.sizes()) == shape, "output may not broadcast:", out.sizes(), shape)
+            check(out.device() == device, "output on wrong device")
+        return LoopPlan(out_shape=shape, common_dtype=common, device=device)
     native = _native_plan(inputs)
     if native is not None:
         shape, common = native

@@ -222,14 +222,16 @@ class Tensor:
     def contiguous(self) -> "Tensor":
         if self.is_contiguous():
             return self
+        from ..ops import elementwise
+
         out = empty(self.sizes(), self.dtype(), self.device())
-        out._write(self._array())
-        return out
+        return elementwise.copy_(out, self)  # one fused read+write dispatch
 
     def clone(self) -> "Tensor":
+        from ..ops import elementwise
+
         out = empty(self.sizes(), self.dtype(), self.device())
-        out._write(self._array())
-        return out
+        return elementwise.copy_(out, self)
 
     def copy_(self, src: "Tensor") -> "Tensor":
         from ..ops import elementwise
@@ -343,6 +345,13 @@ class Tensor:
         from ..ops import elementwise
 
         if not isinstance(other, Tensor):
+            if not self.requires_grad():
+                # fused fast path: the scalar is a program constant; same
+                # semantics as the filled-tensor pattern (scalar adopts
+                # self's dtype), one dispatch instead of three
+                return elementwise.binary_scalar_op(
+                    name, self, other, out=self if inplace else None
+                )
             other = self._scalar_like(other)
         return elementwise.binary_op(name, self, other, out=self if inplace else None)
 
@@ -627,6 +636,12 @@ def empty_like(t: Tensor) -> Tensor:
 def empty_strided(shape, strides, dtype: ScalarType, device: int = 0) -> Tensor:
     shape = tuple(int(s) for s in shape)
     strides = tuple(int(s) for s in strides)
+    # A negative stride with storage_offset 0 would index below the
+    # storage; rejected like torch.empty_strided (the reference sizes
+    # storage from the offset range, tensor_impl.cpp:57-65, which likewise
+    # cannot represent a negative-stride base tensor).  Negative strides
+    # remain legal for as_strided views within an existing storage.
+    check(all(st >= 0 for st in strides), "empty_strided: negative strides", strides)
     # storage sized from the offset range, not numel (reference
     # tensor_impl.cpp:57-65) — handles arbitrary strided layouts.
     span = 1 + sum((s - 1) * st for s, st in zip(shape, strides) if s > 0)

@@ -210,11 +210,21 @@ KF_EXPORT int kf_broadcast_shapes(int ntensors, const int64_t *ndims,
 // `ndim`-d shape. strides_flat: ntensors * ndim element strides where
 // broadcast dims carry stride 0. Writes the reordered+coalesced shape and
 // per-operand strides; returns the coalesced rank.
+//
+// out_perm (nullable, int64[ndim]): the dim permutation applied before
+// coalescing — out dim i came from input dim out_perm[i] (slowest first).
+// out_group_sizes (nullable, int64[rank]): how many permuted dims were
+// merged into each coalesced dim, in order; sums to ndim.  Together these
+// let a consumer (the strided-view gather engine, core/materialize.py)
+// reconstruct the logical view from a gather over the coalesced dims:
+// gather(cshape) -> reshape(permuted shape) -> transpose(inverse perm).
 KF_EXPORT int kf_plan_loop_nest(int ntensors, int64_t ndim,
                                 const int64_t *shape,
                                 const int64_t *strides_flat,
                                 int64_t *out_shape,
-                                int64_t *out_strides_flat) {
+                                int64_t *out_strides_flat,
+                                int64_t *out_perm,
+                                int64_t *out_group_sizes) {
     if (ndim == 0) return 0;
     std::vector<int64_t> shp(shape, shape + ndim);
     std::vector<std::vector<int64_t>> str(ntensors);
@@ -250,9 +260,11 @@ KF_EXPORT int kf_plan_loop_nest(int ntensors, int64_t ndim,
     // 2. coalesce adjacent dims where, for every operand,
     //    stride[d] == stride[d+1] * shape[d+1]  (or the dim is size-1).
     std::vector<int64_t> cshape;
+    std::vector<int64_t> gsize; // permuted dims merged per coalesced dim
     std::vector<std::vector<int64_t>> cstr(ntensors);
     int64_t cur = 0; // index of current accumulating dim within output
     cshape.push_back(nshp[0]);
+    gsize.push_back(1);
     for (int t = 0; t < ntensors; t++) cstr[t].push_back(nstr[t][0]);
     for (int64_t d = 1; d < ndim; d++) {
         // try merging dim d into the current dim
@@ -279,14 +291,19 @@ KF_EXPORT int kf_plan_loop_nest(int ntensors, int64_t ndim,
         }
         if (!merged) {
             cshape.push_back(nshp[d]);
+            gsize.push_back(1);
             for (int t = 0; t < ntensors; t++) cstr[t].push_back(nstr[t][d]);
             cur++;
+        } else {
+            gsize[cur] += 1;
         }
     }
     int64_t out_nd = (int64_t)cshape.size();
     std::copy(cshape.begin(), cshape.end(), out_shape);
     for (int t = 0; t < ntensors; t++)
         std::copy(cstr[t].begin(), cstr[t].end(), out_strides_flat + t * out_nd);
+    if (out_perm) std::copy(perm.begin(), perm.end(), out_perm);
+    if (out_group_sizes) std::copy(gsize.begin(), gsize.end(), out_group_sizes);
     return (int)out_nd;
 }
 
@@ -338,4 +355,115 @@ KF_EXPORT int kf_tape_schedule(int64_t n_nodes, int64_t n_edges,
         }
     }
     return (int)count;
+}
+
+// ---------------------------------------------------------------------------
+// Serving runtime: KV page allocator + FIFO request queue (green-field; the
+// reference has no serving layer).  The page allocator hands out fixed-size
+// KV-cache pages from a bounded pool (free-list, LIFO for locality); the
+// request queue is the scheduler's admission backbone.  Data (the page pool
+// tensors) lives in HBM under XLA; this is the host-side bookkeeping, kept
+// native for the same reason the caching allocator is.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct PagePool {
+    std::vector<int64_t> free_list;
+    int64_t total = 0;
+};
+
+struct ServeState {
+    std::mutex mu;
+    int64_t next_pool = 1;
+    std::unordered_map<int64_t, PagePool> pools;
+    int64_t next_queue = 1;
+    std::unordered_map<int64_t, std::queue<int64_t>> queues;
+};
+
+ServeState &serve() {
+    static ServeState s;
+    return s;
+}
+
+} // namespace
+
+KF_EXPORT int64_t kf_page_pool_create(int64_t n_pages) {
+    ServeState &s = serve();
+    std::lock_guard<std::mutex> lock(s.mu);
+    int64_t id = s.next_pool++;
+    PagePool &p = s.pools[id];
+    p.total = n_pages;
+    p.free_list.reserve(n_pages);
+    for (int64_t i = n_pages - 1; i >= 0; i--) p.free_list.push_back(i);
+    return id;
+}
+
+// Allocates `count` pages into out_pages; returns count, or -1 if the pool
+// cannot satisfy the request (nothing is allocated on failure).
+KF_EXPORT int64_t kf_page_alloc(int64_t pool_id, int64_t count, int64_t *out_pages) {
+    ServeState &s = serve();
+    std::lock_guard<std::mutex> lock(s.mu);
+    auto it = s.pools.find(pool_id);
+    if (it == s.pools.end()) return -1;
+    PagePool &p = it->second;
+    if ((int64_t)p.free_list.size() < count) return -1;
+    for (int64_t i = 0; i < count; i++) {
+        out_pages[i] = p.free_list.back();
+        p.free_list.pop_back();
+    }
+    return count;
+}
+
+KF_EXPORT int64_t kf_page_free(int64_t pool_id, int64_t count, const int64_t *pages) {
+    ServeState &s = serve();
+    std::lock_guard<std::mutex> lock(s.mu);
+    auto it = s.pools.find(pool_id);
+    if (it == s.pools.end()) return -1;
+    for (int64_t i = 0; i < count; i++) it->second.free_list.push_back(pages[i]);
+    return count;
+}
+
+KF_EXPORT int64_t kf_page_pool_available(int64_t pool_id) {
+    ServeState &s = serve();
+    std::lock_guard<std::mutex> lock(s.mu);
+    auto it = s.pools.find(pool_id);
+    if (it == s.pools.end()) return -1;
+    return (int64_t)it->second.free_list.size();
+}
+
+KF_EXPORT int64_t kf_queue_create() {
+    ServeState &s = serve();
+    std::lock_guard<std::mutex> lock(s.mu);
+    int64_t id = s.next_queue++;
+    s.queues[id];
+    return id;
+}
+
+KF_EXPORT int64_t kf_queue_push(int64_t queue_id, int64_t item) {
+    ServeState &s = serve();
+    std::lock_guard<std::mutex> lock(s.mu);
+    auto it = s.queues.find(queue_id);
+    if (it == s.queues.end()) return -1;
+    it->second.push(item);
+    return (int64_t)it->second.size();
+}
+
+// Pops the oldest item, or returns -1 when empty.
+KF_EXPORT int64_t kf_queue_pop(int64_t queue_id) {
+    ServeState &s = serve();
+    std::lock_guard<std::mutex> lock(s.mu);
+    auto it = s.queues.find(queue_id);
+    if (it == s.queues.end() || it->second.empty()) return -1;
+    int64_t item = it->second.front();
+    it->second.pop();
+    return item;
+}
+
+KF_EXPORT int64_t kf_queue_size(int64_t queue_id) {
+    ServeState &s = serve();
+    std::lock_guard<std::mutex> lock(s.mu);
+    auto it = s.queues.find(queue_id);
+    if (it == s.queues.end()) return -1;
+    return (int64_t)it->second.size();
 }

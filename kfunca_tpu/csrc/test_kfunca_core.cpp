@@ -22,7 +22,8 @@ int kf_broadcast_shapes(int ntensors, const int64_t *ndims, const int64_t *shape
                         int64_t *out_ndim, int64_t *out_shape);
 int kf_plan_loop_nest(int ntensors, int64_t ndim, const int64_t *shape,
                       const int64_t *strides_flat, int64_t *out_shape,
-                      int64_t *out_strides_flat);
+                      int64_t *out_strides_flat, int64_t *out_perm,
+                      int64_t *out_group_sizes);
 int kf_tape_schedule(int64_t n_nodes, int64_t n_edges, const int64_t *edge_src,
                      const int64_t *edge_dst, int64_t root, int64_t *out_order);
 }
@@ -82,12 +83,15 @@ static void test_loop_nest() {
     int64_t shape[3] = {4, 5, 6};
     int64_t strides[6] = {30, 6, 1, 30, 6, 1};
     int64_t out_shape[3], out_strides[6];
-    int nd = kf_plan_loop_nest(2, 3, shape, strides, out_shape, out_strides);
+    int64_t perm[3], gsz[3];
+    int nd = kf_plan_loop_nest(2, 3, shape, strides, out_shape, out_strides, perm, gsz);
+    assert(perm[0] == 0 && perm[1] == 1 && perm[2] == 2 && gsz[0] == 3);
     assert(nd == 1 && out_shape[0] == 120 && out_strides[0] == 1 && out_strides[1] == 1);
     // transposed single operand reorders then collapses
     int64_t shape2[2] = {6, 4};
     int64_t strides2[2] = {1, 6};
-    nd = kf_plan_loop_nest(1, 2, shape2, strides2, out_shape, out_strides);
+    nd = kf_plan_loop_nest(1, 2, shape2, strides2, out_shape, out_strides, perm, gsz);
+    assert(perm[0] == 1 && perm[1] == 0 && gsz[0] == 2);
     assert(nd == 1 && out_shape[0] == 24 && out_strides[0] == 1);
     printf("test_loop_nest OK\n");
 }

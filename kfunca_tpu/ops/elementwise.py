@@ -10,21 +10,20 @@ reference's dtype contract preserved —
   * results store back in the common dtype, then cast to the output tensor's
     dtype when an explicit out is given (dynamic-cast store path).
 
-On TPU the kernels themselves are XLA ops: elementwise chains are
-HBM-bandwidth-bound and XLA already emits fused, fully-vectorized loops, so a
-hand-written kernel can only match, not beat, them.  A Pallas variant of the
-same family exists for the aligned contiguous fast path (ops/pallas_kernels/
-elementwise.py) and is used on TPU when profitable.
+Execution is the fused eager dispatch (core/dispatch.py): each op call is
+ONE jitted program that reads operands through their strided views, computes
+in the acc dtype, and writes the result, funneled through Launcher.submit.
+The compute engine inside the program is XLA by default (elementwise chains
+are HBM-bandwidth-bound and XLA emits fused, fully-vectorized loops);
+KFUNCA_ELEMENTWISE_ENGINE=pallas routes eligible shapes through the Pallas
+kernel family (ops/pallas_kernels/elementwise.py) instead.
 """
 
 from __future__ import annotations
 
-from functools import partial
-
-import jax
 import jax.numpy as jnp
-from jax import lax
 
+from ..core.dispatch import run_op
 from ..core.dtype import (
     ScalarType,
     accumulate_type,
@@ -43,35 +42,9 @@ def wrap_array(arr, dtype: ScalarType, device: int) -> Tensor:
     return out
 
 
-def _binary_math(name, A, B, acc_dt, common_dt):
-    A = A.astype(acc_dt)
-    B = B.astype(acc_dt)
-    if name == "add":
-        r = A + B
-    elif name == "sub":
-        r = A - B
-    elif name == "mul":
-        r = A * B
-    elif name == "div":
-        if jnp.issubdtype(acc_dt, jnp.integer):
-            r = lax.div(A, B)  # C-style trunc division, like the reference functor
-        else:
-            r = A / B
-    else:
-        raise ValueError(name)
-    return r.astype(common_dt)
-
-
-@partial(jax.jit, static_argnums=(0, 3, 4))
-def _binary_jit(name, A, B, acc_dt, common_dt):
-    return _binary_math(name, A, B, acc_dt, common_dt)
-
-
-@partial(jax.jit, static_argnums=(0, 3, 4))
-def _binary_flat_jit(name, A, B, acc_dt, common_dt):
-    """Same op, result pre-flattened inside the program: the fresh-output
-    path then writes the storage with zero extra dispatches."""
-    return _binary_math(name, A, B, acc_dt, common_dt).reshape(-1)
+def _acc_of(common: ScalarType) -> ScalarType:
+    acc = accumulate_type(common)
+    return common if acc == ScalarType.Undefined else acc
 
 
 def _reduce_grad_to_shape(g_arr, shape):
@@ -119,72 +92,81 @@ class BinaryGradFunction(GradFunction):
 def binary_op(name, a: Tensor, b: Tensor, out: Tensor | None = None, track_grad=True) -> Tensor:
     plan = plan_loops([a, b], out=out)
     common = plan.common_dtype
-    acc = accumulate_type(common)
-    if acc == ScalarType.Undefined:
-        acc = common
+    acc = _acc_of(common)
     if out is not None and out.defined():
-        result = _binary_jit(name, a._array(), b._array(), to_jnp(acc), to_jnp(common))
-        out._write(result)  # dynamic-cast store to out dtype
+        run_op(
+            name, [a, b], out=out, out_shape=plan.out_shape,
+            acc=to_jnp(acc), common=to_jnp(common),
+        )
         return out
-    flat = _binary_flat_jit(name, a._array(), b._array(), to_jnp(acc), to_jnp(common))
+    flat = run_op(
+        name, [a, b], out_shape=plan.out_shape, acc=to_jnp(acc), common=to_jnp(common)
+    )
     out = empty(plan.out_shape, common, plan.device)
-    out._write(flat)
+    out._write(flat)  # pre-flattened: storage adopt, no extra dispatch
     if track_grad and (a.requires_grad() or b.requires_grad()) and is_floating_type(common):
         out.set_requires_grad(True)
         out.set_grad_fn(BinaryGradFunction(name, a, b))
     return out
 
 
-@partial(jax.jit, static_argnums=(1, 2))
-def _fill_flat_jit(value, numel, dt):
-    return jnp.full((numel,), value, dtype=dt)
+def binary_scalar_op(name, t: Tensor, scalar, out: Tensor | None = None) -> Tensor:
+    """Tensor-op-scalar with the scalar baked into the fused program as a
+    constant (semantics of the reference's `self op empty_like().fill_(s)`
+    pattern, register.cpp:172-206 — the scalar adopts the tensor's dtype —
+    without materializing the filled tensor)."""
+    common = t.dtype()
+    acc = _acc_of(common)
+    scalar = int(scalar) if is_integral_type(common) else float(scalar)
+    shape = t.impl().shape
+    if out is not None and out.defined():
+        run_op(
+            name + "_scalar", [t], out=out, out_shape=shape,
+            acc=to_jnp(acc), common=to_jnp(common), fill_value=scalar,
+        )
+        return out
+    flat = run_op(
+        name + "_scalar", [t], out_shape=shape,
+        acc=to_jnp(acc), common=to_jnp(common), fill_value=scalar,
+    )
+    out = empty(shape, common, t.device())
+    out._write(flat)
+    return out
 
 
 def fill_(t: Tensor, value) -> Tensor:
     """Nullary fill (reference nullary_ops.cpp:6-14); value is cast to the
     tensor dtype, matching the any_t double carrier."""
-    dt = to_jnp(t.dtype())
     if is_integral_type(t.dtype()):
         value = int(value)
-    impl = t.impl()
-    if impl.numel == impl.storage.numel and impl.is_contiguous() and impl.offset == 0:
-        return t._write(_fill_flat_jit(float(value), impl.numel, dt))
-    arr = jnp.full(tuple(t.sizes()), value, dtype=dt)
-    return t._write(arr)
+    else:
+        value = float(value)
+    dt = to_jnp(t.dtype())
+    run_op("fill", [], out=t, out_shape=tuple(t.sizes()), acc=dt, common=dt, fill_value=value)
+    return t
 
 
 def copy_(dst: Tensor, src: Tensor) -> Tensor:
     """copy_ with broadcast + dtype cast (reference unary_ops.cpp copy_)."""
-    plan = plan_loops([src], out=None)
-    del plan
-    arr = src._array()
-    arr = jnp.broadcast_to(arr, tuple(dst.sizes()))
-    return dst._write(arr)
+    plan_loops([src], out=None)  # device check
+    dt = to_jnp(dst.dtype())
+    run_op("copy", [src], out=dst, out_shape=tuple(dst.sizes()), acc=dt, common=dt)
+    return dst
 
 
 def convert(t: Tensor, dtype: ScalarType) -> Tensor:
     """dtype conversion as a fresh contiguous tensor (reference
     unary_ops.cpp convert: CopyFunctor over the output dtype)."""
+    dt = to_jnp(dtype)
+    flat = run_op("copy", [t], out_shape=tuple(t.sizes()), acc=dt, common=dt)
     out = empty(t.sizes(), dtype, t.device())
-    out._write(t._array().astype(to_jnp(dtype)))
+    out._write(flat)
     return out
 
 
 # -- unary math family (capability extension: the reference's unary layer has
 #    only clone/copy/convert, unary_ops.cpp:7-24; these round out the eager
 #    API with the same acc-dtype contract and tape autograd) ----------------
-
-_UNARY_FWD = {
-    "neg": lambda x: -x,
-    "abs": jnp.abs,
-    "exp": jnp.exp,
-    "log": jnp.log,
-    "sqrt": jnp.sqrt,
-    "rsqrt": lax.rsqrt,
-    "relu": lambda x: jnp.maximum(x, 0),
-    "sigmoid": jax.nn.sigmoid,
-    "tanh": jnp.tanh,
-}
 
 _UNARY_GRAD = {
     "neg": lambda x, y, g: -g,
@@ -197,11 +179,6 @@ _UNARY_GRAD = {
     "sigmoid": lambda x, y, g: g * y * (1 - y),
     "tanh": lambda x, y, g: g * (1 - y * y),
 }
-
-
-@partial(jax.jit, static_argnums=(0, 2, 3))
-def _unary_jit(name, A, acc_dt, common_dt):
-    return _UNARY_FWD[name](A.astype(acc_dt)).astype(common_dt)
 
 
 class UnaryGradFunction(GradFunction):
@@ -221,15 +198,18 @@ class UnaryGradFunction(GradFunction):
 
 def unary_op(name, t: Tensor, out: Tensor | None = None, track_grad=True) -> Tensor:
     common = t.dtype()
-    acc = accumulate_type(common)
-    if acc == ScalarType.Undefined:
-        acc = common
-    result = _unary_jit(name, t._array(), to_jnp(acc), to_jnp(common))
+    acc = _acc_of(common)
     if out is not None and out.defined():
-        out._write(result)
+        run_op(
+            name, [t], out=out, out_shape=tuple(t.sizes()),
+            acc=to_jnp(acc), common=to_jnp(common),
+        )
         return out
+    flat = run_op(
+        name, [t], out_shape=tuple(t.sizes()), acc=to_jnp(acc), common=to_jnp(common)
+    )
     out = empty(t.sizes(), common, t.device())
-    out._write(result)
+    out._write(flat)
     if track_grad and t.requires_grad() and is_floating_type(common):
         out.set_requires_grad(True)
         out.set_grad_fn(UnaryGradFunction(name, t, out))

@@ -29,21 +29,28 @@ from ..runtime.backend import use_pallas
 _PALLAS_DTYPES = (ScalarType.Float, ScalarType.BFloat16, ScalarType.Half)
 
 
-def matmul_2d(A, B, out_dtype):
-    """(m,k) @ (k,n) with fp32 accumulation.
-
-    Engine choice mirrors the reference, which calls the vendor library
-    (CUTLASS) for its GEMM: the TPU vendor path is XLA's dot (measured
-    190-203 TFLOP/s bf16 4096^3 on v5e), so it is the default; the in-house
-    MXU-tiled Pallas kernel (170-187 TFLOP/s, 86-95% of roofline — the
-    analog of the reference's hand-rolled WMMA block_gemm, except ours is
-    live and tested) is selected with KFUNCA_GEMM_ENGINE=pallas and is the
-    substrate for fused epilogues.
-    """
+def _gemm_engine() -> str:
+    """Engine choice, read at DISPATCH time (never inside a trace — an env
+    read inside a jitted function is baked at first trace and silently
+    ignores later changes).  Mirrors the reference, which calls the vendor
+    library (CUTLASS) for its GEMM: the TPU vendor path is XLA's dot
+    (measured 190-203 TFLOP/s bf16 4096^3 on v5e), so it is the default;
+    the in-house MXU-tiled Pallas kernel (the analog of the reference's
+    hand-rolled WMMA block_gemm, except ours is live and tested) is
+    selected with KFUNCA_GEMM_ENGINE=pallas and is the substrate for fused
+    epilogues."""
     import os
 
+    return os.environ.get("KFUNCA_GEMM_ENGINE", "xla")
+
+
+def matmul_2d(A, B, out_dtype, engine: str | None = None):
+    """(m,k) @ (k,n) with fp32 accumulation."""
+    if engine is None:
+        engine = _gemm_engine()  # only correct OUTSIDE jit; callers inside
+        # a trace must resolve the engine at dispatch time and pass it in
     if (
-        os.environ.get("KFUNCA_GEMM_ENGINE", "xla") == "pallas"
+        engine == "pallas"
         and use_pallas()
         and A.dtype in (jnp.float32, jnp.bfloat16, jnp.float16)
     ):
@@ -55,12 +62,12 @@ def matmul_2d(A, B, out_dtype):
     return jnp.matmul(A, B, preferred_element_type=acc, precision=prec).astype(out_dtype)
 
 
-@partial(jax.jit, static_argnums=(2, 3, 4))
-def _gemm_jit(A, B, alpha, beta, out_dt):
+@partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def _gemm_jit(A, B, alpha, beta, out_dt, engine):
     m = 1
     for s in A.shape[:-1]:
         m *= s
-    r = matmul_2d(A.reshape(m, A.shape[-1]), B, out_dt)
+    r = matmul_2d(A.reshape(m, A.shape[-1]), B, out_dt, engine=engine)
     if alpha != 1.0:
         r = r * jnp.asarray(alpha, dtype=r.dtype)
     # beta scales the (zero-initialized) fresh output, contributing nothing;
@@ -97,7 +104,20 @@ def gemm(a: Tensor, b: Tensor, alpha: float = 1.0, beta: float = 0.0) -> Tensor:
     check(a.shape(-1) == b.shape(0), "gemm: inner dims mismatch")
     out_shape = a.sizes()[:-1] + [b.shape(1)]
     out = empty(out_shape, a.dtype(), a.device())
-    out._write(_gemm_jit(a._array(), b._array(), float(alpha), float(beta), to_jnp(a.dtype())))
+    from ..runtime.launcher import Launcher
+
+    out._write(
+        Launcher.instance().submit(
+            _gemm_jit,
+            a._array(),
+            b._array(),
+            float(alpha),
+            float(beta),
+            to_jnp(a.dtype()),
+            _gemm_engine(),
+            name="gemm",
+        )
+    )
     if a.requires_grad() or b.requires_grad():
         out.set_requires_grad(True)
         out.set_grad_fn(GemmGradFunction(a, b, float(alpha)))

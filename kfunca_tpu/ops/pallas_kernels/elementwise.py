@@ -5,12 +5,12 @@ The TPU analog of the reference's vectorized elementwise engine
 load -> unrolled apply -> store).  One templated kernel serves every arity,
 like the reference's function_traits-driven gpu_kernel.
 
-Role: XLA already emits speed-of-light fused loops for elementwise chains,
-so this family exists (a) to prove out the kernel-family design with a
-benchmarkable alternative (KFUNCA_FORCE_XLA flips the engines), and (b) as
-the substrate for fusions XLA cannot see across our eager op boundary.
-Only tile-aligned contiguous operands are eligible; everything else takes
-the XLA path.
+Role: XLA already emits speed-of-light fused loops for elementwise chains
+(the ops are HBM-bandwidth-bound), so XLA is the default engine.  This
+family is dispatched from the fused eager engine (core/dispatch.py) when
+KFUNCA_ELEMENTWISE_ENGINE=pallas is set on a real TPU — an A/B knob, read
+at dispatch time — for registered ops on broadcast-free, 128-lane-divisible
+shapes; everything else takes the XLA path.  bench.py reports both engines.
 """
 
 from __future__ import annotations

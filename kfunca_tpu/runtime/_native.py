@@ -67,9 +67,26 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.kf_broadcast_shapes.restype = ctypes.c_int
     lib.kf_broadcast_shapes.argtypes = [ctypes.c_int, i64p, i64p, i64p, i64p]
     lib.kf_plan_loop_nest.restype = ctypes.c_int
-    lib.kf_plan_loop_nest.argtypes = [ctypes.c_int, i64, i64p, i64p, i64p, i64p]
+    lib.kf_plan_loop_nest.argtypes = [ctypes.c_int, i64, i64p, i64p, i64p, i64p, i64p, i64p]
     lib.kf_tape_schedule.restype = ctypes.c_int
     lib.kf_tape_schedule.argtypes = [i64, i64, i64p, i64p, i64, i64p]
+    # serving runtime: page allocator + request queue
+    lib.kf_page_pool_create.restype = i64
+    lib.kf_page_pool_create.argtypes = [i64]
+    lib.kf_page_alloc.restype = i64
+    lib.kf_page_alloc.argtypes = [i64, i64, i64p]
+    lib.kf_page_free.restype = i64
+    lib.kf_page_free.argtypes = [i64, i64, i64p]
+    lib.kf_page_pool_available.restype = i64
+    lib.kf_page_pool_available.argtypes = [i64]
+    lib.kf_queue_create.restype = i64
+    lib.kf_queue_create.argtypes = []
+    lib.kf_queue_push.restype = i64
+    lib.kf_queue_push.argtypes = [i64, i64]
+    lib.kf_queue_pop.restype = i64
+    lib.kf_queue_pop.argtypes = [i64]
+    lib.kf_queue_size.restype = i64
+    lib.kf_queue_size.argtypes = [i64]
     return lib
 
 

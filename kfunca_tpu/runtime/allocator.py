@@ -129,7 +129,9 @@ class DeviceAllocator:
                 block_id=bid,
                 size=size.value,
                 device=device,
-                addr=self._lib.kf_block_addr(bid),
+                # kf_block_addr(bid) == bid << 40 (csrc kAddrStride); computed
+                # here to save an FFI crossing on the allocation hot path
+                addr=bid << 40,
             )
             if reused.value:
                 with self._lock:

@@ -7,10 +7,11 @@ Launcher's real jobs become
 
   * device enumeration + cached properties (launcher_cuda.h:258-291),
   * current-device selection threaded to allocations/ingest (:139-147),
-  * submit(): the generic launch wrapper (:315-353) — here it wraps any
-    compiled callable, applying the sync policy and, in profiling mode,
-    robust wall-clock timing recorded to the profiler (the cudaEvent
-    bracket analog),
+  * submit(): the generic launch wrapper (:315-353) and the funnel for
+    every eager op launch — core/dispatch.py routes all fused elementwise
+    programs through it and ops/gemm.py its gemm program — applying the
+    sync policy and, in profiling mode, robust wall-clock timing recorded
+    to the profiler (the cudaEvent bracket analog),
   * sync_mode: the reference synchronizes after every launch by default
     (:290); here sync_mode=True forces a device fetch after each submit —
     off by default because XLA's async dispatch is the TPU-native execution

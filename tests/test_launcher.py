@@ -34,6 +34,38 @@ class TestLauncher:
         finally:
             kfunca.launcher.set_profiling_mode(False)
 
+    def test_profiling_observes_eager_ops(self):
+        """Every eager op launch funnels through Launcher.submit
+        (reference: all launches go through Launcher::submit,
+        launcher_cuda.h:315-353), so profiling mode sees them."""
+        kfunca.launcher.set_profiling_mode(True)
+        try:
+            PROFILER.records.clear()
+            a = kfunca.from_numpy(np.ones((4, 4), np.float32), 0)
+            b = kfunca.from_numpy(np.ones((4, 4), np.float32), 0)
+            _ = a + b
+            _ = a * 2.0
+            a.fill_(3.0)
+            g = kfunca.gemm(a, b, 1.0, 0.0)
+            del g
+            names = [r.name for r in PROFILER.records]
+            assert "add" in names, names
+            assert "mul_scalar" in names, names
+            assert "fill" in names, names
+            assert "gemm" in names, names
+        finally:
+            kfunca.launcher.set_profiling_mode(False)
+            PROFILER.records.clear()
+
+    def test_sync_mode_observes_eager_ops(self):
+        kfunca.launcher.set_sync_mode(True)
+        try:
+            a = kfunca.from_numpy(np.arange(16, dtype=np.float32), 0)
+            out = a + a
+            assert np.array_equal(out.numpy(), np.arange(16, dtype=np.float32) * 2)
+        finally:
+            kfunca.launcher.set_sync_mode(False)
+
     def test_sync_mode(self):
         kfunca.launcher.set_sync_mode(True)
         try:

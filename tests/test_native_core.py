@@ -72,6 +72,8 @@ def plan_nest(shape, strides_per_op):
     nd = len(shape)
     out_shape = _native.i64_array([0] * max(nd, 1))
     out_strides = _native.i64_array([0] * max(nd * n, 1))
+    out_perm = _native.i64_array([0] * max(nd, 1))
+    out_gsize = _native.i64_array([0] * max(nd, 1))
     rc = lib.kf_plan_loop_nest(
         n,
         nd,
@@ -79,11 +81,16 @@ def plan_nest(shape, strides_per_op):
         _native.i64_array([s for ss in strides_per_op for s in ss]),
         out_shape,
         out_strides,
+        out_perm,
+        out_gsize,
     )
     assert rc >= 0
     cshape = [out_shape[i] for i in range(rc)]
     cstrides = [[out_strides[t * rc + i] for i in range(rc)] for t in range(n)]
-    return cshape, cstrides
+    perm = [out_perm[i] for i in range(nd)]
+    gsize = [out_gsize[i] for i in range(rc)]
+    assert sum(gsize) == nd
+    return cshape, cstrides, perm, gsize
 
 
 class TestLoopNestPlanner:
@@ -92,7 +99,7 @@ class TestLoopNestPlanner:
         (reference coalesce_dimensions, tensor_iterator.cpp:263-307)."""
         shape = [4, 5, 6]
         s = [30, 6, 1]
-        cshape, cstrides = plan_nest(shape, [s, s])
+        cshape, cstrides, _perm, _gsize = plan_nest(shape, [s, s])
         assert cshape == [120]
         assert cstrides == [[1], [1]]
 
@@ -101,7 +108,7 @@ class TestLoopNestPlanner:
         shape = [4, 5, 6]
         a = [30, 6, 1]
         b = [6, 0, 1]
-        cshape, cstrides = plan_nest(shape, [a, b])
+        cshape, cstrides, _perm, _gsize = plan_nest(shape, [a, b])
         # dim1+dim2 can't merge for b (0*6 != 6); dim0 can't merge w/ dim1
         assert len(cshape) > 1
         # extent product preserved
@@ -114,7 +121,7 @@ class TestLoopNestPlanner:
         (reference reorder_dimensions, tensor_iterator.cpp:181-244)."""
         shape = [6, 4]  # transposed view of contiguous (4,6)
         a = [1, 6]
-        cshape, cstrides = plan_nest(shape, [a])
+        cshape, cstrides, _perm, _gsize = plan_nest(shape, [a])
         # after reorder: shape (4,6) strides (6,1) -> coalesces to 24/1
         assert cshape == [24]
         assert cstrides == [[1]]
@@ -122,7 +129,7 @@ class TestLoopNestPlanner:
     def test_size1_dims_dropped(self):
         shape = [1, 5, 1, 7]
         a = [35, 7, 7, 1]
-        cshape, cstrides = plan_nest(shape, [a])
+        cshape, cstrides, _perm, _gsize = plan_nest(shape, [a])
         assert cshape == [35]
         assert cstrides == [[1]]
 
