@@ -1,0 +1,415 @@
+"""Serving engine: paged KV cache, batched decode, sampling, scheduler.
+
+Green-field capability (the reference ships no serving; this rounds out the
+framework's production story).  TPU-first construction:
+
+  * **Paged KV cache** — per layer, a bounded pool of fixed-size pages
+    `(n_pages, page_size, H, hd)` in HBM.  A sequence owns a page table
+    (static-shape `(max_pages,)` int32); growing a sequence allocates pages
+    from the native free-list allocator (csrc kf_page_pool_*), so memory is
+    bounded and recycled across requests instead of sized for the worst
+    case per slot.  Static shapes everywhere: one compiled decode step
+    serves every batch composition (no recompiles as requests churn).
+  * **Batched decode step** — ONE jitted program per step: embed the B
+    last tokens, per layer scatter the new K/V into the pools (donated:
+    XLA updates HBM in place), gather each sequence's pages via its page
+    table, attend with a position mask, then sample.  Gathers/scatters are
+    batched advanced indexing, which XLA lowers to efficient dynamic
+    gather/scatter on TPU.
+  * **Sampling** — greedy, temperature, and nucleus (top-p) over the full
+    sorted vocab (lax.top_k is avoided: k >= ~2049 crashes the TPU
+    compiler — see ROADMAP known hazards).
+  * **Continuous batching scheduler** — fixed decode slots; a native FIFO
+    queue (csrc kf_queue_*) holds waiting requests; when a sequence
+    finishes (EOS or max_new), its pages are freed and the next request is
+    admitted with a prefill.  Throughput comes from keeping slots full,
+    not from dynamic shapes.
+
+Prefill reuses generate.forward_with_cache (dense, flash-sized matmuls on
+the MXU), then the dense prompt cache is scattered into the paged pools.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..runtime import _native
+from .generate import _rope_at, forward_with_cache, init_kv_cache
+from .transformer import TransformerConfig, rms_norm
+
+
+# ---------------------------------------------------------------------------
+# page allocator (native free-list with Python fallback)
+# ---------------------------------------------------------------------------
+
+
+class PagePool:
+    """Free-list allocator over `n_pages` KV pages (native kf_page_pool_*)."""
+
+    def __init__(self, n_pages: int):
+        self.n_pages = n_pages
+        self._lib = _native.get_lib()
+        if self._lib is not None:
+            self._id = self._lib.kf_page_pool_create(n_pages)
+        else:
+            self._free = list(range(n_pages - 1, -1, -1))
+
+    def alloc(self, count: int) -> list[int] | None:
+        """`count` page indices, or None if the pool can't satisfy it."""
+        if count == 0:
+            return []
+        if self._lib is not None:
+            out = _native.i64_array([0] * count)
+            if self._lib.kf_page_alloc(self._id, count, out) < 0:
+                return None
+            return [out[i] for i in range(count)]
+        if len(self._free) < count:
+            return None
+        pages = [self._free.pop() for _ in range(count)]
+        return pages
+
+    def free(self, pages: list[int]) -> None:
+        if not pages:
+            return
+        if self._lib is not None:
+            arr = _native.i64_array(list(pages))
+            self._lib.kf_page_free(self._id, len(pages), arr)
+        else:
+            self._free.extend(pages)
+
+    @property
+    def available(self) -> int:
+        if self._lib is not None:
+            return int(self._lib.kf_page_pool_available(self._id))
+        return len(self._free)
+
+
+class RequestQueue:
+    """FIFO admission queue (native kf_queue_*)."""
+
+    def __init__(self):
+        self._lib = _native.get_lib()
+        if self._lib is not None:
+            self._id = self._lib.kf_queue_create()
+        else:
+            self._items = []
+
+    def push(self, item: int) -> None:
+        if self._lib is not None:
+            self._lib.kf_queue_push(self._id, item)
+        else:
+            self._items.append(item)
+
+    def pop(self) -> int | None:
+        if self._lib is not None:
+            v = int(self._lib.kf_queue_pop(self._id))
+            return None if v < 0 else v
+        return self._items.pop(0) if self._items else None
+
+    def __len__(self) -> int:
+        if self._lib is not None:
+            return int(self._lib.kf_queue_size(self._id))
+        return len(self._items)
+
+
+# ---------------------------------------------------------------------------
+# sampling
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("temperature", "top_p"))
+def sample_tokens(logits, key, temperature=0.0, top_p=1.0):
+    """(B, V) logits -> (B,) int32 tokens.  Greedy when temperature == 0;
+    nucleus filtering keeps the smallest prefix of the sorted distribution
+    whose cumulative probability reaches top_p."""
+    if temperature == 0.0:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    logits = logits.astype(jnp.float32) / jnp.float32(temperature)
+    if top_p >= 1.0:
+        return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
+    # full-vocab sort (lax.top_k with large k crashes the TPU compiler)
+    sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]
+    sorted_idx = jnp.argsort(logits, axis=-1)[:, ::-1]
+    probs = jax.nn.softmax(sorted_logits, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    keep = (cum - probs) < jnp.float32(top_p)  # always keeps the top token
+    filtered = jnp.where(keep, sorted_logits, jnp.float32(-1e30))
+    choice = jax.random.categorical(key, filtered, axis=-1)
+    return jnp.take_along_axis(sorted_idx, choice[:, None], axis=-1)[:, 0].astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# batched paged decode step (one compiled program)
+# ---------------------------------------------------------------------------
+
+
+def _paged_block(x, p, pool_k, pool_v, page_tables, positions, cfg, page_size):
+    """One transformer block over B single tokens against paged KV.
+
+    x: (B, 1, dm); pool_k/v: (n_pages, page, H, hd); page_tables:
+    (B, max_pages) int32; positions: (B,) int32 (index of the new token).
+    Returns (x, new_pool_k, new_pool_v)."""
+    b = x.shape[0]
+    h, hd = cfg.n_heads, cfg.head_dim
+    max_pages = page_tables.shape[1]
+
+    y = rms_norm(x, p["attn_norm"])
+    qkv = jnp.dot(y, p["wqkv"].astype(y.dtype), preferred_element_type=jnp.float32)
+    qkv = qkv.astype(y.dtype).reshape(b, 1, 3, h, hd)
+    q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))  # (B,H,1,hd)
+
+    # RoPE at each sequence's own absolute position (vmap over the batch)
+    rope = jax.vmap(lambda xx, pos: _rope_at(xx[None], pos[None], cfg.rope_theta)[0])
+    q = rope(q, positions)
+    k = rope(k, positions)
+
+    # scatter the new K/V into the pools at (page_of(pos), pos % page)
+    page_slot = page_tables[jnp.arange(b), positions // page_size]  # (B,)
+    offset = positions % page_size
+    newk = k[:, :, 0].astype(pool_k.dtype)  # (B, H, hd)
+    newv = v[:, :, 0].astype(pool_v.dtype)
+    pool_k = pool_k.at[page_slot, offset].set(newk)
+    pool_v = pool_v.at[page_slot, offset].set(newv)
+
+    # gather each sequence's pages: (B, max_pages, page, H, hd) -> (B,H,L,hd)
+    kc = pool_k[page_tables].reshape(b, max_pages * page_size, h, hd).transpose(0, 2, 1, 3)
+    vc = pool_v[page_tables].reshape(b, max_pages * page_size, h, hd).transpose(0, 2, 1, 3)
+
+    scale = 1.0 / math.sqrt(hd)
+    s = jnp.einsum("bhtd,bhld->bhtl", q.astype(jnp.float32), kc.astype(jnp.float32)) * scale
+    l_pos = jnp.arange(max_pages * page_size, dtype=jnp.int32)[None, None, None, :]
+    mask = l_pos <= positions[:, None, None, None]
+    s = jnp.where(mask, s, jnp.float32(-1e30))
+    prob = jax.nn.softmax(s, axis=-1)
+    attn = jnp.einsum("bhtl,bhld->bhtd", prob, vc.astype(jnp.float32)).astype(x.dtype)
+    attn = attn.transpose(0, 2, 1, 3).reshape(b, 1, h * hd)
+    x = x + jnp.dot(
+        attn, p["wo"].astype(attn.dtype), preferred_element_type=jnp.float32
+    ).astype(x.dtype)
+
+    y = rms_norm(x, p["mlp_norm"])
+    gate = jnp.dot(y, p["w_gate"].astype(y.dtype), preferred_element_type=jnp.float32)
+    up = jnp.dot(y, p["w_up"].astype(y.dtype), preferred_element_type=jnp.float32)
+    act = (jax.nn.silu(gate) * up).astype(y.dtype)
+    x = x + jnp.dot(
+        act, p["w_down"].astype(act.dtype), preferred_element_type=jnp.float32
+    ).astype(x.dtype)
+    return x, pool_k, pool_v
+
+
+@partial(jax.jit, static_argnames=("cfg", "page_size", "temperature", "top_p"), donate_argnums=(1, 2))
+def paged_decode_step(
+    params, pools_k, pools_v, page_tables, positions, last_tokens, key,
+    cfg: TransformerConfig, page_size: int, temperature=0.0, top_p=1.0,
+):
+    """One batched decode step over paged KV.
+
+    pools_k/v: (L, n_pages, page, H, hd) stacked per-layer pools (donated —
+    XLA updates the pool in place in HBM).
+    Returns (new_tokens (B,), pools_k, pools_v).  Inactive slots decode
+    garbage harmlessly (their pages are reserved); callers ignore them.
+    """
+    x = params["embed"][last_tokens[:, None]].astype(cfg.act_dtype)  # (B,1,dm)
+    new_k, new_v = [], []
+    for li, p in enumerate(params["blocks"]):
+        x, pk, pv = _paged_block(
+            x, p, pools_k[li], pools_v[li], page_tables, positions, cfg, page_size
+        )
+        new_k.append(pk)
+        new_v.append(pv)
+    pools_k = jnp.stack(new_k)
+    pools_v = jnp.stack(new_v)
+    x = rms_norm(x, params["final_norm"])
+    logits = jnp.dot(
+        x[:, 0], params["embed"].T.astype(x.dtype), preferred_element_type=jnp.float32
+    )
+    tokens = sample_tokens(logits, key, temperature=temperature, top_p=top_p)
+    return tokens, pools_k, pools_v
+
+
+# ---------------------------------------------------------------------------
+# scheduler: continuous batching over fixed decode slots
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class Request:
+    req_id: int
+    prompt: np.ndarray  # (T,) int32
+    max_new: int
+    tokens: list = field(default_factory=list)  # generated
+    done: bool = False
+
+
+class InferenceServer:
+    """Continuous-batching inference over a paged KV cache.
+
+    `batch_slots` sequences decode together in one compiled step; finished
+    sequences release their pages and waiting requests are admitted with a
+    prefill.  All sampling parameters are per-server (one compiled step),
+    matching the static-shape discipline.
+    """
+
+    def __init__(
+        self,
+        params,
+        cfg: TransformerConfig,
+        batch_slots: int = 4,
+        page_size: int = 16,
+        n_pages: int = 256,
+        max_pages_per_seq: int = 16,
+        temperature: float = 0.0,
+        top_p: float = 1.0,
+        eos_token: int | None = None,
+        seed: int = 0,
+    ):
+        self.params = params
+        self.cfg = cfg
+        self.B = batch_slots
+        self.page_size = page_size
+        self.max_pages = max_pages_per_seq
+        self.temperature = float(temperature)
+        self.top_p = float(top_p)
+        self.eos = eos_token
+        # page n_pages-1 is the TRASH page: never allocated; idle slots point
+        # their whole page table at it so their (harmless) decode writes
+        # cannot corrupt pages owned by live sequences.
+        self.trash_page = n_pages - 1
+        self.pool = PagePool(n_pages - 1)
+        self.queue = RequestQueue()
+        self.requests: dict[int, Request] = {}
+        self._next_id = 0
+        self._key = jax.random.PRNGKey(seed)
+
+        h, hd = cfg.n_heads, cfg.head_dim
+        shape = (cfg.n_layers, n_pages, page_size, h, hd)
+        self.pools_k = jnp.zeros(shape, cfg.act_dtype)
+        self.pools_v = jnp.zeros(shape, cfg.act_dtype)
+        # slot state (host-side)
+        self.slot_req = [None] * self.B  # req_id or None
+        self.slot_pages = [[] for _ in range(self.B)]
+        self.page_tables = np.full((self.B, self.max_pages), self.trash_page, np.int32)
+        self.positions = np.zeros((self.B,), np.int32)  # index of next token
+        self.last_tokens = np.zeros((self.B,), np.int32)
+
+    # -- API ---------------------------------------------------------------
+
+    def submit(self, prompt, max_new: int = 16) -> int:
+        rid = self._next_id
+        self._next_id += 1
+        self.requests[rid] = Request(rid, np.asarray(prompt, np.int32), max_new)
+        self.queue.push(rid)
+        return rid
+
+    def run(self, max_steps: int = 10_000) -> dict[int, list[int]]:
+        """Drive admission + decode until all submitted work completes."""
+        for _ in range(max_steps):
+            self._admit()
+            if all(r is None for r in self.slot_req):
+                if len(self.queue) == 0:
+                    break
+                continue  # waiting on pages
+            self._step()
+        return {rid: r.tokens for rid, r in self.requests.items() if r.done}
+
+    def throughput_stats(self) -> dict:
+        done = [r for r in self.requests.values() if r.done]
+        return {
+            "completed": len(done),
+            "generated_tokens": sum(len(r.tokens) for r in done),
+            "pages_available": self.pool.available,
+        }
+
+    # -- internals -----------------------------------------------------------
+
+    def _admit(self):
+        for slot in range(self.B):
+            if self.slot_req[slot] is not None:
+                continue
+            if len(self.queue) == 0:
+                return
+            rid = self.queue.pop()
+            req = self.requests[rid]
+            t = len(req.prompt)
+            need = -(-(t + req.max_new) // self.page_size)
+            if need > self.max_pages:
+                req.done = True  # oversized: reject
+                continue
+            pages = self.pool.alloc(need)
+            if pages is None:
+                self.queue.push(rid)  # no memory: requeue, try next round
+                return
+            self.slot_req[slot] = rid
+            self.slot_pages[slot] = pages
+            self.page_tables[slot] = self.trash_page
+            self.page_tables[slot, : len(pages)] = pages
+            first = self._prefill(slot, req)
+            self.positions[slot] = t
+            self.last_tokens[slot] = first
+            req.tokens.append(int(first))
+            if self._finished(req, first):
+                self._release(slot)
+
+    def _prefill(self, slot: int, req: Request) -> int:
+        """Dense prefill of the prompt, scattered into this slot's pages."""
+        cfg, t = self.cfg, len(req.prompt)
+        tokens = jnp.asarray(req.prompt[None], jnp.int32)
+        cache = init_kv_cache(cfg, 1, t)
+        logits, cache = forward_with_cache(self.params, tokens, cache, jnp.int32(0), cfg)
+        # scatter the dense (1,H,T,hd) prompt cache into the paged pools
+        n_full = t // self.page_size
+        rem = t % self.page_size
+        pk, pv = self.pools_k, self.pools_v
+        for li, lc in enumerate(cache):
+            k = lc["k"][0].transpose(1, 0, 2)  # (T, H, hd)
+            v = lc["v"][0].transpose(1, 0, 2)
+            for pi in range(n_full + (1 if rem else 0)):
+                page = self.slot_pages[slot][pi]
+                lo = pi * self.page_size
+                n = self.page_size if pi < n_full else rem
+                pk = pk.at[li, page, :n].set(k[lo : lo + n].astype(pk.dtype))
+                pv = pv.at[li, page, :n].set(v[lo : lo + n].astype(pv.dtype))
+        self.pools_k, self.pools_v = pk, pv
+        self._key, sub = jax.random.split(self._key)
+        first = sample_tokens(
+            logits[:, -1], sub, temperature=self.temperature, top_p=self.top_p
+        )
+        return int(first[0])
+
+    def _step(self):
+        self._key, sub = jax.random.split(self._key)
+        tokens, self.pools_k, self.pools_v = paged_decode_step(
+            self.params, self.pools_k, self.pools_v,
+            jnp.asarray(self.page_tables), jnp.asarray(self.positions),
+            jnp.asarray(self.last_tokens), sub,
+            self.cfg, self.page_size, self.temperature, self.top_p,
+        )
+        tokens = np.asarray(tokens)
+        for slot in range(self.B):
+            rid = self.slot_req[slot]
+            if rid is None:
+                continue
+            req = self.requests[rid]
+            tok = int(tokens[slot])
+            req.tokens.append(tok)
+            self.positions[slot] += 1
+            self.last_tokens[slot] = tok
+            if self._finished(req, tok):
+                self._release(slot)
+
+    def _finished(self, req: Request, tok: int) -> bool:
+        return len(req.tokens) >= req.max_new or (self.eos is not None and tok == self.eos)
+
+    def _release(self, slot: int):
+        rid = self.slot_req[slot]
+        self.requests[rid].done = True
+        self.pool.free(self.slot_pages[slot])
+        self.slot_req[slot] = None
+        self.slot_pages[slot] = []
+        self.page_tables[slot] = self.trash_page
