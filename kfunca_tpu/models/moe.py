@@ -1,4 +1,4 @@
-"""Mixture-of-Experts FFN: top-1 (switch) routing with capacity.
+"""Mixture-of-Experts FFN: top-1 (switch) and top-2 routing with capacity.
 
 Green-field capability (the reference has no models at all): the expert-
 parallel member of the model family.  TPU-first design constraints drive
@@ -7,6 +7,9 @@ everything here:
   * static shapes — routing uses a fixed capacity per expert; overflow
     tokens are dropped (standard Switch-Transformer semantics), so the
     dispatch/combine tensors have shapes independent of the routing result.
+  * top-k routing fills expert queues in CHOICE-RANK order: every token's
+    first choice is seated before any second choice competes for capacity
+    (GShard semantics), all with static-shape cumsums.
   * dispatch and combine are einsums (one-hot matmuls) — MXU work, not
     gathers, and GSPMD can shard them over the expert axis ("ep"): expert
     weights are sharded E-over-ep, the dispatch einsum becomes an
@@ -28,6 +31,7 @@ class MoEConfig:
     capacity_factor: float = 1.25
     d_model: int = 512
     d_ff: int = 1024
+    top_k: int = 1  # 1 = switch routing; 2 = GShard-style top-2
 
 
 def init_moe_params(key, cfg: MoEConfig):
@@ -47,6 +51,42 @@ def init_moe_params(key, cfg: MoEConfig):
     }
 
 
+def _topk_dispatch(probs, e: int, cap: int, top_k: int):
+    """Static-shape top-k routing.
+
+    Returns (dispatch (T, E, cap) one-hot weights, combine (T, E, cap)
+    gate-weighted, first-choice onehot (T, E) for the aux loss).
+
+    Queues fill in choice-rank order: rank-0 assignments for ALL tokens are
+    seated first, then rank-1 competes for the remaining slots (GShard).
+    Gates are renormalized over the token's KEPT experts.
+    """
+    t = probs.shape[0]
+    top_probs, top_idx = jax.lax.top_k(probs, top_k)  # (T, k) — k is tiny
+    onehots = [jax.nn.one_hot(top_idx[:, r], e, dtype=jnp.float32) for r in range(top_k)]
+
+    # seat tokens: cumulative per-expert counts carry across ranks
+    base = jnp.zeros((e,), jnp.float32)
+    dispatches, gates, keeps = [], [], []
+    for r in range(top_k):
+        oh = onehots[r]
+        position = (jnp.cumsum(oh, axis=0) - 1.0) * oh + base[None, :] * oh
+        pos_in_expert = jnp.sum(position, axis=-1)  # (T,)
+        keep = pos_in_expert < cap
+        slot = jax.nn.one_hot(pos_in_expert.astype(jnp.int32), cap, dtype=jnp.float32)
+        dispatches.append(oh[:, :, None] * slot[:, None, :] * keep[:, None, None])
+        gates.append(top_probs[:, r] * keep)
+        keeps.append(keep)
+        base = base + jnp.sum(oh, axis=0)
+
+    # renormalize gates over kept choices (sum of kept top-k probs)
+    denom = sum(gates)
+    denom = jnp.where(denom == 0.0, 1.0, denom)
+    dispatch = sum(dispatches)
+    combine = sum(dsp * (g / denom)[:, None, None] for dsp, g in zip(dispatches, gates))
+    return dispatch, combine, onehots[0]
+
+
 def moe_ffn(x, params, cfg: MoEConfig):
     """x: (B, S, D) -> (B, S, D), plus the load-balancing aux loss.
 
@@ -55,25 +95,14 @@ def moe_ffn(x, params, cfg: MoEConfig):
     b, s, d = x.shape
     n_tokens = b * s
     e = cfg.n_experts
-    cap = max(1, int(cfg.capacity_factor * n_tokens / e))
+    cap = max(1, int(cfg.capacity_factor * cfg.top_k * n_tokens / e))
 
     xt = x.reshape(n_tokens, d)
     logits = jnp.dot(
         xt.astype(jnp.float32), params["router"], preferred_element_type=jnp.float32
     )  # (T, E)
     probs = jax.nn.softmax(logits, axis=-1)
-    expert_idx = jnp.argmax(probs, axis=-1)  # (T,)
-    gate = jnp.max(probs, axis=-1)  # (T,)
-
-    # position of each token within its expert's queue (static-shape cumsum)
-    onehot = jax.nn.one_hot(expert_idx, e, dtype=jnp.float32)  # (T, E)
-    position = (jnp.cumsum(onehot, axis=0) - 1.0) * onehot  # (T, E)
-    pos_in_expert = jnp.sum(position, axis=-1)  # (T,)
-    keep = pos_in_expert < cap  # overflow tokens dropped
-
-    # dispatch tensor: (T, E, cap) one-hot over (expert, slot)
-    slot_onehot = jax.nn.one_hot(pos_in_expert.astype(jnp.int32), cap, dtype=jnp.float32)
-    dispatch = onehot[:, :, None] * slot_onehot[:, None, :] * keep[:, None, None]
+    dispatch, combine, onehot1 = _topk_dispatch(probs, e, cap, cfg.top_k)
 
     # route tokens to expert buffers: (E, cap, D) — all-to-all under ep sharding
     expert_in = jnp.einsum("tec,td->ecd", dispatch, xt.astype(jnp.float32))
@@ -84,12 +113,12 @@ def moe_ffn(x, params, cfg: MoEConfig):
     expert_out = jnp.einsum(
         "ecf,efd->ecd", h, params["w_out"], preferred_element_type=jnp.float32
     )
-    # combine back, weighted by the gate
-    combine = dispatch * gate[:, None, None]
+    # combine back, weighted by the renormalized gates
     out = jnp.einsum("tec,ecd->td", combine, expert_out)
 
-    # Switch load-balancing loss: E * sum_e (fraction_tokens_e * mean_prob_e)
-    frac_tokens = jnp.mean(onehot, axis=0)
+    # Switch load-balancing loss over FIRST choices:
+    # E * sum_e (fraction_tokens_e * mean_prob_e)
+    frac_tokens = jnp.mean(onehot1, axis=0)
     mean_probs = jnp.mean(probs, axis=0)
     aux = e * jnp.sum(frac_tokens * mean_probs)
     return out.astype(x.dtype).reshape(b, s, d), aux

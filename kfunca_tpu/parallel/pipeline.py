@@ -35,7 +35,7 @@ def stack_stages(block_params: list, n_stages: int):
     )
 
 
-def pipeline_spmd(stage_block_fn, stacked_params, x_mb, *, axis: str = "pp"):
+def pipeline_spmd(stage_block_fn, stacked_params, x_mb, *, axis: str = "pp", remat: bool = False):
     """Runs INSIDE shard_map over `axis`.
 
     stage_block_fn(layer_params, x) applies ONE layer.
@@ -43,6 +43,12 @@ def pipeline_spmd(stage_block_fn, stacked_params, x_mb, *, axis: str = "pp"):
     x_mb: (M, mb, S, D) embedded microbatches (same on every stage; only
     stage 0's copy is consumed).
     Returns (M, mb, S, D) final-stage outputs, broadcast to all stages.
+
+    remat=True checkpoints each stage application: the backward pipeline
+    (the AD transpose of this scan) then stores only the per-tick stage
+    INPUTS and recomputes layer activations on the fly — the microbatch
+    remat policy that bounds pipeline activation memory at M x (mb, S, D)
+    per stage instead of M x per-layer intermediates.
     """
     n_stages = jax.lax.psum(1, axis)
     idx = jax.lax.axis_index(axis)
@@ -57,6 +63,9 @@ def pipeline_spmd(stage_block_fn, stacked_params, x_mb, *, axis: str = "pp"):
 
         h, _ = jax.lax.scan(body, x, local_params)
         return h
+
+    if remat:
+        apply_stage = jax.checkpoint(apply_stage)
 
     def tick(state, t):
         inp = jax.lax.ppermute(state, axis, perm)  # receive from the left stage
@@ -78,17 +87,24 @@ def pipeline_spmd(stage_block_fn, stacked_params, x_mb, *, axis: str = "pp"):
     return jax.lax.psum(outs.astype(jnp.float32) * is_last, axis).astype(outs.dtype)
 
 
-def make_pipelined_forward(block_fn, mesh, *, pp_axis: str = "pp"):
+def make_pipelined_forward(block_fn, mesh, *, pp_axis: str = "pp", remat: bool = False):
     """Wrap `block_fn(layer_params, x)` into a pipelined multi-layer apply:
 
         fn(stacked_params, x_microbatches) -> final activations (M, mb, S, D)
 
     shard_map is manual over pp only; dp/tp stay compiler-managed (auto).
+
+    Schedule note: the forward is GPipe ticks; the BACKWARD schedule is the
+    AD transpose of the scan+ppermute program, which reverses the pipeline
+    automatically (cool-down then warm-up) — the same dependency structure
+    a hand-written 1F1B realizes.  What 1F1B buys beyond this is activation
+    memory, which `remat=True` bounds instead (store stage inputs only,
+    recompute layer intermediates in the backward).
     """
     # axis_names={pp} puts ONLY the pipeline axis in manual mode; dp/tp stay
     # compiler-managed (GSPMD auto) inside the body.
     return jax.shard_map(
-        partial(pipeline_spmd, block_fn, axis=pp_axis),
+        partial(pipeline_spmd, block_fn, axis=pp_axis, remat=remat),
         mesh=mesh,
         in_specs=(P(pp_axis), P()),
         out_specs=P(),

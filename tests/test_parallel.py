@@ -75,6 +75,59 @@ class TestMoE:
         zero_rows = np.sum(np.all(np.asarray(out) == 0, axis=-1))
         assert zero_rows > 0
 
+    def test_top2_matches_dense_mixture_oracle(self):
+        """With top_k == n_experts and ample capacity, the routed output
+        must equal the full softmax-weighted mixture of every expert's FFN
+        (exact dense oracle for the dispatch/combine einsum machinery)."""
+        e, dm, ff = 3, 16, 32
+        cfg = MoEConfig(n_experts=e, d_model=dm, d_ff=ff, capacity_factor=4.0, top_k=e)
+        params = init_moe_params(jax.random.PRNGKey(1), cfg)
+        x = jax.random.normal(jax.random.PRNGKey(2), (2, 4, dm), jnp.float32)
+        out, _ = moe_ffn(x, params, cfg)
+
+        xt = x.reshape(-1, dm)
+        probs = jax.nn.softmax(xt @ params["router"], axis=-1)  # (T, E)
+        h = jax.nn.gelu(jnp.einsum("td,edf->tef", xt, params["w_in"]))
+        expert_out = jnp.einsum("tef,efd->ted", h, params["w_out"])
+        want = jnp.einsum("te,ted->td", probs, expert_out).reshape(x.shape)
+        assert np.allclose(np.asarray(out), np.asarray(want), atol=1e-5)
+
+    def test_top2_rank_order_seating(self):
+        """First choices are seated before second choices compete: with
+        capacity exactly T/E, every token's FIRST choice must survive even
+        when second choices target the same experts."""
+        e, dm = 2, 8
+        cfg = MoEConfig(n_experts=e, d_model=dm, d_ff=16, capacity_factor=1.0, top_k=2)
+        params = init_moe_params(jax.random.PRNGKey(1), cfg)
+        t = 8
+        # capacity = top_k * T / E = 8; rank-0 uses <= 8 per expert -> no
+        # rank-0 token may drop, whatever the routing
+        x = jax.random.normal(jax.random.PRNGKey(5), (1, t, dm), jnp.float32)
+        from kfunca_tpu.models.moe import _topk_dispatch
+
+        xt = x.reshape(-1, dm)
+        probs = jax.nn.softmax(xt @ params["router"], axis=-1)
+        cap = max(1, int(cfg.capacity_factor * cfg.top_k * t / e))
+        dispatch, combine, oh1 = _topk_dispatch(probs, e, cap, 2)
+        # every token's rank-0 expert appears in its dispatch row
+        kept_rank0 = jnp.einsum("tec,te->t", dispatch, oh1)
+        assert np.all(np.asarray(kept_rank0) >= 1.0 - 1e-6)
+
+    def test_top2_gates_renormalized(self):
+        """With ample capacity, each token's combine weights sum to 1."""
+        e, dm = 4, 8
+        cfg = MoEConfig(n_experts=e, d_model=dm, d_ff=16, capacity_factor=4.0, top_k=2)
+        params = init_moe_params(jax.random.PRNGKey(1), cfg)
+        x = jax.random.normal(jax.random.PRNGKey(3), (1, 8, dm), jnp.float32)
+        from kfunca_tpu.models.moe import _topk_dispatch
+
+        xt = x.reshape(-1, dm)
+        probs = jax.nn.softmax(xt @ params["router"], axis=-1)
+        cap = max(1, int(cfg.capacity_factor * cfg.top_k * 8 / e))
+        _, combine, _ = _topk_dispatch(probs, e, cap, 2)
+        sums = np.asarray(jnp.sum(combine, axis=(1, 2)))
+        assert np.allclose(sums, 1.0, atol=1e-6)
+
 
 class TestPipeline:
     def test_pipeline_matches_sequential(self):
@@ -124,6 +177,30 @@ class TestPipeline:
             float(ref_loss),
             float(pp_loss),
         )
+
+    def test_pipeline_remat_parity(self):
+        """remat=True (microbatch checkpointing) must not change the math:
+        identical outputs and gradients, only the backward memory policy."""
+        from kfunca_tpu.parallel.pipeline import make_pipelined_forward
+
+        mesh = Mesh(np.asarray(jax.devices()[:2]), ("pp",))
+        d = 8
+        block_fn = lambda p, x: jnp.tanh(x @ p)  # noqa: E731
+        params = jax.random.normal(jax.random.PRNGKey(0), (2, 2, d, d), jnp.float32)
+        x_mb = jax.random.normal(jax.random.PRNGKey(1), (3, 1, 4, d), jnp.float32)
+
+        outs, grads = {}, {}
+        for remat in (False, True):
+            fn = make_pipelined_forward(block_fn, mesh, remat=remat)
+
+            def loss(p, x):
+                return jnp.sum(fn(p, x) ** 2)
+
+            with mesh:
+                outs[remat] = jax.jit(fn)(params, x_mb)
+                grads[remat] = jax.jit(jax.grad(loss))(params, x_mb)
+        assert np.allclose(np.asarray(outs[False]), np.asarray(outs[True]), atol=1e-6)
+        assert np.allclose(np.asarray(grads[False]), np.asarray(grads[True]), atol=1e-5)
 
     def test_pipeline_train_step(self):
         cfg = pipeline_lm.PipelineMoEConfig(dtype="float32")
