@@ -188,3 +188,61 @@ class TestData:
         finally:
             pf.close()
         assert all(np.isfinite(losses))
+
+
+class TestShardedCheckpoint:
+    def test_sharded_roundtrip_preserves_sharding(self, tmp_path):
+        """A dp x tp sharded train state round-trips: values equal, leaf
+        shardings restored."""
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        from kfunca_tpu.utils.checkpoint import load_sharded, save_sharded
+
+        mesh = Mesh(np.asarray(jax.devices()).reshape(2, 4), ("dp", "tp"))
+        w = jax.device_put(
+            jnp.arange(8 * 8, dtype=jnp.float32).reshape(8, 8),
+            NamedSharding(mesh, P("tp", None)),
+        )
+        b = jax.device_put(
+            jnp.arange(16, dtype=jnp.bfloat16), NamedSharding(mesh, P())
+        )  # replicated bf16
+        state = {"w": w, "b": b, "step": jnp.int32(3)}
+        save_sharded(str(tmp_path / "ckpt"), state)
+        restored = load_sharded(str(tmp_path / "ckpt"), like=state)
+        assert np.array_equal(np.asarray(restored["w"]), np.asarray(w))
+        assert np.array_equal(
+            np.asarray(restored["b"]).view(np.uint16), np.asarray(b).view(np.uint16)
+        )
+        assert restored["w"].sharding == w.sharding
+        assert int(restored["step"]) == 3
+
+    def test_sharded_detects_missing_shards(self, tmp_path):
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        from kfunca_tpu.utils.checkpoint import load_sharded, save_sharded
+
+        mesh = Mesh(np.asarray(jax.devices()), ("tp",))
+        w = jax.device_put(
+            jnp.ones((8, 4), jnp.float32), NamedSharding(mesh, P("tp"))
+        )
+        save_sharded(str(tmp_path / "ckpt"), {"w": w})
+        import glob
+        import os
+
+        # corrupt: remove the shard file
+        for f in glob.glob(str(tmp_path / "ckpt" / "shard_*.npz")):
+            os.remove(f)
+        with pytest.raises(ValueError, match="elements present"):
+            load_sharded(str(tmp_path / "ckpt"), like={"w": w})
+
+    def test_async_save_roundtrip(self, tmp_path):
+        from kfunca_tpu.utils.checkpoint import load, save_async
+
+        state = {"a": jnp.arange(32, dtype=jnp.float32), "b": jnp.int32(5)}
+        handle = save_async(str(tmp_path / "a.npz"), state)
+        # mutate AFTER save_async returns: the snapshot must be unaffected
+        state["a"] = state["a"] * 0
+        handle.wait()
+        restored = load(str(tmp_path / "a.npz"), like=state)
+        assert np.array_equal(np.asarray(restored["a"]), np.arange(32, dtype=np.float32))
+        assert int(restored["b"]) == 5
