@@ -53,8 +53,11 @@ def _matmul_kernel(a_ref, b_ref, o_ref, acc_ref):
 def matmul(a, b, out_dtype=None, bm=2048, bn=512, bk=2048, vmem_limit=100 * 1024 * 1024, interpret=False):
     """(m, k) @ (k, n) -> (m, n) with fp32 accumulation on the MXU.
 
-    Default blocks (2048, 512, 2048) measured best on TPU v5e: 187 TFLOP/s on
-    4096^3 bf16 = 95% of the 197 TFLOP/s roofline (XLA's dot: 194).
+    Default blocks (2048, 512, 2048) confirmed by INTERLEAVED A/B on TPU v5e
+    (tools_gemmbench.py; sequential sweeps drift +-10% run to run and are
+    not trusted): 179-185 TFLOP/s on 4096^3 bf16 vs 172-175 for the best
+    alternative (1024, 1024, 4096); XLA's dot measures 181-200 in the same
+    harness, which is why it stays the dispatch default (ops/gemm.py).
     pick_block shrinks blocks for small problems."""
     m, k = a.shape
     k2, n = b.shape
