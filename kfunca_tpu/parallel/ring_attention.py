@@ -16,9 +16,11 @@ This is that ring:
   * everything is differentiable (ppermute + scan transpose cleanly), so
     jax.grad gives the backward ring for free.
 
-The blockwise math mirrors ops/pallas_kernels/flash_attention.py; fusing
-each ring step into the Pallas kernel is a planned optimization — this
-module establishes the collective structure and its correctness contract.
+The blockwise math mirrors ops/pallas_kernels/flash_attention.py.  On real
+TPU each hop runs FUSED as a Pallas kernel (ops/pallas_kernels/ring_hop.py:
+flash tile with global-offset masking, m/l carried lane-replicated between
+hops); the XLA einsum path below is the oracle and the CPU/mesh-test tier,
+and interpret-mode tests pin the two paths to each other.
 """
 
 from __future__ import annotations
@@ -58,8 +60,77 @@ def _block_attend(q, k, v, q_off, kv_off, m, l, acc, scale):
     return m_new, l_new, acc_new
 
 
-def ring_attention_spmd(q, k, v, *, axis: str = "cp"):
-    """Runs INSIDE shard_map over `axis`; q/k/v: local (B,H,S_local,D)."""
+def _ring_fused(q, k, v, axis: str):
+    """Fused-hop forward: each hop is the Pallas flash tile (ring_hop.py)."""
+    from ..ops.pallas_kernels.ring_hop import (
+        flash_attention_hop,
+        hop_carry_init,
+        hop_finalize,
+    )
+
+    n = jax.lax.psum(1, axis)
+    idx = jax.lax.axis_index(axis)
+    s_local = q.shape[2]
+    scale = _np.float32(1.0 / math.sqrt(q.shape[-1]))
+    perm = [(i, (i + 1) % n) for i in range(n)]
+
+    b, h, _, d = q.shape
+    qs = q * jnp.asarray(scale, q.dtype)  # scale folded into q once
+    m, l, acc = hop_carry_init(b, h, s_local, d)
+
+    def hop(carry, i):
+        k_cur, v_cur, m, l, acc = carry
+        src = (idx - i) % n
+        m, l, acc = flash_attention_hop(
+            qs, k_cur, v_cur, m, l, acc,
+            (idx * s_local).astype(jnp.int32),
+            (src * s_local).astype(jnp.int32),
+        )
+        k_nxt = jax.lax.ppermute(k_cur, axis, perm)
+        v_nxt = jax.lax.ppermute(v_cur, axis, perm)
+        return (k_nxt, v_nxt, m, l, acc), None
+
+    (k, v, m, l, acc), _ = jax.lax.scan(hop, (k, v, m, l, acc), jnp.arange(n))
+    return hop_finalize(l, acc, b, h, s_local, d, q.dtype)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _ring_fused_diff(q, k, v, axis):
+    return _ring_fused(q, k, v, axis)
+
+
+def _ring_fused_fwd(q, k, v, axis):
+    return _ring_fused(q, k, v, axis), (q, k, v)
+
+
+def _ring_fused_bwd(axis, res, g):
+    # Pallas kernels have no AD; the backward ring reuses the einsum path's
+    # VJP (recompute-per-hop, exact same math). A fused backward hop kernel
+    # is the next optimization step.
+    q, k, v = res
+    _, vjp = jax.vjp(lambda a, b, c: _ring_einsum(a, b, c, axis), q, k, v)
+    return vjp(g)
+
+
+_ring_fused_diff.defvjp(_ring_fused_fwd, _ring_fused_bwd)
+
+
+def ring_attention_spmd(q, k, v, *, axis: str = "cp", use_kernel: bool | None = None):
+    """Runs INSIDE shard_map over `axis`; q/k/v: local (B,H,S_local,D).
+
+    use_kernel=True runs each hop as the fused Pallas flash tile
+    (ring_hop.py; backward takes the einsum path's VJP); None auto-selects
+    the kernel on real TPU for fp32/bf16."""
+    if use_kernel is None:
+        from ..runtime.backend import use_pallas
+
+        use_kernel = use_pallas() and q.dtype in (jnp.float32, jnp.bfloat16)
+    if use_kernel:
+        return _ring_fused_diff(q, k, v, axis)
+    return _ring_einsum(q, k, v, axis)
+
+
+def _ring_einsum(q, k, v, axis: str):
     n = jax.lax.psum(1, axis)
     idx = jax.lax.axis_index(axis)
     s_local = q.shape[2]

@@ -63,3 +63,115 @@ class TestRingAttention:
         rdq, rdk, rdv = jax.grad(ref_loss, argnums=(0, 1, 2))(q, k, v)
         for a, b_ in ((dq, rdq), (dk, rdk), (dv, rdv)):
             assert np.allclose(np.asarray(a), np.asarray(b_), atol=1e-5, rtol=1e-5)
+
+
+class TestFusedHopKernel:
+    def test_hop_matches_block_attend_oracle(self):
+        """The fused Pallas hop (interpret mode) must reproduce the einsum
+        hop math exactly across diagonal / past / future shard positions."""
+        import math
+
+        from kfunca_tpu.ops.pallas_kernels.ring_hop import (
+            flash_attention_hop,
+            hop_carry_init,
+            hop_finalize,
+        )
+        from kfunca_tpu.parallel.ring_attention import NEG_INF, _block_attend
+
+        b, h, s_local, d = 1, 2, 128, 128
+        key = jax.random.PRNGKey(0)
+        q, k0, v0, k1, v1 = (
+            jax.random.normal(kk, (b, h, s_local, d), jnp.float32)
+            for kk in jax.random.split(key, 5)
+        )
+        scale = 1.0 / math.sqrt(d)
+
+        # oracle: device idx=1 of a 2-ring (q_off=128) sees shard 1 (diag)
+        # then shard 0 (fully past); plus a future shard as a no-op check
+        m = jnp.full((b, h, s_local, 1), NEG_INF, jnp.float32)
+        l = jnp.zeros_like(m)
+        acc = jnp.zeros((b, h, s_local, d), jnp.float32)
+        m, l, acc = _block_attend(q, k1, v1, 128, 128, m, l, acc, scale)
+        m, l, acc = _block_attend(q, k0, v0, 128, 0, m, l, acc, scale)
+        want = acc / jnp.where(l == 0.0, 1.0, l)
+
+        qs = q * scale
+        mk, lk, acck = hop_carry_init(b, h, s_local, d)
+        for kk, vv, off in [(k1, v1, 128), (k0, v0, 0)]:
+            mk, lk, acck = flash_attention_hop(
+                qs, kk, vv, mk, lk, acck,
+                jnp.int32(128), jnp.int32(off), interpret=True,
+            )
+        got = hop_finalize(lk, acck, b, h, s_local, d, jnp.float32)
+        assert np.allclose(np.asarray(got), np.asarray(want), atol=2e-5), (
+            np.abs(np.asarray(got) - np.asarray(want)).max()
+        )
+
+    def test_hop_future_shard_is_noop(self):
+        """A kv shard entirely in the q rows' future must leave the carry
+        unchanged (all-masked hop)."""
+        from kfunca_tpu.ops.pallas_kernels.ring_hop import (
+            flash_attention_hop,
+            hop_carry_init,
+        )
+
+        b, h, s_local, d = 1, 1, 128, 128
+        key = jax.random.PRNGKey(1)
+        q, k, v = (
+            jax.random.normal(kk, (b, h, s_local, d), jnp.float32)
+            for kk in jax.random.split(key, 3)
+        )
+        m0, l0, acc0 = hop_carry_init(b, h, s_local, d)
+        # first a valid diagonal hop to seed the carry
+        m1, l1, acc1 = flash_attention_hop(
+            q, k, v, m0, l0, acc0, jnp.int32(0), jnp.int32(0), interpret=True
+        )
+        # then a hop whose kv shard starts AFTER every q row
+        m2, l2, acc2 = flash_attention_hop(
+            q, k, v, m1, l1, acc1, jnp.int32(0), jnp.int32(128), interpret=True
+        )
+        assert np.allclose(np.asarray(m1), np.asarray(m2))
+        assert np.allclose(np.asarray(l1), np.asarray(l2))
+        assert np.allclose(np.asarray(acc1), np.asarray(acc2))
+
+    def test_ring_fused_path_matches_einsum_under_mesh(self):
+        """Full fused ring (interpret kernels) == einsum ring under an
+        8-way cp mesh, forward values."""
+        from kfunca_tpu.parallel.ring_attention import ring_attention_spmd
+        from kfunca_tpu.ops.pallas_kernels import ring_hop
+
+        # force interpret mode inside the mesh (CPU backend)
+        orig = ring_hop.flash_attention_hop
+        import functools
+
+        patched = functools.partial(orig, interpret=True)
+        ring_hop.flash_attention_hop = patched
+        try:
+            from functools import partial
+
+            from jax.sharding import Mesh, PartitionSpec as P
+
+            mesh = Mesh(np.asarray(jax.devices()), ("cp",))
+            spec = P(None, None, "cp", None)
+            b, h, s, d = 1, 2, 8 * 128, 128
+            key = jax.random.PRNGKey(2)
+            q, k, v = (
+                jax.random.normal(kk, (b, h, s, d), jnp.float32)
+                for kk in jax.random.split(key, 3)
+            )
+            fns = {}
+            for use_kernel in (False, True):
+                fns[use_kernel] = jax.shard_map(
+                    partial(ring_attention_spmd, axis="cp", use_kernel=use_kernel),
+                    mesh=mesh,
+                    in_specs=(spec, spec, spec),
+                    out_specs=spec,
+                    axis_names=frozenset({"cp"}),
+                    check_vma=False,
+                )
+            with mesh:
+                ref = fns[False](q, k, v)
+                got = fns[True](q, k, v)
+            assert np.allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+        finally:
+            ring_hop.flash_attention_hop = orig
