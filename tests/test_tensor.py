@@ -7,6 +7,7 @@ and tolerances.  `kfunca` here is kfunca_tpu: the API is import-compatible.
 import copy
 
 import numpy as np
+import pytest
 import torch
 
 import kfunca_tpu as kfunca
@@ -104,23 +105,7 @@ class TestTensorImpl:
         del arr_x_ref
         assert arr_x_deep.impl_ref_count() == 1
 
-    def test_broadcast_basic_binary(self):
-        # The reference's "hard" shapes are 2^30 elements (4 GiB/operand) —
-        # sized to stress CUDA 32-bit-index splitting.  On the hermetic
-        # single-core CPU tier they take ~10 min each for no extra coverage
-        # (XLA indexes in 64-bit natively), so they are scaled down 4x here;
-        # KFUNCA_FULL_TESTS=1 restores the exact reference sizes (validated
-        # green once at full scale on 2026-08-16).
-        import os
-
-        big = 1024 if os.environ.get("KFUNCA_FULL_TESTS") == "1" else 256
-        shapes = [
-            [[16, 1], [1, 6], "easy"],
-            [[162, 1, 345], [162, 6, 1], "easy"],
-            [[123, 1, 567], [123, 127, 567], "easy"],
-            [[2, big, 1024, 512], [2, big, 1, 512], "hard"],
-            [[2, big, 1024, 512], [2, big, 1024, 512], "hard"],
-        ]
+    def _broadcast_matrix(self, shapes):
         op_ = ["+", "-", "*", "/"]
         for shape in shapes:
             for op in op_:
@@ -140,6 +125,34 @@ class TestTensorImpl:
                         "kfunca.from_numpy(arr1, 0) {} kfunca.from_numpy(arr2, 0)".format(op)
                     )
                     assert_allclose(out, out_gpu)
+
+    def test_broadcast_basic_binary(self):
+        """Reference broadcast matrix, easy shapes (test_tensor.py:86-108)."""
+        self._broadcast_matrix(
+            [
+                [[16, 1], [1, 6], "easy"],
+                [[162, 1, 345], [162, 6, 1], "easy"],
+                [[123, 1, 567], [123, 127, 567], "easy"],
+            ]
+        )
+
+    @pytest.mark.slow
+    def test_broadcast_hard_shapes(self):
+        # The reference's "hard" shapes are 2^30 elements (4 GiB/operand) —
+        # sized to stress CUDA 32-bit-index splitting.  On the hermetic
+        # single-core CPU tier they take minutes each for no extra coverage
+        # (XLA indexes in 64-bit natively), so they are scaled down 4x here
+        # and slow-marked; KFUNCA_FULL_TESTS=1 restores the exact reference
+        # sizes (validated green once at full scale on 2026-08-16).
+        import os
+
+        big = 1024 if os.environ.get("KFUNCA_FULL_TESTS") == "1" else 256
+        self._broadcast_matrix(
+            [
+                [[2, big, 1024, 512], [2, big, 1, 512], "hard"],
+                [[2, big, 1024, 512], [2, big, 1024, 512], "hard"],
+            ]
+        )
 
     def test_reduce(self):
         for op in ["sum", "mean"]:
@@ -200,6 +213,7 @@ class TestTensorImpl:
         arr_gpu_p = arr_gpu.permute(2, 1, 0, 3).contiguous()
         assert_allclose(arr_gpu_p, arr_p)
 
+    @pytest.mark.slow
     def test_sort_small_slice(self):
         shapes = [
             [2, 3, 4],
@@ -233,6 +247,7 @@ class TestTensorImpl:
         assert_allclose(res_gpu, res)
         assert_allclose(ind_gpu, ind)
 
+    @pytest.mark.slow
     def test_topk_small(self):
         shapes = [
             [13, 65, 1049],
