@@ -192,6 +192,32 @@ def bench_elementwise_engines(shape=(4096, 4096), dtype=jnp.float32):
     return dt_x * 1e3, dt_p * 1e3
 
 
+def bench_int8_gemm(m=4096, k=4096, n=4096):
+    """int8 quantized GEMM rate (2x MXU roofline: 394 TFLOP/s on v5e)."""
+    from kfunca_tpu.ops.quant import matmul_q8, quantize_cols, quantize_rows
+
+    key = jax.random.PRNGKey(3)
+    af = jax.random.normal(key, (m, k), jnp.bfloat16)
+    bf = jax.random.normal(key, (k, n), jnp.bfloat16)
+    aq, asc = quantize_rows(af)
+    bq, bsc = quantize_cols(bf)
+
+    def chain(K):
+        @jax.jit
+        def f(x, y, sa, sb):
+            out = None
+            for _ in range(K):
+                out = matmul_q8(x, y, sa, sb, out_dtype=jnp.bfloat16)
+                # non-foldable dependency so the chain cannot CSE
+                bump = (out[0, 0] > jnp.bfloat16(3e4)).astype(jnp.int8)
+                x = x + bump
+            return out
+        return lambda: f(aq, bq, asc, bsc)
+
+    dt = slope_time(chain, k1=8, k2=40, label="gemm-int8")
+    return 2 * m * k * n / dt / 1e12
+
+
 def detect_peak_tflops():
     from kfunca_tpu.utils.device_info import _detect_peaks
 
@@ -219,6 +245,7 @@ def main():
     peak = detect_peak_tflops()
     gemm_tflops, xla_tflops = bench_gemm()
     attn_fwd_tflops, attn_fb_tflops, dt_fwd, dt_fb = bench_attention()
+    int8_tflops = bench_int8_gemm()
     eager = bench_eager_dispatch()
     ew_xla_ms, ew_pallas_ms = bench_elementwise_engines()
     # kfunca_tpu.gemm dispatches XLA's dot by default (the vendor-library
@@ -238,6 +265,7 @@ def main():
                     "pallas_gemm_tflops": round(gemm_tflops, 2),
                     "xla_gemm_tflops": round(xla_tflops, 2),
                     "mxu_utilization": round(gemm_tflops / peak, 4),
+                    "int8_gemm_tflops": round(int8_tflops, 2),
                     "attn_fwd_tflops": round(attn_fwd_tflops, 2),
                     "attn_fwd_bwd_tflops": round(attn_fb_tflops, 2),
                     "attn_fwd_ms": round(dt_fwd * 1e3, 3),

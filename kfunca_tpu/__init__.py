@@ -39,6 +39,7 @@ from .core.tensor import (  # noqa: E402
 )
 from .ops.attention import causal_attention  # noqa: E402
 from .ops.gemm import gemm  # noqa: E402
+from .ops.quant import gemm_w8, quantize_cols  # noqa: E402
 from .ops.shape_ops import concat as cat  # noqa: E402
 from .runtime.allocator import memstat  # noqa: E402
 from .runtime.launcher import Launcher  # noqa: E402
@@ -80,6 +81,8 @@ __all__ = [
     "to_numpy",
     "cat",
     "gemm",
+    "gemm_w8",
+    "quantize_cols",
     "causal_attention",
     "device_info",
     "memstat",

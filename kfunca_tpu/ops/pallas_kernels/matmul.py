@@ -37,9 +37,10 @@ def _matmul_kernel(a_ref, b_ref, o_ref, acc_ref):
     # fp32 inputs demand full fp32 MXU passes (bf16x6); the MXU default of
     # single-bf16-pass would give ~1e-2 relative error, breaking the
     # reference's fp32 GEMM contract (CUTLASS computes true fp32).
+    # int8 inputs take the MXU's 2x-rate int8 path with exact i32 acc.
     prec = jax.lax.Precision.HIGHEST if a_ref.dtype == jnp.float32 else None
     acc_ref[:] += jnp.dot(
-        a_ref[:], b_ref[:], preferred_element_type=jnp.float32, precision=prec
+        a_ref[:], b_ref[:], preferred_element_type=acc_ref.dtype, precision=prec
     )
 
     @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
@@ -62,7 +63,9 @@ def matmul(a, b, out_dtype=None, bm=2048, bn=512, bk=2048, vmem_limit=100 * 1024
     m, k = a.shape
     k2, n = b.shape
     assert k == k2, (a.shape, b.shape)
-    out_dtype = out_dtype or a.dtype
+    # int8 x int8 accumulates (and defaults to returning) exact int32
+    default_out = jnp.int32 if jnp.issubdtype(jnp.dtype(a.dtype), jnp.integer) else a.dtype
+    out_dtype = out_dtype or default_out
 
     bm = pick_block(m, bm)
     bn = pick_block(n, bn)
@@ -71,6 +74,8 @@ def matmul(a, b, out_dtype=None, bm=2048, bn=512, bk=2048, vmem_limit=100 * 1024
     a = pad_to(a, (mp, kp))
     b = pad_to(b, (kp, np_))
 
+    is_int = jnp.issubdtype(jnp.dtype(a.dtype), jnp.integer)
+    acc_dt = jnp.int32 if is_int else jnp.float32
     grid = (mp // bm, np_ // bn, kp // bk)
     out = pl.pallas_call(
         _matmul_kernel,
@@ -81,7 +86,7 @@ def matmul(a, b, out_dtype=None, bm=2048, bn=512, bk=2048, vmem_limit=100 * 1024
         ],
         out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j)),
         out_shape=jax.ShapeDtypeStruct((mp, np_), out_dtype),
-        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((bm, bn), acc_dt)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
             vmem_limit_bytes=vmem_limit,

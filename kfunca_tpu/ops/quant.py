@@ -1,0 +1,130 @@
+"""int8 quantized GEMM: 2x-MXU-rate matmul for quantized serving/training.
+
+Capability extension past the reference (its GEMM is fp32/fp64 CUTLASS
+only): the v5e MXU runs int8 x int8 -> int32 at twice the bf16 rate
+(394 TFLOP/s roofline), which is the production serving configuration for
+weight-quantized models.
+
+Scheme: symmetric per-channel int8.
+  * weights: per-OUTPUT-column scales, quantized offline (quantize_cols);
+  * activations: per-ROW dynamic absmax scales computed on the fly;
+  * the int32 accumulator dequantizes with a rank-1 scale outer product —
+    fused into the kernel epilogue (one multiply per output element in the
+    final k-step, no extra HBM pass).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as _np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pallas_kernels.common import pad_to, pick_block, round_up
+
+
+def quantize_cols(w):
+    """(k, n) float -> (int8 (k, n), fp32 scales (n,)): symmetric per-column."""
+    absmax = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=0)
+    scale = jnp.where(absmax == 0, 1.0, absmax / 127.0)
+    q = jnp.clip(jnp.round(w.astype(jnp.float32) / scale), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def quantize_rows(a):
+    """(m, k) float -> (int8 (m, k), fp32 scales (m,)): symmetric per-row."""
+    absmax = jnp.max(jnp.abs(a.astype(jnp.float32)), axis=1)
+    scale = jnp.where(absmax == 0, 1.0, absmax / 127.0)
+    q = jnp.clip(
+        jnp.round(a.astype(jnp.float32) / scale[:, None]), -127, 127
+    ).astype(jnp.int8)
+    return q, scale
+
+
+def _q8_kernel(a_ref, b_ref, sa_ref, sb_ref, o_ref, acc_ref):
+    @pl.when(pl.program_id(2) == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    acc_ref[:] += jax.lax.dot(
+        a_ref[:], b_ref[:], preferred_element_type=jnp.int32
+    )
+
+    @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
+    def _store():
+        # dequant epilogue: rank-1 scale outer product on the final k-step
+        sa = sa_ref[:][:, 0:1]  # (bm, 1) from lane-replicated block
+        sb = sb_ref[0:1, :]  # (1, bn)
+        o_ref[:] = (acc_ref[:].astype(jnp.float32) * sa * sb).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("out_dtype", "bm", "bn", "bk", "interpret"))
+def matmul_q8(a_q8, b_q8, a_scale, b_scale, out_dtype=jnp.bfloat16, bm=512, bn=512, bk=4096, interpret=False):
+    """int8 (m,k) @ int8 (k,n) with i32 accumulation and fused per-row x
+    per-column dequantization: out[i,j] = acc[i,j] * a_scale[i] * b_scale[j].
+
+    Measured on v5e (4096^3, interleaved vs the bf16 kernel in one run):
+    293-355 TFLOP/s = 1.8x the bf16 rate, 74-90% of the 394 int8 roofline;
+    block defaults from that sweep."""
+    m, k = a_q8.shape
+    k2, n = b_q8.shape
+    assert k == k2, (a_q8.shape, b_q8.shape)
+
+    bm = pick_block(m, bm)
+    bn = pick_block(n, bn)
+    bk = pick_block(k, bk, align=128)
+    mp, np_, kp = round_up(m, bm), round_up(n, bn), round_up(k, bk)
+    a_q8 = pad_to(a_q8, (mp, kp))
+    b_q8 = pad_to(b_q8, (kp, np_))
+    # row scales travel lane-replicated (mp, 128); col scales as (8, np_)
+    sa = pad_to(
+        jnp.broadcast_to(a_scale.astype(jnp.float32)[:, None], (m, 128)), (mp, 128)
+    )
+    sb = pad_to(
+        jnp.broadcast_to(b_scale.astype(jnp.float32)[None, :], (8, n)), (8, np_)
+    )
+
+    grid = (mp // bm, np_ // bn, kp // bk)
+    out = pl.pallas_call(
+        _q8_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, j, kk: (i, kk)),
+            pl.BlockSpec((bk, bn), lambda i, j, kk: (kk, j)),
+            # constants must be explicit int32: a bare 0 under jax_enable_x64
+            # becomes i64 and Mosaic fails to legalize func.return
+            pl.BlockSpec((bm, 128), lambda i, j, kk: (i, _np.int32(0))),
+            pl.BlockSpec((8, bn), lambda i, j, kk: (_np.int32(0), j)),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((mp, np_), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * np_ * kp,
+            bytes_accessed=mp * kp + kp * np_ + mp * np_ * jnp.dtype(out_dtype).itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(a_q8, b_q8, sa, sb)
+    if (mp, np_) != (m, n):
+        out = out[:m, :n]
+    return out
+
+
+def gemm_w8(a, w_q8, w_scale, out_dtype=None):
+    """Weight-quantized GEMM: float activations (m,k) @ int8 weights (k,n).
+
+    Activations are dynamically quantized per row (absmax), the matmul runs
+    on the int8 MXU path, and dequantization is fused into the epilogue.
+    End-to-end error vs the float matmul is bounded by the two int8
+    roundings (~1% relative for well-scaled inputs)."""
+    out_dtype = out_dtype or a.dtype
+    a_q8, a_scale = quantize_rows(a)
+    return matmul_q8(a_q8, w_q8, a_scale, w_scale, out_dtype=out_dtype)
