@@ -26,6 +26,14 @@ int kf_plan_loop_nest(int ntensors, int64_t ndim, const int64_t *shape,
                       int64_t *out_group_sizes);
 int kf_tape_schedule(int64_t n_nodes, int64_t n_edges, const int64_t *edge_src,
                      const int64_t *edge_dst, int64_t root, int64_t *out_order);
+int64_t kf_page_pool_create(int64_t n_pages);
+int64_t kf_page_alloc(int64_t pool_id, int64_t count, int64_t *out_pages);
+int64_t kf_page_free(int64_t pool_id, int64_t count, const int64_t *pages);
+int64_t kf_page_pool_available(int64_t pool_id);
+int64_t kf_queue_create();
+int64_t kf_queue_push(int64_t queue_id, int64_t item);
+int64_t kf_queue_pop(int64_t queue_id);
+int64_t kf_queue_size(int64_t queue_id);
 }
 
 static void test_allocator() {
@@ -106,12 +114,40 @@ static void test_tape() {
     printf("test_tape OK\n");
 }
 
+static void test_serving() {
+    // page allocator: bounded, recycling, atomic failure
+    int64_t pool = kf_page_pool_create(8);
+    int64_t pages[8];
+    assert(kf_page_alloc(pool, 5, pages) == 5);
+    assert(kf_page_pool_available(pool) == 3);
+    int64_t more[4];
+    assert(kf_page_alloc(pool, 4, more) == -1);  // can't satisfy: nothing taken
+    assert(kf_page_pool_available(pool) == 3);
+    assert(kf_page_free(pool, 5, pages) == 5);
+    assert(kf_page_pool_available(pool) == 8);
+    assert(kf_page_alloc(pool, 8, pages) == 8);
+    for (int i = 0; i < 8; i++)
+        for (int j = i + 1; j < 8; j++) assert(pages[i] != pages[j]);
+
+    // FIFO request queue
+    int64_t q = kf_queue_create();
+    assert(kf_queue_pop(q) == -1);
+    kf_queue_push(q, 7);
+    kf_queue_push(q, 8);
+    kf_queue_push(q, 9);
+    assert(kf_queue_size(q) == 3);
+    assert(kf_queue_pop(q) == 7 && kf_queue_pop(q) == 8 && kf_queue_pop(q) == 9);
+    assert(kf_queue_pop(q) == -1);
+    printf("test_serving OK\n");
+}
+
 int main() {
     test_allocator();
     test_promotion();
     test_broadcast();
     test_loop_nest();
     test_tape();
+    test_serving();
     printf("all native core tests passed\n");
     return 0;
 }

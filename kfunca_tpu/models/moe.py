@@ -122,3 +122,97 @@ def moe_ffn(x, params, cfg: MoEConfig):
     mean_probs = jnp.mean(probs, axis=0)
     aux = e * jnp.sum(frac_tokens * mean_probs)
     return out.astype(x.dtype).reshape(b, s, d), aux
+
+
+# ---------------------------------------------------------------------------
+# expert-parallel MoE with EXPLICIT all-to-all (shard_map manual collectives)
+# ---------------------------------------------------------------------------
+
+
+def moe_ffn_ep_spmd(x_local, params_local, cfg: MoEConfig, *, axis: str = "ep"):
+    """Runs INSIDE shard_map over `axis` (expert parallelism).
+
+    x_local: (B_local, S, D) — tokens sharded over the axis (dp-style);
+    params_local: router replicated, w_in/w_out sharded E-over-axis
+    (leaves carry the LOCAL expert slice, E_local = E / n_dev).
+
+    The dispatch/combine all-to-alls are EXPLICIT jax.lax.all_to_all calls
+    (the manual form of what GSPMD infers for the replicated moe_ffn):
+
+      dispatch einsum -> (E, cap_local, D) per device
+        -> all_to_all splits E into device groups and concats the sender
+           dim: every device ends with (E_local, n_dev * cap_local, D) —
+           its own experts' queues from every sender, riding ICI
+      expert FFN on local experts only
+        -> reverse all_to_all returns each sender's slots -> combine.
+
+    Returns (out_local (B_local, S, D), aux_loss_local).
+    """
+    n_dev = jax.lax.psum(1, axis)
+    b, s, d = x_local.shape
+    t = b * s
+    e = cfg.n_experts
+    assert e % n_dev == 0, (e, n_dev)
+    cap = max(1, int(cfg.capacity_factor * cfg.top_k * t / e))
+
+    xt = x_local.reshape(t, d)
+    logits = jnp.dot(
+        xt.astype(jnp.float32), params_local["router"], preferred_element_type=jnp.float32
+    )
+    probs = jax.nn.softmax(logits, axis=-1)
+    dispatch, combine, onehot1 = _topk_dispatch(probs, e, cap, cfg.top_k)
+
+    # local expert queues for ALL experts: (E, cap, D)
+    expert_in = jnp.einsum("tec,td->ecd", dispatch, xt.astype(jnp.float32))
+    # explicit dispatch all-to-all: split the expert dim across devices,
+    # gather the sender dim -> (E_local, n_dev, cap, D) on each device
+    expert_in = jax.lax.all_to_all(
+        expert_in.reshape(n_dev, e // n_dev, cap, d),
+        axis, split_axis=0, concat_axis=1, tiled=False,
+    )  # (E_local, n_dev, cap, D) after split/concat bookkeeping
+    el = e // n_dev
+    expert_in = expert_in.reshape(el, n_dev * cap, d)
+
+    h = jax.nn.gelu(
+        jnp.einsum(
+            "ecd,edf->ecf", expert_in, params_local["w_in"],
+            preferred_element_type=jnp.float32,
+        )
+    )
+    expert_out = jnp.einsum(
+        "ecf,efd->ecd", h, params_local["w_out"], preferred_element_type=jnp.float32
+    )
+
+    # reverse all-to-all: return each sender's slots -> (E, cap, D) locally
+    expert_out = jax.lax.all_to_all(
+        expert_out.reshape(el, n_dev, cap, d),
+        axis, split_axis=1, concat_axis=0, tiled=False,
+    )
+    expert_out = expert_out.reshape(e, cap, d)
+
+    out = jnp.einsum("tec,ecd->td", combine, expert_out)
+    frac_tokens = jnp.mean(onehot1, axis=0)
+    mean_probs = jnp.mean(probs, axis=0)
+    aux = e * jnp.sum(frac_tokens * mean_probs)
+    return out.astype(x_local.dtype).reshape(b, s, d), aux
+
+
+def make_moe_ffn_ep(mesh, cfg: MoEConfig, *, ep_axis: str = "ep"):
+    """fn(x, params) with GLOBAL shapes: tokens sharded over `ep_axis`,
+    expert weights sharded E-over-`ep_axis`, router replicated; the
+    dispatch/combine collectives are explicit all_to_alls."""
+    from functools import partial
+
+    from jax.sharding import PartitionSpec as P
+
+    return jax.shard_map(
+        partial(moe_ffn_ep_spmd, cfg=cfg, axis=ep_axis),
+        mesh=mesh,
+        in_specs=(
+            P(ep_axis),  # tokens (batch dim)
+            {"router": P(), "w_in": P(ep_axis), "w_out": P(ep_axis)},
+        ),
+        out_specs=(P(ep_axis), P()),
+        axis_names=frozenset({ep_axis}),
+        check_vma=False,
+    )
