@@ -177,18 +177,31 @@ def _paged_block(x, p, pool_k, pool_v, page_tables, positions, cfg, page_size):
     pool_k = pool_k.at[page_slot, offset].set(newk)
     pool_v = pool_v.at[page_slot, offset].set(newv)
 
-    # gather each sequence's pages: (B, max_pages, page, H, hd) -> (B,H,L,hd)
-    kc = pool_k[page_tables].reshape(b, max_pages * page_size, h, hd).transpose(0, 2, 1, 3)
-    vc = pool_v[page_tables].reshape(b, max_pages * page_size, h, hd).transpose(0, 2, 1, 3)
-
     scale = 1.0 / math.sqrt(hd)
-    s = jnp.einsum("bhtd,bhld->bhtl", q.astype(jnp.float32), kc.astype(jnp.float32)) * scale
-    l_pos = jnp.arange(max_pages * page_size, dtype=jnp.int32)[None, None, None, :]
-    mask = l_pos <= positions[:, None, None, None]
-    s = jnp.where(mask, s, jnp.float32(-1e30))
-    prob = jax.nn.softmax(s, axis=-1)
-    attn = jnp.einsum("bhtl,bhld->bhtd", prob, vc.astype(jnp.float32)).astype(x.dtype)
-    attn = attn.transpose(0, 2, 1, 3).reshape(b, 1, h * hd)
+    from ..runtime.backend import use_pallas
+
+    if use_pallas() and x.dtype in (jnp.float32, jnp.bfloat16):
+        # ragged paged-attention kernel: reads ONLY live pages via the
+        # page table (scalar-prefetched index maps); validated vs the
+        # gather path below (tests + on-chip oracle check)
+        from ..ops.pallas_kernels.paged_attention import paged_decode_attention
+
+        qs = (q[:, :, 0] * jnp.asarray(scale, q.dtype))  # (B, H, hd)
+        attn = paged_decode_attention(qs, pool_k, pool_v, page_tables, positions)
+        attn = attn.astype(x.dtype).reshape(b, 1, h * hd)
+    else:
+        # XLA gather path (oracle + CPU tier): reads the full table width
+        kc = pool_k[page_tables].reshape(b, max_pages * page_size, h, hd).transpose(0, 2, 1, 3)
+        vc = pool_v[page_tables].reshape(b, max_pages * page_size, h, hd).transpose(0, 2, 1, 3)
+        s = jnp.einsum(
+            "bhtd,bhld->bhtl", q.astype(jnp.float32), kc.astype(jnp.float32)
+        ) * scale
+        l_pos = jnp.arange(max_pages * page_size, dtype=jnp.int32)[None, None, None, :]
+        mask = l_pos <= positions[:, None, None, None]
+        s = jnp.where(mask, s, jnp.float32(-1e30))
+        prob = jax.nn.softmax(s, axis=-1)
+        attn = jnp.einsum("bhtl,bhld->bhtd", prob, vc.astype(jnp.float32)).astype(x.dtype)
+        attn = attn.transpose(0, 2, 1, 3).reshape(b, 1, h * hd)
     x = x + jnp.dot(
         attn, p["wo"].astype(attn.dtype), preferred_element_type=jnp.float32
     ).astype(x.dtype)

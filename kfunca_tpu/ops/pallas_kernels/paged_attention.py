@@ -1,0 +1,130 @@
+"""Paged decode attention: one query token per sequence against a paged KV
+pool, reading ONLY the live pages.
+
+The serving engine (models/serve.py) stores KV in fixed-size pages; its XLA
+decode path gathers every sequence's FULL page-table width from HBM each
+step, including pages past the sequence length and trash pages.  This
+kernel makes the decode read ragged-aware:
+
+  * grid (B, max_pages), page fetch driven by the PAGE TABLE via scalar
+    prefetch: the BlockSpec index map looks the page id up in the table, so
+    only referenced pages are DMA'd;
+  * steps past a sequence's live page count CLAMP to its first page
+    (refetch elided by Mosaic) and skip compute — HBM traffic per step is
+    O(tokens actually in the cache), the paged-attention property;
+  * online-softmax carry across a sequence's pages in VMEM scratch; the
+    within-page causal/ragged mask comes from the decode position.
+
+Layout: the kernel works per (page, H*hd) block with fp32 math on the VPU —
+decode attention is bandwidth-bound (one query row per sequence), so lane
+utilization on the loads is what matters, not the MXU.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as _np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = _np.float32(-1e30)
+
+
+def _decode_kernel(
+    tables_ref, positions_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
+    *, page, h, hd, max_pages
+):
+    b = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    pos = positions_ref[b]  # index of the query token (attends <= pos)
+    n_live = jax.lax.div(pos, _np.int32(page)) + _np.int32(1)
+
+    @pl.when(j < n_live)
+    def _compute():
+        q = q_ref[0].astype(jnp.float32)  # (H, hd)
+        k = k_ref[0].astype(jnp.float32)  # (page, H, hd)
+        v = v_ref[0].astype(jnp.float32)
+        # s[h, p] = sum_d q[h, d] * k[p, h, d]
+        s = jnp.sum(q[None, :, :] * k, axis=-1).T  # (H, page)
+        # ragged mask: global slot index of column p is j*page + p
+        slot = j * _np.int32(page) + jax.lax.broadcasted_iota(jnp.int32, (h, page), 1)
+        s = jnp.where(slot <= pos, s, NEG_INF)
+
+        m_prev = m_ref[:, 0:1]  # (H, 1)
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)  # masked slots underflow to exact 0
+        l_ref[:] = jnp.broadcast_to(
+            l_ref[:, 0:1] * alpha + jnp.sum(p, axis=1, keepdims=True), l_ref.shape
+        )
+        # acc[h, d] += sum_p p[h, p] * v[p, h, d]
+        acc_ref[:] = acc_ref[:] * alpha + jnp.sum(
+            p.T[:, :, None] * v, axis=0
+        )
+        m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+
+    @pl.when(j == max_pages - 1)
+    def _store():
+        l_safe = jnp.where(l_ref[:, 0:1] == 0.0, _np.float32(1.0), l_ref[:, 0:1])
+        o_ref[0] = (acc_ref[:] / l_safe).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def paged_decode_attention(q, pool_k, pool_v, page_tables, positions, interpret=False):
+    """q: (B, H, hd) PRE-SCALED by 1/sqrt(hd); pool_k/v: (n_pages, page, H, hd);
+    page_tables: (B, max_pages) int32; positions: (B,) int32 (query's slot).
+    Returns (B, H, hd) attention outputs over slots <= position per sequence.
+    """
+    bsz, h, hd = q.shape
+    n_pages, page, h2, hd2 = pool_k.shape
+    assert (h, hd) == (h2, hd2), (q.shape, pool_k.shape)
+    max_pages = page_tables.shape[1]
+
+    def page_idx(b, j, tables, positions):
+        # clamp dead steps to the sequence's FIRST page (refetch elided)
+        n_live = jax.lax.div(positions[b], _np.int32(page)) + _np.int32(1)
+        live_j = jnp.minimum(j, n_live - _np.int32(1))
+        return (tables[b, live_j], _np.int32(0), _np.int32(0), _np.int32(0))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(bsz, max_pages),
+        in_specs=[
+            # Mosaic constrains only the LAST TWO block dims ((8,128)-divisible
+            # or equal to the array dims): (h, hd) trailing dims satisfy that
+            # for any head count, so no reshapes are needed anywhere
+            pl.BlockSpec((1, h, hd), lambda b, j, t, p: (b, _np.int32(0), _np.int32(0))),
+            pl.BlockSpec((1, page, h, hd), page_idx),
+            pl.BlockSpec((1, page, h, hd), page_idx),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, h, hd), lambda b, j, t, p: (b, _np.int32(0), _np.int32(0))
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((h, 128), jnp.float32),  # m
+            pltpu.VMEM((h, 128), jnp.float32),  # l
+            pltpu.VMEM((h, hd), jnp.float32),  # acc
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _decode_kernel, page=page, h=h, hd=hd, max_pages=max_pages
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((bsz, h, hd), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(page_tables.astype(jnp.int32), positions.astype(jnp.int32), q, pool_k, pool_v)
+    return out

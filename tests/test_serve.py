@@ -126,3 +126,51 @@ class TestPagedDecodeParity:
         rid = srv.submit(list(range(1, 12)), max_new=8)  # needs 5 pages > 2
         results = srv.run()
         assert results[rid] == []
+
+
+class TestPagedDecodeKernel:
+    def test_matches_gather_oracle(self):
+        """The ragged paged-decode kernel (interpret mode) must match the
+        dense gather+mask math the serving engine uses."""
+        from kfunca_tpu.ops.pallas_kernels.paged_attention import paged_decode_attention
+
+        rng = np.random.default_rng(0)
+        n_pages, page, h, hd = 16, 4, 2, 128
+        bsz, max_pages = 3, 4
+        pool_k = jnp.asarray(rng.standard_normal((n_pages, page, h, hd)), jnp.float32)
+        pool_v = jnp.asarray(rng.standard_normal((n_pages, page, h, hd)), jnp.float32)
+        # distinct pages per sequence, some shared with the trash pattern
+        tables = jnp.asarray([[1, 2, 3, 15], [4, 5, 15, 15], [6, 15, 15, 15]], jnp.int32)
+        positions = jnp.asarray([9, 6, 2], jnp.int32)  # 3, 2, 1 live pages
+        q = jnp.asarray(rng.standard_normal((bsz, h, hd)), jnp.float32) / (hd ** 0.5)
+
+        got = paged_decode_attention(q, pool_k, pool_v, tables, positions, interpret=True)
+
+        # oracle: gather full table width, mask slots > position
+        kc = pool_k[tables].reshape(bsz, max_pages * page, h, hd)
+        vc = pool_v[tables].reshape(bsz, max_pages * page, h, hd)
+        s = jnp.einsum("bhd,blhd->bhl", q.astype(jnp.float32), kc.astype(jnp.float32))
+        slot = jnp.arange(max_pages * page, dtype=jnp.int32)[None, None, :]
+        s = jnp.where(slot <= positions[:, None, None], s, -1e30)
+        p = jax.nn.softmax(s, axis=-1)
+        want = jnp.einsum("bhl,blhd->bhd", p, vc.astype(jnp.float32))
+        assert np.allclose(np.asarray(got), np.asarray(want), atol=2e-5), (
+            np.abs(np.asarray(got) - np.asarray(want)).max()
+        )
+
+    def test_dead_pages_never_read(self):
+        """Clamped dead steps must not let trash-page contents leak in:
+        fill unreferenced pages with NaN and check the output is finite."""
+        from kfunca_tpu.ops.pallas_kernels.paged_attention import paged_decode_attention
+
+        n_pages, page, h, hd = 8, 4, 2, 128
+        pool_k = jnp.full((n_pages, page, h, hd), jnp.nan, jnp.float32)
+        pool_v = jnp.full((n_pages, page, h, hd), jnp.nan, jnp.float32)
+        pool_k = pool_k.at[3].set(1.0)
+        pool_v = pool_v.at[3].set(2.0)
+        tables = jnp.asarray([[3, 7, 7, 7]], jnp.int32)  # pages 1..3 are dead
+        positions = jnp.asarray([1], jnp.int32)  # only page 0 (id 3) live
+        q = jnp.ones((1, h, hd), jnp.float32) * 0.01
+        out = paged_decode_attention(q, pool_k, pool_v, tables, positions, interpret=True)
+        assert bool(jnp.isfinite(out).all())
+        assert np.allclose(np.asarray(out), 2.0, atol=1e-5)
