@@ -370,10 +370,19 @@ class InferenceServer:
                 self._release(slot)
 
     def _prefill(self, slot: int, req: Request) -> int:
-        """Dense prefill of the prompt, scattered into this slot's pages."""
+        """Dense prefill of the prompt, scattered into this slot's pages.
+
+        The prompt is PADDED to the next page multiple so prefill compiles
+        once per length BUCKET, not per length (remote compiles dominate
+        cold-start otherwise). Padded tail positions write garbage KV, but
+        the decode mask only admits slots <= position, and the first decode
+        tokens overwrite those slots in order, so they are never read."""
         cfg, t = self.cfg, len(req.prompt)
-        tokens = jnp.asarray(req.prompt[None], jnp.int32)
-        cache = init_kv_cache(cfg, 1, t)
+        tp = -(-t // self.page_size) * self.page_size  # bucket: page multiple
+        padded = np.zeros((tp,), np.int32)
+        padded[:t] = req.prompt
+        tokens = jnp.asarray(padded[None], jnp.int32)
+        cache = init_kv_cache(cfg, 1, tp)
         logits, cache = forward_with_cache(self.params, tokens, cache, jnp.int32(0), cfg)
         # scatter the dense (1,H,T,hd) prompt cache into the paged pools
         n_full = t // self.page_size
@@ -391,7 +400,7 @@ class InferenceServer:
         self.pools_k, self.pools_v = pk, pv
         self._key, sub = jax.random.split(self._key)
         first = sample_tokens(
-            logits[:, -1], sub, temperature=self.temperature, top_p=self.top_p
+            logits[:, t - 1], sub, temperature=self.temperature, top_p=self.top_p
         )
         return int(first[0])
 
