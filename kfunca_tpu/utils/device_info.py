@@ -84,6 +84,7 @@ def device_info(run_benchmarks: bool = True) -> None:
         peak_tf, peak_bw = _detect_peaks(dev)
         if peak_tf:
             print(f"peak bf16     : {peak_tf} TFLOP/s (theoretical)")
+            print(f"peak int8     : {peak_tf * 2} TFLOP/s (theoretical, 2x MXU rate)")
             print(f"peak HBM BW   : {peak_bw} GB/s (theoretical)")
     if run_benchmarks:
         dev = jax.devices()[0]
