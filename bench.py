@@ -138,11 +138,18 @@ def bench_eager_dispatch(n=256, iters=400):
 
     a = kfunca.from_numpy(np.random.rand(n, n).astype(np.float32), 0)
     b = kfunca.from_numpy(np.random.rand(n, n).astype(np.float32), 0)
+    # dispatch FLOOR: a 0-arg jitted program launched the same way eager ops
+    # are — everything above this is host-side framework cost, everything in
+    # it is jax dispatch + relay.  binary_fresh - floor = our own overhead.
+    floor_prog = jax.jit(lambda: jnp.zeros((4,), jnp.float32))
     results = {}
+    varying = iter(np.linspace(0.5, 1.5, 100000).tolist())
     for label, fn in [
+        ("floor_0arg", lambda: floor_prog()),
         ("binary_fresh", lambda: a + b),
         ("binary_inplace", lambda: a.__iadd__(b)),
         ("scalar_mul", lambda: a * 2.0),
+        ("scalar_mul_varying", lambda: a * next(varying)),
         ("fill", lambda: a.fill_(1.0)),
     ]:
         for _ in range(10):

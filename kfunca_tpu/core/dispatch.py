@@ -39,6 +39,7 @@ from functools import lru_cache
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from ..runtime.launcher import Launcher
@@ -98,21 +99,28 @@ def _fused_program(
     acc_dt,  # jnp dtype: math runs here (hashable; used directly as key)
     common_dt,  # jnp dtype: result dtype
     out_dt,  # storage dtype of out (dynamic-cast store), None if fresh
-    fill_value,  # only for op == "fill" / "*_scalar"
+    has_scalar: bool,  # op == "fill" / "*_scalar": scalar rides as the LAST
+    #                    traced operand — NOT baked into the program, so a
+    #                    loop of varying scalars (lr schedules, 1/step
+    #                    coefficients) hits one compiled program per dtype
+    #                    instead of compiling (and caching) per value
     engine: str,
 ):
 
-    def run(*bufs):
+    def run(*args):
+        if has_scalar:
+            bufs, scalar = args[:-1], args[-1]
+        else:
+            bufs = args
         arrs = [
             mat.read_view_traced(bufs[slot], shape, strides, offset)
             for slot, shape, strides, offset in in_metas
         ]
         if op == "fill":
-            r = jnp.full(out_shape, fill_value, dtype=common_dt)
+            r = jnp.full(out_shape, scalar, dtype=common_dt)
         elif op.endswith("_scalar"):
-            # tensor-op-scalar with the scalar baked in as a program constant
             a = arrs[0].astype(acc_dt)
-            s = jnp.asarray(fill_value, dtype=acc_dt)
+            s = scalar.astype(acc_dt)
             r = _BINARY[op[: -len("_scalar")]](a, s).astype(common_dt)
         elif (
             engine == "pallas"
@@ -139,6 +147,26 @@ def _fused_program(
     if out_meta is not None and out_meta[0] is not None:
         donate = (out_meta[0],)
     return jax.jit(run, donate_argnums=donate)
+
+
+# scalar-operand cache: repeated scalar values (loop constants, 2.0, 1.0...)
+# reuse one on-device 0-d array instead of paying a host->device transfer per
+# call (significant through the relayed TPU).  Keyed by raw bits so NaN hits
+# the cache too; bounded FIFO so unbounded value streams (lr schedules) stay
+# cheap without growing host memory.
+_SCALAR_CACHE: dict = {}
+_SCALAR_CACHE_MAX = 1024
+
+
+def _scalar_operand(value, dt):
+    arr = np.asarray(value, dtype=dt)
+    key = (arr.tobytes(), arr.dtype.str)
+    cached = _SCALAR_CACHE.get(key)
+    if cached is None:
+        if len(_SCALAR_CACHE) >= _SCALAR_CACHE_MAX:
+            _SCALAR_CACHE.pop(next(iter(_SCALAR_CACHE)))
+        cached = _SCALAR_CACHE[key] = jnp.asarray(arr)
+    return cached
 
 
 def _storage_slots(tensors):
@@ -198,6 +226,7 @@ def run_op(op, inputs, out=None, out_shape=None, acc=None, common=None, fill_val
 
     from .dtype import to_jnp
 
+    has_scalar = op == "fill" or op.endswith("_scalar")
     program = _fused_program(
         op,
         in_metas,
@@ -206,10 +235,14 @@ def run_op(op, inputs, out=None, out_shape=None, acc=None, common=None, fill_val
         acc,
         common,
         to_jnp(out.dtype()) if out is not None else None,
-        fill_value,
+        has_scalar,
         _elementwise_engine(),
     )
     bufs = [s.read() for s in storages]
+    if has_scalar:
+        # traced 0-d operand in the scalar's semantic dtype (fill: storage
+        # dtype; tensor-op-scalar: the promotion's acc dtype)
+        bufs.append(_scalar_operand(fill_value, common if op == "fill" else acc))
     result = Launcher.instance().submit(program, *bufs, name=op)
     if out is None:
         return result

@@ -346,8 +346,8 @@ class Tensor:
 
         if not isinstance(other, Tensor):
             if not self.requires_grad():
-                # fused fast path: the scalar is a program constant; same
-                # semantics as the filled-tensor pattern (scalar adopts
+                # fused fast path: the scalar rides as a traced 0-d operand;
+                # same semantics as the filled-tensor pattern (scalar adopts
                 # self's dtype), one dispatch instead of three
                 return elementwise.binary_scalar_op(
                     name, self, other, out=self if inplace else None

@@ -149,7 +149,7 @@ def sample_tokens(logits, key, temperature=0.0, top_p=1.0):
 # ---------------------------------------------------------------------------
 
 
-def _paged_block(x, p, pool_k, pool_v, page_tables, positions, cfg, page_size):
+def _paged_block(x, p, pool_k, pool_v, page_tables, positions, cfg, page_size, engine):
     """One transformer block over B single tokens against paged KV.
 
     x: (B, 1, dm); pool_k/v: (n_pages, page, H, hd); page_tables:
@@ -178,9 +178,11 @@ def _paged_block(x, p, pool_k, pool_v, page_tables, positions, cfg, page_size):
     pool_v = pool_v.at[page_slot, offset].set(newv)
 
     scale = 1.0 / math.sqrt(hd)
-    from ..runtime.backend import use_pallas
-
-    if use_pallas() and x.dtype in (jnp.float32, jnp.bfloat16):
+    # engine is a STATIC argument resolved at dispatch time by the caller
+    # (the repo's dispatch-time-engine rule, see ops/gemm.py): an env read
+    # inside this jitted trace would be baked at first compile and silently
+    # ignore later KFUNCA_FORCE_XLA flips
+    if engine == "pallas" and x.dtype in (jnp.float32, jnp.bfloat16):
         # ragged paged-attention kernel: reads ONLY live pages via the
         # page table (scalar-prefetched index maps); validated vs the
         # gather path below (tests + on-chip oracle check)
@@ -216,10 +218,15 @@ def _paged_block(x, p, pool_k, pool_v, page_tables, positions, cfg, page_size):
     return x, pool_k, pool_v
 
 
-@partial(jax.jit, static_argnames=("cfg", "page_size", "temperature", "top_p"), donate_argnums=(1, 2))
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "page_size", "temperature", "top_p", "engine"),
+    donate_argnums=(1, 2),
+)
 def paged_decode_step(
     params, pools_k, pools_v, page_tables, positions, last_tokens, key,
     cfg: TransformerConfig, page_size: int, temperature=0.0, top_p=1.0,
+    engine="xla",
 ):
     """One batched decode step over paged KV.
 
@@ -232,7 +239,7 @@ def paged_decode_step(
     new_k, new_v = [], []
     for li, p in enumerate(params["blocks"]):
         x, pk, pv = _paged_block(
-            x, p, pools_k[li], pools_v[li], page_tables, positions, cfg, page_size
+            x, p, pools_k[li], pools_v[li], page_tables, positions, cfg, page_size, engine
         )
         new_k.append(pk)
         new_v.append(pv)
@@ -244,6 +251,13 @@ def paged_decode_step(
     )
     tokens = sample_tokens(logits, key, temperature=temperature, top_p=top_p)
     return tokens, pools_k, pools_v
+
+
+def _decode_engine() -> str:
+    """Engine choice for the paged decode step, read at DISPATCH time."""
+    from ..runtime.backend import use_pallas
+
+    return "pallas" if use_pallas() else "xla"
 
 
 # ---------------------------------------------------------------------------
@@ -345,19 +359,26 @@ class InferenceServer:
         for slot in range(self.B):
             if self.slot_req[slot] is not None:
                 continue
-            if len(self.queue) == 0:
-                return
-            rid = self.queue.pop()
-            req = self.requests[rid]
-            t = len(req.prompt)
-            need = -(-(t + req.max_new) // self.page_size)
-            if need > self.max_pages:
-                req.done = True  # oversized: reject
-                continue
-            pages = self.pool.alloc(need)
-            if pages is None:
-                self.queue.push(rid)  # no memory: requeue, try next round
-                return
+            # keep trying the queue for THIS slot: a rejected (oversized)
+            # request must not waste the slot for a whole round
+            while True:
+                if len(self.queue) == 0:
+                    return
+                rid = self.queue.pop()
+                req = self.requests[rid]
+                t = len(req.prompt)
+                need = -(-(t + req.max_new) // self.page_size)
+                if need > self.max_pages or need > self.pool.n_pages:
+                    # oversized for a slot's table OR for the whole pool:
+                    # reject now — requeueing a can-never-fit request would
+                    # spin run() through max_steps doing nothing
+                    req.done = True
+                    continue
+                pages = self.pool.alloc(need)
+                if pages is None:
+                    self.queue.push(rid)  # no memory NOW: requeue, try next round
+                    return
+                break
             self.slot_req[slot] = rid
             self.slot_pages[slot] = pages
             self.page_tables[slot] = self.trash_page
@@ -411,6 +432,7 @@ class InferenceServer:
             jnp.asarray(self.page_tables), jnp.asarray(self.positions),
             jnp.asarray(self.last_tokens), sub,
             self.cfg, self.page_size, self.temperature, self.top_p,
+            engine=_decode_engine(),
         )
         tokens = np.asarray(tokens)
         for slot in range(self.B):

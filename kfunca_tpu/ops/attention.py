@@ -31,6 +31,7 @@ from ..core.dtype import to_jnp
 from ..core.iterator import check
 from ..core.tensor import GradFunction, Tensor, empty
 from ..runtime.backend import use_pallas
+from ..runtime.launcher import Launcher
 
 
 def _sdpa_xla(q, k, v):
@@ -107,7 +108,14 @@ def causal_attention(q: Tensor, k: Tensor, v: Tensor) -> Tensor:
     check(k.sizes() == [b, h, k.shape(2), d], "attention: k shape mismatch")
     check(v.sizes() == k.sizes(), "attention: v shape mismatch")
     out = empty(q.sizes(), q.dtype(), q.device())
-    out._write(causal_attention_fn(q._array(), k._array(), v._array()))
+    # eager launch funnels through the Launcher (reference Launcher::submit,
+    # launcher_cuda.h:315-353): sync/profiling modes observe it
+    out._write(
+        Launcher.instance().submit(
+            causal_attention_fn, q._array(), k._array(), v._array(),
+            name="causal_attention",
+        )
+    )
     if q.requires_grad() or k.requires_grad() or v.requires_grad():
         out.set_requires_grad(True)
         out.set_grad_fn(AttentionGradFunction(q, k, v))

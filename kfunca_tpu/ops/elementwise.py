@@ -111,10 +111,11 @@ def binary_op(name, a: Tensor, b: Tensor, out: Tensor | None = None, track_grad=
 
 
 def binary_scalar_op(name, t: Tensor, scalar, out: Tensor | None = None) -> Tensor:
-    """Tensor-op-scalar with the scalar baked into the fused program as a
-    constant (semantics of the reference's `self op empty_like().fill_(s)`
+    """Tensor-op-scalar as one fused program, the scalar passed as a traced
+    0-d operand (semantics of the reference's `self op empty_like().fill_(s)`
     pattern, register.cpp:172-206 — the scalar adopts the tensor's dtype —
-    without materializing the filled tensor)."""
+    without materializing the filled tensor, and without compiling per
+    distinct scalar value)."""
     common = t.dtype()
     acc = _acc_of(common)
     scalar = int(scalar) if is_integral_type(common) else float(scalar)

@@ -1,8 +1,15 @@
-"""GEMM: alpha * (A @ B) + beta * C.
+"""GEMM: alpha * (A @ B).
 
 Rebuild of the reference CUTLASS-backed gemm (gemm_kernel.cu:8-38,
 launcher_cuda.h:537-614): A of any rank is flattened to (m, k), B must be
 2-D, out = A.sizes with the last dim replaced by n (gemm_ops.cpp:6-16).
+
+`beta` is accepted for reference API parity but is INERT: there is no C
+operand to accumulate into — the reference applies beta to a freshly
+allocated (uninitialized) output, i.e. garbage-in (gemm_ops.cpp:6-16), so
+the only well-defined behavior is beta contributing nothing.  Passing
+beta != 0 expecting an accumulate is a usage error; use `out = gemm(a, b,
+alpha) + beta * c` instead.
 
 On TPU the hot path is an MXU-tiled Pallas kernel
 (ops/pallas_kernels/matmul.py) for fp32/bf16/fp16 with fp32 accumulation —

@@ -24,6 +24,7 @@ from jax import lax
 from ..core.dtype import ScalarType
 from ..core.iterator import check
 from ..core.tensor import Tensor
+from ..runtime.launcher import Launcher
 
 
 @partial(jax.jit, static_argnums=(3, 4, 5), donate_argnums=(0,))
@@ -54,13 +55,16 @@ def index_put_(self: Tensor, indices, values: Tensor) -> Tensor:
         check(i.device() == self.device(), "index_put_: device mismatch")
     check(values.device() == self.device(), "index_put_: device mismatch")
     impl = self.impl()
-    new_buf = _index_put_jit(
+    # donated scatter, funneled through the Launcher (sync/profiling observe)
+    new_buf = Launcher.instance().submit(
+        _index_put_jit,
         impl.storage.read(),
         tuple(i._array() for i in indices),
         values._array(),
         impl.shape,
         impl.strides,
         impl.offset,
+        name="index_put_",
     )
     impl.storage.write(new_buf)
     return self

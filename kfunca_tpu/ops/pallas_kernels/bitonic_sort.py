@@ -17,8 +17,10 @@ Contract pieces preserved from the reference:
 
 Segments are padded to a power of two with +inf / INT_MAX sentinel keys
 (they sort to the tail and are sliced off).  Segments above MAX_N fall back
-to XLA's sort on the dispatch level — measured on v5e, this kernel is
-~20-40x faster than lax.sort for the shapes it accepts.
+to XLA's sort on the dispatch level.  Measured verdict (docs/SORT_ENGINE.md,
+slope-timed on v5e): XLA's sort is FASTER — (8192,512) f32 runs 1.19 ms via
+lax.sort vs 2.58 ms here — so this kernel is opt-in (KFUNCA_PALLAS_SORT=1)
+and kept as the tuning substrate, not the default engine.
 """
 
 from __future__ import annotations

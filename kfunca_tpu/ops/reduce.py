@@ -29,6 +29,7 @@ from ..core.dtype import ScalarType, to_jnp
 from ..core.iterator import check, plan_reduce
 from ..core.tensor import GradFunction, Tensor, empty
 from ..runtime.backend import use_pallas
+from ..runtime.launcher import Launcher
 
 
 class SumGradFunction(GradFunction):
@@ -56,22 +57,37 @@ def _sum_jit(A, dim, acc_dt, out_dt, mean: bool):
     return r.astype(out_dt)
 
 
+@partial(jax.jit, static_argnums=(1, 2, 3))
+def _pallas_reduce_jit(A, dim, out_dt, mean: bool):
+    from .pallas_kernels.reduce import reduce_2d
+
+    A = jnp.moveaxis(A, dim, 0)
+    r = reduce_2d(A.reshape(A.shape[0], -1), op="mean" if mean else "sum", out_dt=out_dt)
+    return jnp.moveaxis(r.reshape((1,) + A.shape[1:]), 0, dim)
+
+
 def _reduce_common(t: Tensor, dim: int, mean: bool) -> Tensor:
     plan = plan_reduce(t, dim)
     out = empty(plan.out_shape, t.dtype(), plan.device)
+    launcher = Launcher.instance()
+    name = "mean" if mean else "sum"
     if use_pallas() and plan.acc_dtype in (ScalarType.Float,) and t.numel() >= 1 << 16:
-        from .pallas_kernels.reduce import reduce_2d
-
-        A = jnp.moveaxis(t._array(), plan.dim, 0)
-        r = reduce_2d(
-            A.reshape(A.shape[0], -1),
-            op="mean" if mean else "sum",
-            out_dt=to_jnp(t.dtype()),
+        out._write(
+            launcher.submit(
+                _pallas_reduce_jit, t._array(), plan.dim, to_jnp(t.dtype()), mean, name=name
+            )
         )
-        out._write(jnp.moveaxis(r.reshape((1,) + A.shape[1:]), 0, plan.dim))
     else:
         out._write(
-            _sum_jit(t._array(), plan.dim, to_jnp(plan.acc_dtype), to_jnp(t.dtype()), mean)
+            launcher.submit(
+                _sum_jit,
+                t._array(),
+                plan.dim,
+                to_jnp(plan.acc_dtype),
+                to_jnp(t.dtype()),
+                mean,
+                name=name,
+            )
         )
     if t.requires_grad():
         out.set_requires_grad(True)
@@ -100,7 +116,10 @@ def _mean_var_jit(A, dim, acc_dt, correction, take_sqrt):
 
 def mean_var(t: Tensor, dim: int, take_sqrt: bool):
     plan = plan_reduce(t, dim)
-    m, v = _mean_var_jit(t._array(), plan.dim, to_jnp(plan.acc_dtype), 1, bool(take_sqrt))
+    m, v = Launcher.instance().submit(
+        _mean_var_jit, t._array(), plan.dim, to_jnp(plan.acc_dtype), 1, bool(take_sqrt),
+        name="mean_var",
+    )
     out_m = empty(plan.out_shape, t.dtype(), plan.device)
     out_v = empty(plan.out_shape, t.dtype(), plan.device)
     out_m._write(m)
@@ -125,9 +144,13 @@ def norm_stat(t: Tensor, dim: int):
     if use_pallas() and t.dim() == 2 and plan.dim == 0 and t.dtype() == ScalarType.Float:
         from .pallas_kernels.welford import welford_norm_stat
 
-        m, invstd = welford_norm_stat(t._array())
+        m, invstd = Launcher.instance().submit(
+            welford_norm_stat, t._array(), name="norm_stat"
+        )
     else:
-        m, invstd = _norm_stat_jit(t._array(), plan.dim, to_jnp(plan.acc_dtype))
+        m, invstd = Launcher.instance().submit(
+            _norm_stat_jit, t._array(), plan.dim, to_jnp(plan.acc_dtype), name="norm_stat"
+        )
     out_m = empty(plan.out_shape, t.dtype(), plan.device)
     out_s = empty(plan.out_shape, t.dtype(), plan.device)
     out_m._write(m)

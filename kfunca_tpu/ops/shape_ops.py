@@ -8,11 +8,20 @@ copy_-style dynamic casting of the rest (the reference's copy_ kernels cast).
 
 from __future__ import annotations
 
+from functools import partial
+
+import jax
 import jax.numpy as jnp
 
 from ..core.dtype import to_jnp
 from ..core.iterator import check, maybe_wrap_dim
 from ..core.tensor import Tensor, empty
+from ..runtime.launcher import Launcher
+
+
+@partial(jax.jit, static_argnums=(0, 1))
+def _concat_jit(dim, out_dt, *arrs):
+    return jnp.concatenate([a.astype(out_dt) for a in arrs], axis=dim)
 
 
 def concat(tensors, dim: int) -> Tensor:
@@ -30,6 +39,9 @@ def concat(tensors, dim: int) -> Tensor:
     out_shape = first.sizes()
     out_shape[dim] = total
     out = empty(out_shape, first.dtype(), first.device())
-    arrs = [t._array().astype(to_jnp(first.dtype())) for t in tensors]
-    out._write(jnp.concatenate(arrs, axis=dim))
+    # one fused program (casts + concatenate), funneled through the Launcher
+    arrs = [t._array() for t in tensors]
+    out._write(
+        Launcher.instance().submit(_concat_jit, dim, to_jnp(first.dtype()), *arrs, name="cat")
+    )
     return out

@@ -10,9 +10,10 @@ reference's contract exactly:
     `dim`; the host wrapper re-lays-out to dense dim-last, mirroring
     sort_ops_kernel.cu:521-551),
   * int64 index payload,
-  * descending implemented as stable-ascending over key-negation, which keeps
-    equal elements in original order (same trick as the reference KeyTraits
-    bit flips, sorting_common.h:22-238),
+  * descending implemented as stable-ascending over an order-reversing key
+    transform (float negate / int bitwise-NOT), which keeps equal elements
+    in original order (same trick as the reference KeyTraits bit flips,
+    sorting_common.h:22-238),
   * topk = sort + narrow(k) (reference topk_with_sort, sort_ops_kernel.cu:617-632).
 
 Bool keys are unsupported, as in the reference (:565-566).
@@ -29,12 +30,20 @@ from jax import lax
 from ..core.dtype import ScalarType
 from ..core.iterator import check, maybe_wrap_dim
 from ..core.tensor import Tensor, empty
+from ..runtime.launcher import Launcher
 
 
 def _negate_keys(keys):
-    """Order-reversing transform with exact inversion for descending sort."""
+    """Order-reversing transform for descending sort.
+
+    Integers use bitwise NOT (~x = -x-1): a strictly order-reversing
+    bijection on the FULL two's-complement range.  Arithmetic negation
+    would map INT64_MIN to itself (overflow), sorting the minimum FIRST in
+    descending order — the same hazard the reference's bit-flip KeyTraits
+    transforms avoid (sorting_common.h:22-238).  The sorted values are
+    carried as a separate payload, so no inverse transform is needed."""
     if jnp.issubdtype(keys.dtype, jnp.integer):
-        return -keys.astype(jnp.int64)
+        return ~keys.astype(jnp.int64)
     return -keys
 
 
@@ -104,10 +113,16 @@ def _pallas_sort_jit(A, dim, descending):
 def sort(t: Tensor, dim: int, descending: bool):
     check(t.dtype() != ScalarType.Bool, "sort: Bool unsupported")
     dim = maybe_wrap_dim(dim, t.dim())
+    # every eager launch funnels through the Launcher (reference
+    # Launcher::submit, launcher_cuda.h:315-353): sync/profiling observe it
     if _pallas_eligible(t, dim):
-        vals, idx = _pallas_sort_jit(t._array(), dim, bool(descending))
+        vals, idx = Launcher.instance().submit(
+            _pallas_sort_jit, t._array(), dim, bool(descending), name="sort"
+        )
     else:
-        vals, idx = _sort_jit(t._array(), dim, bool(descending))
+        vals, idx = Launcher.instance().submit(
+            _sort_jit, t._array(), dim, bool(descending), name="sort"
+        )
     out_v = empty(t.sizes(), t.dtype(), t.device())
     out_i = empty(t.sizes(), ScalarType.Long, t.device())
     out_v._write(vals)
@@ -145,11 +160,15 @@ def topk(t: Tensor, k: int, dim: int, largest: bool):
     if k > 256 and _pallas_eligible(t, dim):
         # reference semantics exactly: topk = full sort + narrow(k)
         # (topk_with_sort, sort_ops_kernel.cu:617-632), on the Pallas engine
-        vals, idx = _pallas_sort_jit(t._array(), dim, bool(largest))
+        vals, idx = Launcher.instance().submit(
+            _pallas_sort_jit, t._array(), dim, bool(largest), name="topk"
+        )
         vals = lax.slice_in_dim(vals, 0, k, axis=dim)
         idx = lax.slice_in_dim(idx, 0, k, axis=dim)
     else:
-        vals, idx = _topk_jit(t._array(), k, dim, bool(largest))
+        vals, idx = Launcher.instance().submit(
+            _topk_jit, t._array(), k, dim, bool(largest), name="topk"
+        )
     shape = list(t.sizes())
     shape[dim] = k
     out_v = empty(shape, t.dtype(), t.device())

@@ -60,12 +60,16 @@ def _block_attend(q, k, v, q_off, kv_off, m, l, acc, scale):
     return m_new, l_new, acc_new
 
 
-def _ring_fused(q, k, v, axis: str):
-    """Fused-hop forward: each hop is the Pallas flash tile (ring_hop.py)."""
+def _ring_fused(q, k, v, axis: str, want_lse: bool = False):
+    """Fused-hop forward: each hop is the Pallas flash tile (ring_hop.py).
+
+    want_lse=True additionally returns the padded lane-replicated natural
+    lse (B*H, Sqp, 128) — the residual the fused backward ring consumes."""
     from ..ops.pallas_kernels.ring_hop import (
         flash_attention_hop,
         hop_carry_init,
         hop_finalize,
+        hop_lse,
     )
 
     n = jax.lax.psum(1, axis)
@@ -91,7 +95,10 @@ def _ring_fused(q, k, v, axis: str):
         return (k_nxt, v_nxt, m, l, acc), None
 
     (k, v, m, l, acc), _ = jax.lax.scan(hop, (k, v, m, l, acc), jnp.arange(n))
-    return hop_finalize(l, acc, b, h, s_local, d, q.dtype)
+    out = hop_finalize(l, acc, b, h, s_local, d, q.dtype)
+    if want_lse:
+        return out, hop_lse(m, l)
+    return out
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(3,))
@@ -100,16 +107,58 @@ def _ring_fused_diff(q, k, v, axis):
 
 
 def _ring_fused_fwd(q, k, v, axis):
-    return _ring_fused(q, k, v, axis), (q, k, v)
+    out, lse = _ring_fused(q, k, v, axis, want_lse=True)
+    return out, (q, k, v, out, lse)
 
 
 def _ring_fused_bwd(axis, res, g):
-    # Pallas kernels have no AD; the backward ring reuses the einsum path's
-    # VJP (recompute-per-hop, exact same math). A fused backward hop kernel
-    # is the next optimization step.
-    q, k, v = res
-    _, vjp = jax.vjp(lambda a, b, c: _ring_einsum(a, b, c, axis), q, k, v)
-    return vjp(g)
+    """Fused backward ring (round 3): dk/dv accumulators TRAVEL the ring
+    with their k/v shards (after n hops they are home), dq accumulates
+    resident; each hop is one Pallas kernel (ring_hop.py: _bwd_hop_kernel)
+    recomputing p from the saved global lse — FlashAttention-2 style, so
+    hops are independent and nothing materializes an (Sq, Skv) score matrix
+    outside VMEM tiles."""
+    from ..ops.pallas_kernels.ring_hop import (
+        bwd_carry_init,
+        flash_attention_bwd_hop,
+        lane_replicate_rows,
+    )
+
+    q, k, v, out, lse = res
+    n = jax.lax.psum(1, axis)
+    idx = jax.lax.axis_index(axis)
+    b, h, s_local, d = q.shape
+    scale = _np.float32(1.0 / math.sqrt(d))
+    perm = [(i, (i + 1) % n) for i in range(n)]
+
+    qs = q * jnp.asarray(scale, q.dtype)
+    delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
+    sqp = lse.shape[1]
+    deltaf = lane_replicate_rows(delta, b, h, s_local, sqp)
+    dq0, dk0, dv0 = bwd_carry_init(b, h, s_local, s_local, d)
+
+    def hop(carry, i):
+        k_cur, v_cur, dk_cur, dv_cur, dq_acc = carry
+        src = (idx - i) % n
+        dq_acc, dk_cur, dv_cur = flash_attention_bwd_hop(
+            qs, k_cur, v_cur, g, lse, deltaf, dq_acc, dk_cur, dv_cur,
+            (idx * s_local).astype(jnp.int32),
+            (src * s_local).astype(jnp.int32),
+        )
+        k_nxt = jax.lax.ppermute(k_cur, axis, perm)
+        v_nxt = jax.lax.ppermute(v_cur, axis, perm)
+        dk_nxt = jax.lax.ppermute(dk_cur, axis, perm)
+        dv_nxt = jax.lax.ppermute(dv_cur, axis, perm)
+        return (k_nxt, v_nxt, dk_nxt, dv_nxt, dq_acc), None
+
+    (k_fin, v_fin, dk_acc, dv_acc, dq_acc), _ = jax.lax.scan(
+        hop, (k, v, dk0, dv0, dq0), jnp.arange(n)
+    )
+    # after n rotations dk/dv are back at their owners
+    dq = (dq_acc[:, :s_local, :d] * scale).reshape(b, h, s_local, d).astype(q.dtype)
+    dk = dk_acc[:, :s_local, :d].reshape(b, h, s_local, d).astype(k.dtype)
+    dv = dv_acc[:, :s_local, :d].reshape(b, h, s_local, d).astype(v.dtype)
+    return dq, dk, dv
 
 
 _ring_fused_diff.defvjp(_ring_fused_fwd, _ring_fused_bwd)

@@ -211,7 +211,12 @@ def load_sharded(dir_path: str, like):
         dt = meta["dtype"]
         np_dt = ml_dtypes.bfloat16 if dt == "bfloat16" else np.dtype(dt)
         assembled.append(np.zeros(meta["shape"], np_dt))
-    filled = [0] * len(assembled)
+    # per-element coverage masks, NOT element counts: in multi-host layouts a
+    # leaf can be replicated across some processes and sharded across others,
+    # so duplicate copies of one shard could push a raw count to arr.size
+    # while another shard's region is missing — a count check would silently
+    # restore that region as zeros
+    covered = [np.zeros(a.shape, dtype=bool) for a in assembled]
     for path in sorted(glob.glob(os.path.join(dir_path, "shard_*.npz"))):
         with np.load(path, allow_pickle=False) as z:
             sm = json.loads(bytes(z["__shard_manifest__"]).decode())
@@ -221,10 +226,11 @@ def load_sharded(dir_path: str, like):
                     data = data.view(ml_dtypes.bfloat16)
                 idx = tuple(slice(a, b) for a, b in rec["slice"])
                 assembled[rec["leaf"]][idx] = data
-                filled[rec["leaf"]] += data.size
-    for i, (arr, n) in enumerate(zip(assembled, filled)):
+                covered[rec["leaf"]][idx] = True
+    for i, (arr, mask) in enumerate(zip(assembled, covered)):
+        n = int(mask.sum())
         if n < arr.size:
-            raise ValueError(f"leaf {i}: only {n}/{arr.size} elements present in shards")
+            raise ValueError(f"leaf {i}: only {n}/{arr.size} elements covered by shards")
     out = []
     for proto, arr in zip(flat_like, assembled):
         if isinstance(proto, jax.Array) and hasattr(proto, "sharding"):

@@ -48,11 +48,24 @@ class TestLauncher:
             a.fill_(3.0)
             g = kfunca.gemm(a, b, 1.0, 0.0)
             del g
+            _ = a.sum(0)
+            _ = a.mean_var(0, False)
+            _ = a.norm_stat(0)
+            _ = a.sort(0, False)
+            _ = a.topk(2, 0, True)
+            _ = kfunca.causal_attention(
+                *[kfunca.from_numpy(np.ones((1, 1, 8, 8), np.float32), 0) for _ in range(3)]
+            )
+            _ = kfunca.cat([a, b], 0)
+            idx = kfunca.from_numpy(np.array([0], np.int64), 0)
+            a.index_put_([idx], kfunca.from_numpy(np.zeros((1, 4), np.float32), 0))
             names = [r.name for r in PROFILER.records]
-            assert "add" in names, names
-            assert "mul_scalar" in names, names
-            assert "fill" in names, names
-            assert "gemm" in names, names
+            for expect in (
+                "add", "mul_scalar", "fill", "gemm", "sum", "mean_var",
+                "norm_stat", "sort", "topk", "causal_attention", "cat",
+                "index_put_",
+            ):
+                assert expect in names, (expect, names)
         finally:
             kfunca.launcher.set_profiling_mode(False)
             PROFILER.records.clear()

@@ -87,3 +87,35 @@ class TestMisc:
         m, s = t.mean_var(1, True)
         ref_std = arr.std(axis=1, keepdims=True, ddof=1)
         assert np.allclose(s.numpy(), ref_std, atol=1e-4, rtol=1e-4)
+
+    def test_int64_descending_sort_min_value(self):
+        # -INT64_MIN overflows to itself; the bitwise-NOT key transform must
+        # still sort the minimum LAST in descending order (reference KeyTraits
+        # bit flips are immune, sorting_common.h:22-238)
+        lo = np.iinfo(np.int64).min
+        arr = np.array([3, lo, -1, 0, lo + 1, 7], dtype=np.int64)
+        t = kfunca.from_numpy(arr, 0)
+        vals, idx = t.sort(0, True)
+        ref = np.sort(arr)[::-1]
+        assert np.array_equal(vals.numpy(), ref), vals.numpy()
+        assert vals.numpy()[-1] == lo
+        assert np.array_equal(arr[idx.numpy()], ref)
+        # topk(largest) goes through the same transform
+        tv, _ = t.topk(6, 0, True)
+        assert np.array_equal(tv.numpy(), ref)
+
+    def test_scalar_ops_share_one_program(self):
+        # the scalar rides as a traced operand: distinct values of one dtype
+        # must NOT trigger distinct compiled programs (recompile churn guard)
+        from kfunca_tpu.core import dispatch
+
+        t = kfunca.from_numpy(np.ones((4, 4), np.float32), 0)
+        _ = t * 0.5
+        baseline_hits = dispatch._fused_program.cache_info().hits
+        for s in (0.25, 1.75, float("nan"), 3.0):
+            _ = t * s
+        info = dispatch._fused_program.cache_info()
+        assert info.hits >= baseline_hits + 4  # every later value reuses the program
+        f = t.fill_(2.0)
+        f.fill_(float("nan"))
+        assert np.all(np.isnan(f.numpy()))

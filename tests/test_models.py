@@ -232,7 +232,36 @@ class TestShardedCheckpoint:
         # corrupt: remove the shard file
         for f in glob.glob(str(tmp_path / "ckpt" / "shard_*.npz")):
             os.remove(f)
-        with pytest.raises(ValueError, match="elements present"):
+        with pytest.raises(ValueError, match="elements covered"):
+            load_sharded(str(tmp_path / "ckpt"), like={"w": w})
+
+    def test_sharded_detects_duplicate_covering_missing(self, tmp_path):
+        """Coverage is per-element, not an element count: a duplicated shard
+        record must not mask a missing region (multi-host replicated+sharded
+        layouts can legitimately produce duplicate shard copies)."""
+        import glob
+        import json
+
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        from kfunca_tpu.utils.checkpoint import load_sharded, save_sharded
+
+        mesh = Mesh(np.asarray(jax.devices()), ("tp",))
+        w = jax.device_put(jnp.ones((8, 4), jnp.float32), NamedSharding(mesh, P("tp")))
+        save_sharded(str(tmp_path / "ckpt"), {"w": w})
+        (path,) = glob.glob(str(tmp_path / "ckpt" / "shard_*.npz"))
+        z = dict(np.load(path, allow_pickle=False))
+        sm = json.loads(bytes(z["__shard_manifest__"]).decode())
+        # rewrite every record to target the SAME first-half slice: total
+        # element count still reaches arr.size, but rows 4..8 are uncovered
+        for rec in sm["shards"]:
+            rec["slice"] = [[0, 4], [0, 4]]
+            z[rec["name"]] = np.ones((4, 4), np.float32)
+        z["__shard_manifest__"] = np.frombuffer(
+            json.dumps(sm).encode(), dtype=np.uint8
+        )
+        np.savez(open(path, "wb"), **z)
+        with pytest.raises(ValueError, match="elements covered"):
             load_sharded(str(tmp_path / "ckpt"), like={"w": w})
 
     def test_async_save_roundtrip(self, tmp_path):

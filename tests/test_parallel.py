@@ -40,6 +40,7 @@ class TestDenseSharding:
             out = jax.jit(lambda p, t: forward(p, t, cfg))(sharded, tokens)
         assert np.allclose(np.asarray(ref), np.asarray(out), atol=1e-4, rtol=1e-4)
 
+    @pytest.mark.slow
     def test_sharded_train_step_decreases_loss(self):
         cfg = tiny_cfg()
         mesh = make_mesh(8)
@@ -178,6 +179,7 @@ class TestPipeline:
             float(pp_loss),
         )
 
+    @pytest.mark.slow
     def test_pipeline_remat_parity(self):
         """remat=True (microbatch checkpointing) must not change the math:
         identical outputs and gradients, only the backward memory policy."""
@@ -202,6 +204,7 @@ class TestPipeline:
         assert np.allclose(np.asarray(outs[False]), np.asarray(outs[True]), atol=1e-6)
         assert np.allclose(np.asarray(grads[False]), np.asarray(grads[True]), atol=1e-5)
 
+    @pytest.mark.slow
     def test_pipeline_train_step(self):
         cfg = pipeline_lm.PipelineMoEConfig(dtype="float32")
         mesh = Mesh(np.asarray(jax.devices()).reshape(2, 2, 2), ("dp", "pp", "tp"))

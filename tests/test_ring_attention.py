@@ -3,6 +3,7 @@
 import math
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -134,6 +135,7 @@ class TestFusedHopKernel:
         assert np.allclose(np.asarray(l1), np.asarray(l2))
         assert np.allclose(np.asarray(acc1), np.asarray(acc2))
 
+    @pytest.mark.slow
     def test_ring_fused_path_matches_einsum_under_mesh(self):
         """Full fused ring (interpret kernels) == einsum ring under an
         8-way cp mesh, forward values."""
@@ -175,3 +177,80 @@ class TestFusedHopKernel:
             assert np.allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
         finally:
             ring_hop.flash_attention_hop = orig
+
+    def test_bwd_hop_all_future_is_noop(self):
+        """A backward hop whose kv shard is entirely in the q rows' future
+        must leave every accumulator unchanged (p underflows to exact 0)."""
+        import math
+
+        from kfunca_tpu.ops.pallas_kernels.ring_hop import (
+            bwd_carry_init,
+            flash_attention_bwd_hop,
+            lane_replicate_rows,
+        )
+
+        b, h, s_local, d = 1, 1, 128, 128
+        key = jax.random.PRNGKey(3)
+        q, k, v, g = (
+            jax.random.normal(kk, (b, h, s_local, d), jnp.float32)
+            for kk in jax.random.split(key, 4)
+        )
+        scale = 1.0 / math.sqrt(d)
+        lse = lane_replicate_rows(jnp.zeros((b, h, s_local)), b, h, s_local, s_local)
+        delta = lane_replicate_rows(jnp.zeros((b, h, s_local)), b, h, s_local, s_local)
+        dq0, dk0, dv0 = bwd_carry_init(b, h, s_local, s_local, d)
+        dq, dk, dv = flash_attention_bwd_hop(
+            q * scale, k, v, g, lse, delta, dq0, dk0, dv0,
+            jnp.int32(0), jnp.int32(1024), interpret=True,  # kv fully future
+        )
+        assert np.allclose(np.asarray(dq), 0.0)
+        assert np.allclose(np.asarray(dk), 0.0)
+        assert np.allclose(np.asarray(dv), 0.0)
+
+    @pytest.mark.slow
+    def test_ring_fused_backward_matches_einsum_under_mesh(self):
+        """jax.grad through the FUSED ring (fwd hop kernel + fused bwd hop
+        kernels, interpret mode) == grad through the einsum ring, 8-way cp
+        mesh.  The travelling dk/dv accumulators must come home after n
+        rotations with exactly the einsum VJP's values."""
+        import functools
+        from functools import partial
+
+        from jax.sharding import Mesh, PartitionSpec as P
+
+        from kfunca_tpu.ops.pallas_kernels import ring_hop
+        from kfunca_tpu.parallel.ring_attention import ring_attention_spmd
+
+        orig_f = ring_hop.flash_attention_hop
+        orig_b = ring_hop.flash_attention_bwd_hop
+        ring_hop.flash_attention_hop = functools.partial(orig_f, interpret=True)
+        ring_hop.flash_attention_bwd_hop = functools.partial(orig_b, interpret=True)
+        try:
+            mesh = Mesh(np.asarray(jax.devices()), ("cp",))
+            spec = P(None, None, "cp", None)
+            b, h, s, d = 1, 2, 8 * 128, 128
+            key = jax.random.PRNGKey(2)
+            q, k, v = (
+                jax.random.normal(kk, (b, h, s, d), jnp.float32)
+                for kk in jax.random.split(key, 3)
+            )
+            fns = {}
+            for uk in (False, True):
+                fns[uk] = jax.shard_map(
+                    partial(ring_attention_spmd, axis="cp", use_kernel=uk),
+                    mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+                    axis_names=frozenset({"cp"}), check_vma=False,
+                )
+
+            def loss(f):
+                return lambda q, k, v: jnp.sum(jnp.sin(f(q, k, v)))
+
+            with mesh:
+                gref = jax.grad(loss(fns[False]), argnums=(0, 1, 2))(q, k, v)
+                ggot = jax.grad(loss(fns[True]), argnums=(0, 1, 2))(q, k, v)
+            for name, a, r in zip("dq dk dv".split(), ggot, gref):
+                md = np.abs(np.asarray(a) - np.asarray(r)).max()
+                assert md < 2e-5, (name, md)
+        finally:
+            ring_hop.flash_attention_hop = orig_f
+            ring_hop.flash_attention_bwd_hop = orig_b

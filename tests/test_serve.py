@@ -127,6 +127,33 @@ class TestPagedDecodeParity:
         results = srv.run()
         assert results[rid] == []
 
+    def test_pool_exceeding_request_rejected_not_requeued(self, model):
+        """A request small enough for a slot's page table but larger than the
+        ENTIRE pool must be rejected at admit, not requeued forever (run()
+        would otherwise spin through max_steps doing nothing)."""
+        params, cfg = model
+        srv = InferenceServer(params, cfg, batch_slots=1, page_size=4, n_pages=4,
+                              max_pages_per_seq=8)
+        # needs 5 pages; table allows 8 but the pool only has 3 usable pages
+        big = srv.submit(list(range(1, 12)), max_new=8)
+        ok = srv.submit([1, 2], max_new=2)  # fits: must still complete
+        results = srv.run(max_steps=50)
+        assert results[big] == []
+        assert len(results[ok]) == 2
+
+    def test_rejected_request_does_not_waste_slot_round(self, model):
+        """_admit retries the queue for the same slot after a rejection: with
+        one slot, [oversized, ok] must finish ok's tokens in one run."""
+        params, cfg = model
+        srv = InferenceServer(params, cfg, batch_slots=1, page_size=4, n_pages=16,
+                              max_pages_per_seq=2)
+        bad = srv.submit(list(range(1, 12)), max_new=8)  # needs 5 pages > 2
+        ok = srv.submit([3], max_new=3)
+        results = srv.run(max_steps=6)  # tight budget: only works if the slot
+        #                                 is filled the same round bad is rejected
+        assert results[bad] == []
+        assert len(results[ok]) == 3
+
 
 class TestPagedDecodeKernel:
     def test_matches_gather_oracle(self):

@@ -178,19 +178,28 @@ class TestTensorImpl:
         assert_allclose(var, mean_var[1], atol=1e-2, rtol=1e-2)
         kfunca.memstat()
 
+    def _check_norm_stat(self, shape):
+        dim = 0
+        arr = np.random.uniform(-10, 10, size=shape).astype(np.float32)
+        arr_ = kfunca.from_numpy(arr, 0)
+        divisor = shape[dim]
+        mean = np.mean(arr, axis=dim, keepdims=True)
+        var = (arr - mean) * (arr - mean)
+        var = np.sum(var, axis=dim, keepdims=True)
+        invstd = 1.0 / np.sqrt(var / divisor)
+        mean_invstd = arr_.norm_stat(dim)
+        assert_allclose(mean, mean_invstd[0])
+        assert_allclose(invstd, mean_invstd[1])
+
     def test_norm_stat(self):
-        for shape in [[64, 64], [1024, 2048], [4096, 4096], [4096 * 4 + 3, 4096 * 4 + 3]]:
-            dim = 0
-            arr = np.random.uniform(-10, 10, size=shape).astype(np.float32)
-            arr_ = kfunca.from_numpy(arr, 0)
-            divisor = shape[dim]
-            mean = np.mean(arr, axis=dim, keepdims=True)
-            var = (arr - mean) * (arr - mean)
-            var = np.sum(var, axis=dim, keepdims=True)
-            invstd = 1.0 / np.sqrt(var / divisor)
-            mean_invstd = arr_.norm_stat(dim)
-            assert_allclose(mean, mean_invstd[0])
-            assert_allclose(invstd, mean_invstd[1])
+        for shape in [[64, 64], [1024, 2048], [4096, 4096]]:
+            self._check_norm_stat(shape)
+
+    @pytest.mark.slow
+    def test_norm_stat_reference_scale(self):
+        # the reference suite's 16387^2 shape (test_tensor.py:134-146): ~50 s
+        # of XLA:CPU compile alone, so it lives in the slow tier
+        self._check_norm_stat([4096 * 4 + 3, 4096 * 4 + 3])
 
     def test_convert(self):
         arr = np.random.uniform(-10, 10, size=(2, 3))

@@ -1,6 +1,7 @@
 """Vision encoder + multimodal LM tests."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -54,6 +55,7 @@ class TestViT:
         assert feats.shape == (2, cfg.n_patches, cfg.d_model)
         assert bool(jnp.isfinite(feats).all())
 
+    @pytest.mark.slow
     def test_position_sensitivity(self):
         """Same patches in a different spatial arrangement must encode
         differently (positional embeddings are live)."""
@@ -79,6 +81,7 @@ class TestMultimodal:
         logits2 = multimodal_forward(params, img2, tokens, cfg)
         assert not np.allclose(np.asarray(logits), np.asarray(logits2), atol=1e-4)
 
+    @pytest.mark.slow
     def test_train_step_learns(self):
         cfg = tiny_mm()
         params = init_multimodal_params(jax.random.PRNGKey(0), cfg)

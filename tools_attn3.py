@@ -1,0 +1,539 @@
+"""Round-3 flash-attention forward experiments (VERDICT task 1).
+
+Variants over the round-2 kernel (ops/pallas_kernels/flash_attention.py):
+  v2  : tiled causal skip + diagonal-only masking (lax.cond on a scalar) +
+        exp2 softmax (log2(e) folded into the q prescale) + no pad mask
+        when skv % bk == 0
+  v3  : v2 + live-only grid (scalar-prefetched (iq, ik) tables: dead blocks
+        never enter the grid at all)
+
+Run on TPU:  python tools_attn3.py sweep1
+Discipline: interleaved A/B within rounds (sequential sweeps drift +-10-30%).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as _np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+import os
+INTERPRET = os.environ.get("ATTN3_INTERPRET", "0") == "1"
+_cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+NEG_INF = _np.float32(-1e30)
+_ONE = _np.float32(1.0)
+_ZERO = _np.float32(0.0)
+LOG2E = _np.float32(math.log2(math.e))
+
+
+def _lanes(x128, n):
+    if n == 128:
+        return x128
+    if n < 128:  # interpret-mode test shapes only; TPU tiles are >= 128
+        return x128[:, :n]
+    return jnp.tile(x128, (1, n // 128))
+
+
+def _mask_val(s, iq, ik, bq, bk, skv, pad):
+    row = iq * _np.int32(bq) + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
+    col = ik * _np.int32(bk) + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+    ok = col <= row
+    if pad:
+        ok = ok & (col < _np.int32(skv))
+    return jnp.where(ok, s, NEG_INF)
+
+
+# ---------------------------------------------------------------------------
+# v2: rectangular grid with dead-step prefetch (round-2 structure) + new math
+# ---------------------------------------------------------------------------
+
+
+def _v2_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, skv, bq, bk,
+               diag_cond, pad):
+    iq = pl.program_id(1)
+    ik = pl.program_id(2)
+
+    @pl.when(ik == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    in_dt = q_ref.dtype
+
+    @pl.when(ik * bk <= iq * bq + bq - 1)
+    def _compute():
+        q = q_ref[0]
+        k = k_ref[0]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+        if diag_cond:
+            # mask only blocks that straddle the diagonal (a scalar branch;
+            # operand refs are read unconditionally above)
+            full = ik * bk + (bk - 1) <= iq * bq
+            if pad:
+                full = full & (ik * bk + bk <= skv)
+            s = jax.lax.cond(
+                full, lambda t: t,
+                lambda t: _mask_val(t, iq, ik, bq, bk, skv, pad), s,
+            )
+        else:
+            s = _mask_val(s, iq, ik, bq, bk, skv, pad)
+        m_prev = m_ref[:]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1)[:, None])
+        alpha = jnp.exp2(m_prev - m_new)
+        p = jnp.exp2(s - _lanes(m_new, s.shape[1]))
+        l_new = l_ref[:] * alpha + jnp.sum(p, axis=1)[:, None]
+        v = v_ref[0]
+        acc_ref[:] = acc_ref[:] * _lanes(alpha, acc_ref.shape[1]) + jax.lax.dot(
+            p.astype(in_dt), v, preferred_element_type=jnp.float32,
+        )
+        m_ref[:] = m_new
+        l_ref[:] = l_new
+
+    @pl.when(ik == pl.num_programs(2) - 1)
+    def _store():
+        l_safe = jnp.where(l_ref[:] == _ZERO, _ONE, l_ref[:])
+        o_ref[0] = (acc_ref[:] / _lanes(l_safe, acc_ref.shape[1])).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("bq", "bk", "diag_cond"))
+def attn_v2(q, k, v, bq=512, bk=512, diag_cond=True):
+    b, h, sq, d = q.shape
+    skv = k.shape[2]
+    scale = (1.0 / math.sqrt(d)) * float(LOG2E)  # exp2 domain
+
+    sqp = -(-sq // bq) * bq
+    skvp = -(-skv // bk) * bk
+    dp = -(-d // 128) * 128
+    pad = skvp != skv
+
+    qs = (q * jnp.asarray(scale, q.dtype)).reshape(b * h, sq, d)
+
+    def pad_to(x, shape):
+        pads = [(0, t - s) for s, t in zip(x.shape, shape)]
+        return jnp.pad(x, pads) if any(p != (0, 0) for p in pads) else x
+
+    qf = pad_to(qs, (b * h, sqp, dp))
+    kf = pad_to(k.reshape(b * h, skv, d), (b * h, skvp, dp))
+    vf = pad_to(v.reshape(b * h, skv, d), (b * h, skvp, dp))
+
+    def kv_idx(bh, i, j):
+        live = j * _np.int32(bk) <= i * _np.int32(bq) + _np.int32(bq - 1)
+        return (bh, jax.lax.select(live, j, _np.int32(0)), _np.int32(0))
+
+    grid = (b * h, sqp // bq, skvp // bk)
+    out = pl.pallas_call(
+        functools.partial(_v2_kernel, skv=skv, bq=bq, bk=bk, diag_cond=diag_cond, pad=pad),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq, dp), lambda bh, i, j: (bh, i, _np.int32(0))),
+            pl.BlockSpec((1, bk, dp), kv_idx),
+            pl.BlockSpec((1, bk, dp), kv_idx),
+        ],
+        out_specs=pl.BlockSpec((1, bq, dp), lambda bh, i, j: (bh, i, _np.int32(0))),
+        out_shape=jax.ShapeDtypeStruct((b * h, sqp, dp), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, dp), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * h * sqp * skvp * dp,
+            bytes_accessed=(qf.size + kf.size + vf.size) * q.dtype.itemsize,
+            transcendentals=b * h * sqp * skvp // 2,
+        ),
+        interpret=INTERPRET,
+    )(qf, kf, vf)
+    return out[:, :sq, :d].reshape(b, h, sq, d)
+
+
+# ---------------------------------------------------------------------------
+# v3: live-only grid — scalar-prefetched (iq, ik, first, last) step tables
+# ---------------------------------------------------------------------------
+
+
+def _v3_kernel(iq_t, ik_t, fl_t, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
+               *, skv, bq, bk, diag_cond, pad):
+    t = pl.program_id(1)
+    iq = iq_t[t]
+    ik = ik_t[t]
+    flags = fl_t[t]  # 1=first block of a q row, 2=last, 3=both
+
+    @pl.when((flags & 1) == 1)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    in_dt = q_ref.dtype
+    q = q_ref[0]
+    k = k_ref[0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+    )
+    if diag_cond:
+        full = ik * bk + (bk - 1) <= iq * bq
+        if pad:
+            full = full & (ik * bk + bk <= skv)
+        s = jax.lax.cond(
+            full, lambda x: x, lambda x: _mask_val(x, iq, ik, bq, bk, skv, pad), s
+        )
+    else:
+        s = _mask_val(s, iq, ik, bq, bk, skv, pad)
+    m_prev = m_ref[:]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=1)[:, None])
+    alpha = jnp.exp2(m_prev - m_new)
+    p = jnp.exp2(s - _lanes(m_new, s.shape[1]))
+    l_new = l_ref[:] * alpha + jnp.sum(p, axis=1)[:, None]
+    v = v_ref[0]
+    acc_ref[:] = acc_ref[:] * _lanes(alpha, acc_ref.shape[1]) + jax.lax.dot(
+        p.astype(in_dt), v, preferred_element_type=jnp.float32,
+    )
+    m_ref[:] = m_new
+    l_ref[:] = l_new
+
+    @pl.when((flags & 2) == 2)
+    def _store():
+        l_safe = jnp.where(l_new == _ZERO, _ONE, l_new)
+        o_ref[0] = (acc_ref[:] / _lanes(l_safe, acc_ref.shape[1])).astype(o_ref.dtype)
+
+
+def _live_tables(nqb, nkb, bq, bk):
+    iqs, iks, fls = [], [], []
+    for i in range(nqb):
+        last_k = min((i * bq + bq - 1) // bk, nkb - 1)
+        for j in range(last_k + 1):
+            iqs.append(i)
+            iks.append(j)
+            fls.append((1 if j == 0 else 0) | (2 if j == last_k else 0))
+    return (_np.asarray(iqs, _np.int32), _np.asarray(iks, _np.int32),
+            _np.asarray(fls, _np.int32))
+
+
+@functools.partial(jax.jit, static_argnames=("bq", "bk", "diag_cond"))
+def attn_v3(q, k, v, bq=512, bk=512, diag_cond=True):
+    b, h, sq, d = q.shape
+    skv = k.shape[2]
+    scale = (1.0 / math.sqrt(d)) * float(LOG2E)
+
+    sqp = -(-sq // bq) * bq
+    skvp = -(-skv // bk) * bk
+    dp = -(-d // 128) * 128
+    pad = skvp != skv
+    nqb, nkb = sqp // bq, skvp // bk
+
+    qs = (q * jnp.asarray(scale, q.dtype)).reshape(b * h, sq, d)
+
+    def pad_to(x, shape):
+        pads = [(0, t - s) for s, t in zip(x.shape, shape)]
+        return jnp.pad(x, pads) if any(p != (0, 0) for p in pads) else x
+
+    qf = pad_to(qs, (b * h, sqp, dp))
+    kf = pad_to(k.reshape(b * h, skv, d), (b * h, skvp, dp))
+    vf = pad_to(v.reshape(b * h, skv, d), (b * h, skvp, dp))
+
+    iq_t, ik_t, fl_t = _live_tables(nqb, nkb, bq, bk)
+    n_live = len(iq_t)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(b * h, n_live),
+        in_specs=[
+            pl.BlockSpec((1, bq, dp), lambda bh, t, iqt, ikt, flt: (bh, iqt[t], _np.int32(0))),
+            pl.BlockSpec((1, bk, dp), lambda bh, t, iqt, ikt, flt: (bh, ikt[t], _np.int32(0))),
+            pl.BlockSpec((1, bk, dp), lambda bh, t, iqt, ikt, flt: (bh, ikt[t], _np.int32(0))),
+        ],
+        out_specs=pl.BlockSpec((1, bq, dp), lambda bh, t, iqt, ikt, flt: (bh, iqt[t], _np.int32(0))),
+        scratch_shapes=[
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, dp), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_v3_kernel, skv=skv, bq=bq, bk=bk, diag_cond=diag_cond, pad=pad),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b * h, sqp, dp), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * h * sqp * skvp * dp,
+            bytes_accessed=(qf.size + kf.size + vf.size) * q.dtype.itemsize,
+            transcendentals=b * h * sqp * skvp // 2,
+        ),
+        interpret=INTERPRET,
+    )(iq_t, ik_t, fl_t, qf, kf, vf)
+    return out[:, :sq, :d].reshape(b, h, sq, d)
+
+
+
+
+# ---------------------------------------------------------------------------
+# v4: v3 + minimal VPU passes (optional bf16 softmax: s comes off the MXU in
+# bf16, max/exp2 run at bf16 width; l/acc accumulate in f32)
+# ---------------------------------------------------------------------------
+
+
+def _v4_kernel(iq_t, ik_t, fl_t, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
+               *, skv, bq, bk, diag_cond, pad, bf16_softmax):
+    t = pl.program_id(1)
+    iq = iq_t[t]
+    ik = ik_t[t]
+    flags = fl_t[t]
+    sdt = jnp.bfloat16 if bf16_softmax else jnp.float32
+    neg = jnp.asarray(NEG_INF, sdt)
+
+    @pl.when((flags & 1) == 1)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, neg)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    in_dt = q_ref.dtype
+    # Mosaic requires a 32-bit matmul accumulator; the bf16-softmax variant
+    # casts the result (one pass) and runs max/exp2 at bf16 width
+    s = jax.lax.dot_general(
+        q_ref[0], k_ref[0], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+    )
+    if bf16_softmax:
+        s = s.astype(sdt)
+    if diag_cond:
+        full = ik * bk + (bk - 1) <= iq * bq
+        if pad:
+            full = full & (ik * bk + bk <= skv)
+
+        def _mask(x):
+            row = iq * _np.int32(bq) + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
+            col = ik * _np.int32(bk) + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+            ok = col <= row
+            if pad:
+                ok = ok & (col < _np.int32(skv))
+            return jnp.where(ok, x, neg)
+
+        s = jax.lax.cond(full, lambda x: x, _mask, s)
+    else:
+        row = iq * _np.int32(bq) + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
+        col = ik * _np.int32(bk) + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+        ok = col <= row
+        if pad:
+            ok = ok & (col < _np.int32(skv))
+        s = jnp.where(ok, s, neg)
+    m_prev = m_ref[:]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=1)[:, None])
+    alpha32 = jnp.exp2((m_prev - m_new).astype(jnp.float32))
+    p = jnp.exp2(s - _lanes(m_new, s.shape[1])).astype(in_dt)  # one fused pass
+    l_new = l_ref[:] * alpha32 + jnp.sum(p, axis=1, dtype=jnp.float32)[:, None]
+    acc_ref[:] = acc_ref[:] * _lanes(alpha32, acc_ref.shape[1]) + jax.lax.dot(
+        p, v_ref[0], preferred_element_type=jnp.float32,
+    )
+    m_ref[:] = m_new
+    l_ref[:] = l_new
+
+    @pl.when((flags & 2) == 2)
+    def _store():
+        l_safe = jnp.where(l_new == _ZERO, _ONE, l_new)
+        o_ref[0] = (acc_ref[:] / _lanes(l_safe, acc_ref.shape[1])).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("bq", "bk", "diag_cond", "bf16_softmax"))
+def attn_v4(q, k, v, bq=512, bk=512, diag_cond=True, bf16_softmax=False):
+    b, h, sq, d = q.shape
+    skv = k.shape[2]
+    scale = (1.0 / math.sqrt(d)) * float(LOG2E)
+
+    sqp = -(-sq // bq) * bq
+    skvp = -(-skv // bk) * bk
+    dp = -(-d // 128) * 128
+    pad = skvp != skv
+    nqb, nkb = sqp // bq, skvp // bk
+
+    qs = (q * jnp.asarray(scale, q.dtype)).reshape(b * h, sq, d)
+
+    def pad_to(x, shape):
+        pads = [(0, t - s) for s, t in zip(x.shape, shape)]
+        return jnp.pad(x, pads) if any(p != (0, 0) for p in pads) else x
+
+    qf = pad_to(qs, (b * h, sqp, dp))
+    kf = pad_to(k.reshape(b * h, skv, d), (b * h, skvp, dp))
+    vf = pad_to(v.reshape(b * h, skv, d), (b * h, skvp, dp))
+
+    iq_t, ik_t, fl_t = _live_tables(nqb, nkb, bq, bk)
+    n_live = len(iq_t)
+    sdt = jnp.bfloat16 if bf16_softmax else jnp.float32
+    i32 = _np.int32
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(b * h, n_live),
+        in_specs=[
+            pl.BlockSpec((1, bq, dp), lambda bh, t, iqt, ikt, flt: (bh, iqt[t], i32(0))),
+            pl.BlockSpec((1, bk, dp), lambda bh, t, iqt, ikt, flt: (bh, ikt[t], i32(0))),
+            pl.BlockSpec((1, bk, dp), lambda bh, t, iqt, ikt, flt: (bh, ikt[t], i32(0))),
+        ],
+        out_specs=pl.BlockSpec((1, bq, dp), lambda bh, t, iqt, ikt, flt: (bh, iqt[t], i32(0))),
+        scratch_shapes=[
+            pltpu.VMEM((bq, 128), sdt),          # m
+            pltpu.VMEM((bq, 128), jnp.float32),  # l
+            pltpu.VMEM((bq, dp), jnp.float32),   # acc
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_v4_kernel, skv=skv, bq=bq, bk=bk, diag_cond=diag_cond,
+                          pad=pad, bf16_softmax=bf16_softmax),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b * h, sqp, dp), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * h * sqp * skvp * dp,
+            bytes_accessed=(qf.size + kf.size + vf.size) * q.dtype.itemsize,
+            transcendentals=b * h * sqp * skvp // 2,
+        ),
+        interpret=INTERPRET,
+    )(iq_t, ik_t, fl_t, qf, kf, vf)
+    return out[:, :sq, :d].reshape(b, h, sq, d)
+
+
+# ---------------------------------------------------------------------------
+# harness
+# ---------------------------------------------------------------------------
+
+
+def _sync(x):
+    _np.asarray(jax.device_get(jnp.ravel(x)[:1]))
+
+
+def _timed(fn, iters=5):
+    _sync(fn())
+    best = float("inf")
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        _sync(fn())
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def make_chain(f, q, k, v, K):
+    @jax.jit
+    def g(x, kk, vv):
+        for _ in range(K):
+            x = f(x, kk, vv)
+        return x
+    return lambda: g(q, k, v)
+
+
+def check_numerics(f, q, k, v, oracle):
+    # maxdiff reduced ON DEVICE: fetching full outputs through the relay
+    # tunnel takes minutes (64 MB at b4 h16 s2048 d128)
+    md = jax.jit(lambda a, b: jnp.max(jnp.abs(a.astype(jnp.float32) - b)))(f(q, k, v), oracle)
+    return float(jax.device_get(md))
+
+
+def sdpa_oracle(q, k, v):
+    scale = 1.0 / math.sqrt(q.shape[-1])
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32) * scale
+    sq, skv = q.shape[2], k.shape[2]
+    row = jax.lax.broadcasted_iota(jnp.int32, (sq, skv), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (sq, skv), 1)
+    s = jnp.where(col <= row, s, _np.float32(-1e30))
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum(
+        "bhqk,bhkd->bhqd", p.astype(q.dtype), v, preferred_element_type=jnp.float32
+    ).astype(q.dtype)
+
+
+def sweep(variants, b=4, h=16, s=2048, d=128, dtype=jnp.bfloat16, rounds=3,
+          k1=4, k2=16):
+    key = jax.random.PRNGKey(0)
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (b, h, s, d), dtype)
+    k = jax.random.normal(kk, (b, h, s, d), dtype)
+    v = jax.random.normal(kv, (b, h, s, d), dtype)
+    flops = 0.5 * 4 * b * h * s * s * d
+
+    oracle = sdpa_oracle(q, k, v).astype(jnp.float32)
+    chains = {}
+    for name, f in variants.items():
+        md = check_numerics(f, q, k, v, oracle)
+        print(f"[attn3] {name}: maxdiff={md:.4f}", flush=True)
+        assert md < (0.06 if dtype == jnp.bfloat16 else 2e-3), (name, md)
+        chains[name] = (make_chain(f, q, k, v, k1), make_chain(f, q, k, v, k2))
+
+    results = {name: [] for name in variants}
+    for r in range(rounds):
+        for name, (f1, f2) in chains.items():
+            t1 = _timed(f1)
+            t2 = _timed(f2)
+            dt = max((t2 - t1) / (k2 - k1), 1e-9)
+            tf = flops / dt / 1e12
+            results[name].append(tf)
+            print(f"[attn3] r{r} {name}: {dt*1e3:.3f} ms -> {tf:.1f} TFLOP/s", flush=True)
+    print("\n[attn3] === medians ===", flush=True)
+    for name, tfs in results.items():
+        tfs.sort()
+        print(f"[attn3] {name}: {tfs[len(tfs)//2]:.1f} TFLOP/s  (all: {[round(x,1) for x in tfs]})",
+              flush=True)
+
+
+def main():
+    which = sys.argv[1] if len(sys.argv) > 1 else "sweep1"
+    from kfunca_tpu.ops.pallas_kernels.flash_attention import flash_attention_forward
+
+    if which == "sweep1":
+        variants = {
+            "cur2048": lambda q, k, v: flash_attention_forward(q, k, v),
+            "v2_1024": lambda q, k, v: attn_v2(q, k, v, bq=1024, bk=1024),
+            "v2_512": lambda q, k, v: attn_v2(q, k, v, bq=512, bk=512),
+            "v3_1024": lambda q, k, v: attn_v3(q, k, v, bq=1024, bk=1024),
+            "v3_512": lambda q, k, v: attn_v3(q, k, v, bq=512, bk=512),
+        }
+    elif which == "sweep2":
+        variants = {
+            "cur2048": lambda q, k, v: flash_attention_forward(q, k, v),
+            "v2_2048nc": lambda q, k, v: attn_v2(q, k, v, bq=2048, bk=2048, diag_cond=False),
+            "v4_512": lambda q, k, v: attn_v4(q, k, v, bq=512, bk=512),
+            "v4_512_nc": lambda q, k, v: attn_v4(q, k, v, bq=512, bk=512, diag_cond=False),
+            "v4_512_b16": lambda q, k, v: attn_v4(q, k, v, bq=512, bk=512, bf16_softmax=True),
+            "v4_1024_b16": lambda q, k, v: attn_v4(q, k, v, bq=1024, bk=1024, bf16_softmax=True),
+        }
+    elif which == "stock":
+        from jax.experimental.pallas.ops.tpu.flash_attention import (
+            flash_attention as stock_flash, BlockSizes,
+        )
+
+        def stock(q, k, v):
+            return stock_flash(q, k, v, causal=True,
+                               sm_scale=1.0 / math.sqrt(q.shape[-1]))
+
+        variants = {
+            "cur2048": lambda q, k, v: flash_attention_forward(q, k, v),
+            "stock": stock,
+            "v3_512": lambda q, k, v: attn_v3(q, k, v, bq=512, bk=512),
+        }
+    else:
+        raise SystemExit(f"unknown sweep {which}")
+    sweep(variants)
+
+
+if __name__ == "__main__":
+    main()
