@@ -93,6 +93,11 @@ def bench_gemm(m=4096, k=4096, n=4096, dtype=jnp.bfloat16):
 
     dt_p = slope_time(chain_pallas, k1=8, k2=40, label='gemm-pallas')
     dt_x = slope_time(chain_xla, k1=8, k2=40, label='gemm-xla')
+    # seed the per-chip autotune cache with the blocks this run measured
+    # (runtime/autotune.py; matmul_2d consults it before the swept defaults)
+    from kfunca_tpu.runtime.autotune import record, shape_bucket
+    record("gemm", shape_bucket(m, k, n), jnp.dtype(dtype),
+           {"bm": 2048, "bn": 512, "bk": 2048})
     flops = 2 * m * k * n
     return flops / dt_p / 1e12, flops / dt_x / 1e12
 
@@ -120,12 +125,20 @@ def bench_attention(b=4, h=16, s=2048, d=128, dtype=jnp.bfloat16):
             for _ in range(K):
                 out, vjp = jax.vjp(causal_attention_fn, x, kk, vv)
                 dq, dk, dv = vjp(gg)
-                x = dq
+                # consume ALL grads: with `x = dq` alone XLA dead-code-
+                # eliminates the dk/dv kernel and the chain measures only
+                # fwd + the dq pass (burned round 1-2: inflated numbers)
+                bump = ((dk[0, 0, 0, 0] + dv[0, 0, 0, 0]) > jnp.float32(1e30)).astype(x.dtype)
+                x = dq + bump
             return x
         return lambda: f(q, k, v, g)
 
-    dt_fwd = slope_time(chain_fwd, k1=4, k2=16, label='attn-fwd')
+    dt_fwd = slope_time(chain_fwd, k1=8, k2=40, label='attn-fwd')
     dt_fb = slope_time(chain_fwd_bwd, k1=2, k2=8, label='attn-fwd-bwd')
+    # seed the autotune cache with the measured production tile choices
+    from kfunca_tpu.runtime.autotune import record, shape_bucket
+    record("attn_fwd", shape_bucket(s, s, d), jnp.dtype(dtype), {"bq": 2048, "bk": 2048})
+    record("attn_bwd", shape_bucket(s, s, d), jnp.dtype(dtype), {"bq": 512, "bk": 512})
     fwd_flops = 0.5 * 4 * b * h * s * s * d  # causal halves the work
     return fwd_flops / dt_fwd / 1e12, (fwd_flops * 3.5) / dt_fb / 1e12, dt_fwd, dt_fb
 
@@ -199,6 +212,63 @@ def bench_elementwise_engines(shape=(4096, 4096), dtype=jnp.float32):
     return dt_x * 1e3, dt_p * 1e3
 
 
+def bench_reduce_engines():
+    """A/B the TPU-default Pallas reduce + welford against XLA's reductions
+    (VERDICT r2 weak #6: those defaults were dispatched without TPU
+    evidence).  ops/reduce.py's dispatch thresholds cite this section."""
+    from kfunca_tpu.ops.pallas_kernels.reduce import reduce_2d
+    from kfunca_tpu.ops.pallas_kernels.welford import welford_norm_stat
+
+    key = jax.random.PRNGKey(5)
+    results = {}
+
+    # fp32 sum >= 64K elems (the ops/reduce.py Pallas dispatch band)
+    A = jax.random.normal(key, (4096, 4096), jnp.float32)
+
+    def chain_sum(engine):
+        def mk(K):
+            @jax.jit
+            def f(x):
+                r = None
+                for _ in range(K):
+                    if engine == "pallas":
+                        r = reduce_2d(x, op="sum", out_dt=jnp.float32)
+                    else:
+                        r = jnp.sum(x, axis=0, keepdims=True)
+                    x = x + (r[0, 0] > jnp.float32(1e30)).astype(jnp.float32)
+                return r
+            return f
+        return lambda K: (lambda: mk(K)(A))
+
+    # norm_stat on the reference suite's 16387^2 shape (1 GB fp32)
+    B = jax.random.normal(key, (16387, 16387), jnp.float32)
+
+    def chain_norm(engine):
+        def mk(K):
+            @jax.jit
+            def f(x):
+                for _ in range(K):
+                    if engine == "pallas":
+                        m_, inv = welford_norm_stat(x)
+                    else:
+                        m_ = jnp.mean(x, axis=0, keepdims=True)
+                        var = jnp.mean((x - m_) * (x - m_), axis=0, keepdims=True)
+                        inv = 1.0 / jnp.sqrt(var + 1e-12)
+                    x = x + (inv[0, 0] > jnp.float32(1e30)).astype(jnp.float32)
+                return m_, inv
+            return f
+        return lambda K: (lambda: mk(K)(B))
+
+    for label, mk, k1, k2 in [
+        ("sum-pallas", chain_sum("pallas"), 8, 40),
+        ("sum-xla", chain_sum("xla"), 8, 40),
+        ("normstat-pallas", chain_norm("pallas"), 2, 8),
+        ("normstat-xla", chain_norm("xla"), 2, 8),
+    ]:
+        results[label] = round(slope_time(mk, k1=k1, k2=k2, label=label, reps=2) * 1e3, 4)
+    return results
+
+
 def bench_int8_gemm(m=4096, k=4096, n=4096):
     """int8 quantized GEMM rate (2x MXU roofline: 394 TFLOP/s on v5e)."""
     from kfunca_tpu.ops.quant import matmul_q8, quantize_cols, quantize_rows
@@ -209,20 +279,84 @@ def bench_int8_gemm(m=4096, k=4096, n=4096):
     aq, asc = quantize_rows(af)
     bq, bsc = quantize_cols(bf)
 
-    def chain(K):
-        @jax.jit
-        def f(x, y, sa, sb):
-            out = None
-            for _ in range(K):
-                out = matmul_q8(x, y, sa, sb, out_dtype=jnp.bfloat16)
-                # non-foldable dependency so the chain cannot CSE
-                bump = (out[0, 0] > jnp.bfloat16(3e4)).astype(jnp.int8)
-                x = x + bump
-            return out
-        return lambda: f(aq, bq, asc, bsc)
+    def chain(blocks):
+        def mk(K):
+            @jax.jit
+            def f(x, y, sa, sb):
+                out = None
+                for _ in range(K):
+                    out = matmul_q8(x, y, sa, sb, out_dtype=jnp.bfloat16, **blocks)
+                    # non-foldable dependency so the chain cannot CSE
+                    bump = (out[0, 0] > jnp.bfloat16(3e4)).astype(jnp.int8)
+                    x = x + bump
+                return out
+            return lambda: f(aq, bq, asc, bsc)
+        return mk
 
-    dt = slope_time(chain, k1=8, k2=40, label="gemm-int8")
-    return 2 * m * k * n / dt / 1e12
+    # micro block sweep, interleaved; winner seeds the autotune cache
+    from kfunca_tpu.runtime.autotune import lookup, record, shape_bucket
+
+    sbucket = shape_bucket(m, k, n)
+    candidates = [{"bm": 1024, "bn": 1024, "bk": 2048}, {"bm": 2048, "bn": 2048, "bk": 1024}]
+    tuned = lookup("gemm_q8", sbucket, "int8")
+    if tuned and tuned not in candidates:
+        candidates.append(tuned)
+    dts = {}
+    for c in candidates:
+        dts[json.dumps(c, sort_keys=True)] = slope_time(
+            chain(c), k1=8, k2=40, label=f"gemm-int8-{c['bm']}x{c['bn']}x{c['bk']}", reps=2
+        )
+    best_key = min(dts, key=dts.get)
+    record("gemm_q8", sbucket, "int8", json.loads(best_key))
+    return 2 * m * k * n / dts[best_key] / 1e12
+
+
+def bench_serving(L=8, dm=1024, h=16, page=64, ctx=960, max_pages=16):
+    """Decode throughput (tokens/s) for B=4/8 slots: the ragged paged-decode
+    Pallas kernel vs the XLA gather path (VERDICT r2 weak #9).  K decode
+    steps run inside ONE jit (lax.fori_loop), so the number measures the
+    device decode step, not the relay round-trip the host scheduler pays."""
+    from jax import lax
+
+    from kfunca_tpu.models.serve import paged_decode_step
+    from kfunca_tpu.models.transformer import TransformerConfig, init_params
+
+    cfg = TransformerConfig(vocab_size=32000, d_model=dm, n_heads=h, n_layers=L,
+                            d_ff=4 * dm, max_seq_len=2048)
+    params = init_params(jax.random.PRNGKey(7), cfg)
+    key = jax.random.PRNGKey(8)
+    results = {}
+    for B in (4, 8):
+        n_pages = B * max_pages + 1
+        pools_k = jax.random.normal(key, (L, n_pages, page, h, dm // h), cfg.act_dtype)
+        pools_v = jax.random.normal(key, (L, n_pages, page, h, dm // h), cfg.act_dtype)
+        tables = np.full((B, max_pages), n_pages - 1, np.int32)
+        for i in range(B):
+            tables[i] = np.arange(i * max_pages, (i + 1) * max_pages, dtype=np.int32)
+        tables = jnp.asarray(tables)
+        positions0 = jnp.full((B,), ctx, jnp.int32)
+        tokens0 = jnp.full((B,), 17, jnp.int32)
+
+        def chain(engine):
+            def mk(K):
+                @jax.jit
+                def f(pk, pv, pos, toks):
+                    def body(_, carry):
+                        pk, pv, pos, toks = carry
+                        toks, pk, pv = paged_decode_step(
+                            params, pk, pv, tables, pos, toks, key, cfg, page,
+                            0.0, 1.0, engine,
+                        )
+                        return (pk, pv, pos + 1, toks)
+                    pk, pv, pos, toks = lax.fori_loop(0, K, body, (pk, pv, pos, toks))
+                    return toks
+                return lambda: f(pools_k, pools_v, positions0, tokens0)
+            return mk
+
+        for engine in ("pallas", "xla"):
+            dt = slope_time(chain(engine), k1=8, k2=40, label=f"decode-{engine}-B{B}", reps=2)
+            results[f"{engine}_B{B}_tokens_per_s"] = round(B / dt, 1)
+    return results
 
 
 def detect_peak_tflops():
@@ -255,6 +389,8 @@ def main():
     int8_tflops = bench_int8_gemm()
     eager = bench_eager_dispatch()
     ew_xla_ms, ew_pallas_ms = bench_elementwise_engines()
+    reduce_ab = bench_reduce_engines()
+    serving = bench_serving()
     # kfunca_tpu.gemm dispatches XLA's dot by default (the vendor-library
     # path, mirroring the reference's CUTLASS call); the Pallas kernel is
     # the KFUNCA_GEMM_ENGINE=pallas alternative. Headline = dispatched.
@@ -280,6 +416,8 @@ def main():
                     "gemm_shape": "4096x4096x4096 bf16",
                     "attn_shape": "b4 h16 s2048 d128 bf16 causal",
                     "eager_dispatch_us": eager,
+                    "reduce_engine_ms": reduce_ab,
+                    "decode_tokens_per_s": serving,
                     "elementwise_chained_ms_per_op": {
                         "xla": round(ew_xla_ms, 4),
                         "pallas": round(ew_pallas_ms, 4),

@@ -54,11 +54,19 @@ def causal_attention_fn(q, k, v):
     return _forward(q, k, v)
 
 
+def _tuned_blocks(op: str, q, k):
+    """Per-chip measured tile sizes (runtime/autotune.py; bench.py seeds the
+    cache) — the kernels' swept v5e constants are the fallback."""
+    from ..runtime.autotune import lookup, shape_bucket
+
+    return lookup(op, shape_bucket(q.shape[2], k.shape[2], q.shape[3]), q.dtype) or {}
+
+
 def _forward(q, k, v):
     if use_pallas() and q.dtype in (jnp.float32, jnp.bfloat16):
         from .pallas_kernels.flash_attention import flash_attention_forward
 
-        return flash_attention_forward(q, k, v)
+        return flash_attention_forward(q, k, v, **_tuned_blocks("attn_fwd", q, k))
     return _sdpa_xla(q, k, v)
 
 
@@ -66,7 +74,7 @@ def _fwd_rule(q, k, v):
     if use_pallas() and q.dtype in (jnp.float32, jnp.bfloat16):
         from .pallas_kernels.flash_attention import flash_attention_fwd_stats
 
-        out, lse = flash_attention_fwd_stats(q, k, v)
+        out, lse = flash_attention_fwd_stats(q, k, v, **_tuned_blocks("attn_fwd", q, k))
         return out, (q, k, v, out, lse)
     return _sdpa_xla(q, k, v), (q, k, v, None, None)
 
@@ -76,7 +84,9 @@ def _bwd_rule(res, g):
     if use_pallas() and q.dtype in (jnp.float32, jnp.bfloat16):
         from .pallas_kernels.flash_attention import flash_attention_backward
 
-        return flash_attention_backward(q, k, v, g, out=out, lse=lse)
+        return flash_attention_backward(
+            q, k, v, g, out=out, lse=lse, **_tuned_blocks("attn_bwd", q, k)
+        )
     _, vjp = jax.vjp(_sdpa_xla, q, k, v)
     return vjp(g)
 

@@ -61,9 +61,15 @@ def matmul_2d(A, B, out_dtype, engine: str | None = None):
         and use_pallas()
         and A.dtype in (jnp.float32, jnp.bfloat16, jnp.float16)
     ):
+        from ..runtime.autotune import lookup, shape_bucket
         from .pallas_kernels.matmul import matmul as pallas_matmul
 
-        return pallas_matmul(A, B, out_dtype=out_dtype)
+        # per-chip measured blocks (bench.py seeds the cache); swept v5e
+        # constants in matmul() are the fallback
+        tuned = lookup(
+            "gemm", shape_bucket(A.shape[0], A.shape[1], B.shape[1]), A.dtype
+        )
+        return pallas_matmul(A, B, out_dtype=out_dtype, **(tuned or {}))
     acc = jnp.float64 if A.dtype == jnp.float64 else jnp.float32
     prec = jax.lax.Precision.HIGHEST if A.dtype == jnp.float32 else None
     return jnp.matmul(A, B, preferred_element_type=acc, precision=prec).astype(out_dtype)

@@ -128,3 +128,15 @@ def gemm_w8(a, w_q8, w_scale, out_dtype=None):
     out_dtype = out_dtype or a.dtype
     a_q8, a_scale = quantize_rows(a)
     return matmul_q8(a_q8, w_q8, a_scale, w_scale, out_dtype=out_dtype)
+
+
+def matmul_q8_auto(a_q8, b_q8, a_scale, b_scale, out_dtype=jnp.bfloat16, **kw):
+    """matmul_q8 with per-chip autotuned blocks (runtime/autotune.py; the
+    shipped v5e defaults / bench.py-seeded cache), explicit kwargs win."""
+    from ..runtime.autotune import lookup, shape_bucket
+
+    m, k = a_q8.shape
+    n = b_q8.shape[1]
+    tuned = lookup("gemm_q8", shape_bucket(m, k, n), "int8") or {}
+    tuned.update(kw)
+    return matmul_q8(a_q8, b_q8, a_scale, b_scale, out_dtype=out_dtype, **tuned)

@@ -88,6 +88,10 @@ class TestFlashAttention:
         [
             (1, 1, 128, 128, 128),
             (1, 2, 64, 96, 32),  # ragged
+            # sq/skv NOT multiples of the tile: exercises padded q rows,
+            # whose lse must restore as 0 (an -inf lse exponentiates to
+            # inf * 0 = NaN in the fused backward — regression guard)
+            (1, 2, 100, 160, 64),
         ],
     )
     def test_backward(self, b, h, sq, skv, d):

@@ -258,3 +258,89 @@ class TestExplicitAllToAllMoE:
         for leaf in jax.tree_util.tree_leaves(grads):
             assert bool(jnp.isfinite(leaf).all())
         assert float(jnp.abs(grads["w_in"]).max()) > 0
+
+
+class TestInterleavedPipeline:
+    def test_interleaved_matches_sequential(self):
+        """v=2 virtual stages per device over the 4-way pp mesh: the
+        interleaved schedule's output must equal sequentially applying all
+        layers in order (virtual stage j = layers [j*per:(j+1)*per] on
+        device j % n as chunk j // n)."""
+        from jax.sharding import Mesh
+
+        from kfunca_tpu.parallel.pipeline import (
+            make_interleaved_pipeline,
+            stack_stages_interleaved,
+        )
+
+        n_stages, v, n_layers = 4, 2, 8
+        m, mb, s_len, dm = 4, 2, 8, 16
+        key = jax.random.PRNGKey(0)
+        layers = []
+        for i in range(n_layers):
+            k1, k2, key = jax.random.split(key, 3)
+            layers.append({
+                "w": jax.random.normal(k1, (dm, dm), jnp.float32) * 0.3,
+                "b": jax.random.normal(k2, (dm,), jnp.float32) * 0.1,
+            })
+
+        def block_fn(p, x):
+            return jnp.tanh(x @ p["w"] + p["b"])
+
+        x_mb = jax.random.normal(key, (m, mb, s_len, dm), jnp.float32)
+
+        # sequential oracle
+        ref = []
+        for i in range(m):
+            h = x_mb[i]
+            for layer in layers:
+                h = block_fn(layer, h)
+            ref.append(h)
+        ref = jnp.stack(ref)
+
+        mesh = Mesh(np.asarray(jax.devices()[:n_stages]), ("pp",))
+        stacked = stack_stages_interleaved(layers, n_stages, v)
+        fn = make_interleaved_pipeline(block_fn, mesh, v=v)
+        with mesh:
+            got = fn(stacked, x_mb)
+        assert np.allclose(np.asarray(got), np.asarray(ref), atol=1e-5), (
+            np.abs(np.asarray(got) - np.asarray(ref)).max()
+        )
+
+    def test_interleaved_differentiable(self):
+        """The AD transpose of the interleaved schedule trains: grads flow
+        to every chunk's params on every device."""
+        from jax.sharding import Mesh
+
+        from kfunca_tpu.parallel.pipeline import (
+            make_interleaved_pipeline,
+            stack_stages_interleaved,
+        )
+
+        n_stages, v, n_layers = 2, 2, 4
+        m, mb, s_len, dm = 2, 2, 4, 8
+        key = jax.random.PRNGKey(1)
+        layers = []
+        for i in range(n_layers):
+            k1, key = jax.random.split(key)
+            layers.append({"w": jax.random.normal(k1, (dm, dm), jnp.float32) * 0.3})
+
+        def block_fn(p, x):
+            return jnp.tanh(x @ p["w"])
+
+        x_mb = jax.random.normal(key, (m, mb, s_len, dm), jnp.float32)
+        mesh = Mesh(np.asarray(jax.devices()[:n_stages]), ("pp",))
+        stacked = stack_stages_interleaved(layers, n_stages, v)
+        fn = make_interleaved_pipeline(block_fn, mesh, v=v, remat=True)
+
+        def loss(params):
+            return jnp.sum(fn(params, x_mb) ** 2)
+
+        with mesh:
+            # remat's closed_call requires a jit around the shard_map
+            g = jax.jit(jax.grad(loss))(stacked)
+        gw = np.asarray(g["w"])  # (n, v, per, dm, dm)
+        assert gw.shape[:2] == (n_stages, v)
+        for d in range(n_stages):
+            for c in range(v):
+                assert np.abs(gw[d, c]).max() > 0, (d, c)

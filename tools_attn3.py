@@ -414,6 +414,123 @@ def attn_v4(q, k, v, bq=512, bk=512, diag_cond=True, bf16_softmax=False):
     return out[:, :sq, :d].reshape(b, h, sq, d)
 
 
+
+
+# ---------------------------------------------------------------------------
+# v5: v4 + precomputed iota-difference mask scratch (the per-step mask costs
+# one load+compare instead of two iota generations), pass-fused softmax
+# ---------------------------------------------------------------------------
+
+
+def _v5_kernel(iq_t, ik_t, fl_t, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
+               d_ref, *, skv, bq, bk, pad):
+    t = pl.program_id(1)
+    bh = pl.program_id(0)
+    iq = iq_t[t]
+    ik = ik_t[t]
+    flags = fl_t[t]
+
+    @pl.when((bh == 0) & (t == 0))
+    def _mk_d():
+        # row - col iota difference, computed ONCE for the whole launch:
+        # the causal test for block (iq, ik) is D >= ik*bk - iq*bq
+        d_ref[:] = (
+            jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
+            - jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+        )
+
+    @pl.when((flags & 1) == 1)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    in_dt = q_ref.dtype
+    s = jax.lax.dot_general(
+        q_ref[0], k_ref[0], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+    )
+    ok = d_ref[:] >= ik * bk - iq * bq
+    if pad:
+        col = ik * _np.int32(bk) + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+        ok = ok & (col < _np.int32(skv))
+    s = jnp.where(ok, s, NEG_INF)
+    m_prev = m_ref[:]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=1)[:, None])
+    alpha = jnp.exp2(m_prev - m_new)
+    p = jnp.exp2(s - _lanes(m_new, s.shape[1])).astype(in_dt)
+    l_new = l_ref[:] * alpha + jnp.sum(p, axis=1, dtype=jnp.float32)[:, None]
+    acc_ref[:] = acc_ref[:] * _lanes(alpha, acc_ref.shape[1]) + jax.lax.dot(
+        p, v_ref[0], preferred_element_type=jnp.float32,
+    )
+    m_ref[:] = m_new
+    l_ref[:] = l_new
+
+    @pl.when((flags & 2) == 2)
+    def _store():
+        l_safe = jnp.where(l_new == _ZERO, _ONE, l_new)
+        o_ref[0] = (acc_ref[:] / _lanes(l_safe, acc_ref.shape[1])).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("bq", "bk"))
+def attn_v5(q, k, v, bq=512, bk=512):
+    b, h, sq, d = q.shape
+    skv = k.shape[2]
+    scale = (1.0 / math.sqrt(d)) * float(LOG2E)
+
+    sqp = -(-sq // bq) * bq
+    skvp = -(-skv // bk) * bk
+    dp = -(-d // 128) * 128
+    pad = skvp != skv
+    nqb, nkb = sqp // bq, skvp // bk
+
+    qs = (q * jnp.asarray(scale, q.dtype)).reshape(b * h, sq, d)
+
+    def pad_to(x, shape):
+        pads = [(0, t - s) for s, t in zip(x.shape, shape)]
+        return jnp.pad(x, pads) if any(p != (0, 0) for p in pads) else x
+
+    qf = pad_to(qs, (b * h, sqp, dp))
+    kf = pad_to(k.reshape(b * h, skv, d), (b * h, skvp, dp))
+    vf = pad_to(v.reshape(b * h, skv, d), (b * h, skvp, dp))
+
+    iq_t, ik_t, fl_t = _live_tables(nqb, nkb, bq, bk)
+    n_live = len(iq_t)
+    i32 = _np.int32
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(b * h, n_live),
+        in_specs=[
+            pl.BlockSpec((1, bq, dp), lambda bh, t, iqt, ikt, flt: (bh, iqt[t], i32(0))),
+            pl.BlockSpec((1, bk, dp), lambda bh, t, iqt, ikt, flt: (bh, ikt[t], i32(0))),
+            pl.BlockSpec((1, bk, dp), lambda bh, t, iqt, ikt, flt: (bh, ikt[t], i32(0))),
+        ],
+        out_specs=pl.BlockSpec((1, bq, dp), lambda bh, t, iqt, ikt, flt: (bh, iqt[t], i32(0))),
+        scratch_shapes=[
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, dp), jnp.float32),
+            pltpu.VMEM((bq, bk), jnp.int32),  # iota-difference mask
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_v5_kernel, skv=skv, bq=bq, bk=bk, pad=pad),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b * h, sqp, dp), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * h * sqp * skvp * dp,
+            bytes_accessed=(qf.size + kf.size + vf.size) * q.dtype.itemsize,
+            transcendentals=b * h * sqp * skvp // 2,
+        ),
+        interpret=INTERPRET,
+    )(iq_t, ik_t, fl_t, qf, kf, vf)
+    return out[:, :sq, :d].reshape(b, h, sq, d)
+
+
 # ---------------------------------------------------------------------------
 # harness
 # ---------------------------------------------------------------------------
@@ -462,8 +579,8 @@ def sdpa_oracle(q, k, v):
     ).astype(q.dtype)
 
 
-def sweep(variants, b=4, h=16, s=2048, d=128, dtype=jnp.bfloat16, rounds=3,
-          k1=4, k2=16):
+def sweep(variants, b=4, h=16, s=2048, d=128, dtype=jnp.bfloat16, rounds=5,
+          k1=8, k2=40):
     key = jax.random.PRNGKey(0)
     kq, kk, kv = jax.random.split(key, 3)
     q = jax.random.normal(kq, (b, h, s, d), dtype)
@@ -515,6 +632,32 @@ def main():
             "v4_512_nc": lambda q, k, v: attn_v4(q, k, v, bq=512, bk=512, diag_cond=False),
             "v4_512_b16": lambda q, k, v: attn_v4(q, k, v, bq=512, bk=512, bf16_softmax=True),
             "v4_1024_b16": lambda q, k, v: attn_v4(q, k, v, bq=1024, bk=1024, bf16_softmax=True),
+        }
+    elif which == "sweep3":
+        variants = {
+            "cur2048": lambda q, k, v: flash_attention_forward(q, k, v),
+            "v4_512_nc": lambda q, k, v: attn_v4(q, k, v, bq=512, bk=512, diag_cond=False),
+            "v4_256_nc": lambda q, k, v: attn_v4(q, k, v, bq=256, bk=256, diag_cond=False),
+            "v2r_512_nc": lambda q, k, v: attn_v2(q, k, v, bq=512, bk=512, diag_cond=False),
+            "v4_1024_nc": lambda q, k, v: attn_v4(q, k, v, bq=1024, bk=1024, diag_cond=False),
+        }
+    elif which == "sweep4":
+        from jax.experimental.pallas.ops.tpu.flash_attention import (
+            flash_attention as stock_flash,
+        )
+
+        def stock(q, k, v):
+            # the stock kernel trips int64/int32 lax.select under x64
+            with jax.enable_x64(False):
+                return stock_flash(q, k, v, causal=True,
+                                   sm_scale=1.0 / math.sqrt(q.shape[-1]))
+
+        variants = {
+            "cur2048": lambda q, k, v: flash_attention_forward(q, k, v),
+            "v4_512_nc": lambda q, k, v: attn_v4(q, k, v, bq=512, bk=512, diag_cond=False),
+            "v5_512": lambda q, k, v: attn_v5(q, k, v, bq=512, bk=512),
+            "v5_1024": lambda q, k, v: attn_v5(q, k, v, bq=1024, bk=1024),
+            "stock": stock,
         }
     elif which == "stock":
         from jax.experimental.pallas.ops.tpu.flash_attention import (

@@ -298,10 +298,11 @@ def main():
 
     # numerics vs the current two-kernel backward
     ref = flash_attention_backward(q, k, v, g, out=out, lse=lse)
-    for bq, bk in [(512, 512), (1024, 1024)]:
+    mdf = jax.jit(lambda a, b: jnp.max(jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32))))
+    for bq, bk in [(512, 512), (1024, 1024), (2048, 2048)]:
         got = flash_bwd_fused(q, k, v, g, out, lse, bq=bq, bk=bk)
         for name, r, gg in zip("dq dk dv".split(), ref, got):
-            md = float(jnp.max(jnp.abs(r.astype(jnp.float32) - gg.astype(jnp.float32))))
+            md = float(jax.device_get(mdf(r, gg)))
             print(f"[bwd] fused{bq} {name}: maxdiff vs 2-kernel = {md:.4f}", flush=True)
 
     flops_fwd = 0.5 * 4 * b * h * s * s * d
@@ -314,7 +315,8 @@ def main():
             for _ in range(K):
                 o, l = flash_attention_fwd_stats(x, kk_, vv)
                 dq, dk, dv = flash_attention_backward(x, kk_, vv, gg, out=o, lse=l)
-                x = dq
+                bump = ((dk[0, 0, 0, 0] + dv[0, 0, 0, 0]) > jnp.float32(1e30)).astype(x.dtype)
+                x = dq + bump
             return x
         return lambda: f(q, k, v, g)
 
@@ -326,7 +328,8 @@ def main():
                 for _ in range(K):
                     o, l = flash_attention_fwd_stats(x, kk_, vv)
                     dq, dk, dv = flash_bwd_fused(x, kk_, vv, gg, o, l, bq=bq, bk=bk)
-                    x = dq
+                    bump = ((dk[0, 0, 0, 0] + dv[0, 0, 0, 0]) > jnp.float32(1e30)).astype(x.dtype)
+                    x = dq + bump
                 return x
             return lambda: f(q, k, v, g)
         return mk
@@ -335,11 +338,12 @@ def main():
         "cur(2kernel)": chain_cur,
         "fused512": chain_fused(512, 512),
         "fused1024": chain_fused(1024, 1024),
+        "fused2048": chain_fused(2048, 2048),
     }
     k1, k2 = 2, 8
     chains = {n: (mk(k1), mk(k2)) for n, mk in variants.items()}
     results = {n: [] for n in variants}
-    for r in range(3):
+    for r in range(4):
         for n, (f1, f2) in chains.items():
             t1, t2 = _timed(f1), _timed(f2)
             dt = max((t2 - t1) / (k2 - k1), 1e-9)
