@@ -137,7 +137,7 @@ def bench_attention(b=4, h=16, s=2048, d=128, dtype=jnp.bfloat16):
     dt_fb = slope_time(chain_fwd_bwd, k1=2, k2=8, label='attn-fwd-bwd')
     # seed the autotune cache with the measured production tile choices
     from kfunca_tpu.runtime.autotune import record, shape_bucket
-    record("attn_fwd", shape_bucket(s, s, d), jnp.dtype(dtype), {"bq": 2048, "bk": 2048})
+    record("attn_fwd", shape_bucket(s, s, d), jnp.dtype(dtype), {"bq": 512, "bk": 512})
     record("attn_bwd", shape_bucket(s, s, d), jnp.dtype(dtype), {"bq": 512, "bk": 512})
     fwd_flops = 0.5 * 4 * b * h * s * s * d  # causal halves the work
     return fwd_flops / dt_fwd / 1e12, (fwd_flops * 3.5) / dt_fb / 1e12, dt_fwd, dt_fb
@@ -279,13 +279,18 @@ def bench_int8_gemm(m=4096, k=4096, n=4096):
     aq, asc = quantize_rows(af)
     bq, bsc = quantize_cols(bf)
 
+    from kfunca_tpu.ops.quant import matmul_q8_xla
+
     def chain(blocks):
         def mk(K):
             @jax.jit
             def f(x, y, sa, sb):
                 out = None
                 for _ in range(K):
-                    out = matmul_q8(x, y, sa, sb, out_dtype=jnp.bfloat16, **blocks)
+                    if blocks is None:  # dispatched default: XLA int8 dot
+                        out = matmul_q8_xla(x, y, sa, sb, out_dtype=jnp.bfloat16)
+                    else:
+                        out = matmul_q8(x, y, sa, sb, out_dtype=jnp.bfloat16, **blocks)
                     # non-foldable dependency so the chain cannot CSE
                     bump = (out[0, 0] > jnp.bfloat16(3e4)).astype(jnp.int8)
                     x = x + bump
@@ -293,22 +298,21 @@ def bench_int8_gemm(m=4096, k=4096, n=4096):
             return lambda: f(aq, bq, asc, bsc)
         return mk
 
-    # micro block sweep, interleaved; winner seeds the autotune cache
+    # A/B the dispatched XLA path vs the Pallas kernel (its measured-best
+    # blocks seed the autotune cache); headline = the dispatched path
     from kfunca_tpu.runtime.autotune import lookup, record, shape_bucket
 
     sbucket = shape_bucket(m, k, n)
-    candidates = [{"bm": 1024, "bn": 1024, "bk": 2048}, {"bm": 2048, "bn": 2048, "bk": 1024}]
-    tuned = lookup("gemm_q8", sbucket, "int8")
-    if tuned and tuned not in candidates:
-        candidates.append(tuned)
-    dts = {}
-    for c in candidates:
-        dts[json.dumps(c, sort_keys=True)] = slope_time(
-            chain(c), k1=8, k2=40, label=f"gemm-int8-{c['bm']}x{c['bn']}x{c['bk']}", reps=2
-        )
-    best_key = min(dts, key=dts.get)
-    record("gemm_q8", sbucket, "int8", json.loads(best_key))
-    return 2 * m * k * n / dts[best_key] / 1e12
+    pallas_blocks = lookup("gemm_q8", sbucket, "int8") or {"bm": 512, "bn": 512, "bk": 4096}
+    dt_xla = slope_time(chain(None), k1=8, k2=40, label="gemm-int8-xla", reps=2)
+    dt_pl = slope_time(
+        chain(pallas_blocks), k1=8, k2=40,
+        label=f"gemm-int8-pallas-{pallas_blocks['bm']}x{pallas_blocks['bn']}x{pallas_blocks['bk']}",
+        reps=2,
+    )
+    record("gemm_q8", sbucket, "int8", pallas_blocks)
+    flops = 2 * m * k * n
+    return flops / dt_xla / 1e12, flops / dt_pl / 1e12
 
 
 def bench_serving(L=8, dm=1024, h=16, page=64, ctx=960, max_pages=16):
@@ -386,7 +390,7 @@ def main():
     peak = detect_peak_tflops()
     gemm_tflops, xla_tflops = bench_gemm()
     attn_fwd_tflops, attn_fb_tflops, dt_fwd, dt_fb = bench_attention()
-    int8_tflops = bench_int8_gemm()
+    int8_xla_tflops, int8_pallas_tflops = bench_int8_gemm()
     eager = bench_eager_dispatch()
     ew_xla_ms, ew_pallas_ms = bench_elementwise_engines()
     reduce_ab = bench_reduce_engines()
@@ -408,7 +412,8 @@ def main():
                     "pallas_gemm_tflops": round(gemm_tflops, 2),
                     "xla_gemm_tflops": round(xla_tflops, 2),
                     "mxu_utilization": round(gemm_tflops / peak, 4),
-                    "int8_gemm_tflops": round(int8_tflops, 2),
+                    "int8_gemm_tflops": round(int8_xla_tflops, 2),
+                    "int8_gemm_pallas_tflops": round(int8_pallas_tflops, 2),
                     "attn_fwd_tflops": round(attn_fwd_tflops, 2),
                     "attn_fwd_bwd_tflops": round(attn_fb_tflops, 2),
                     "attn_fwd_ms": round(dt_fwd * 1e3, 3),

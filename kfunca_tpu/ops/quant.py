@@ -66,9 +66,14 @@ def matmul_q8(a_q8, b_q8, a_scale, b_scale, out_dtype=jnp.bfloat16, bm=512, bn=5
     """int8 (m,k) @ int8 (k,n) with i32 accumulation and fused per-row x
     per-column dequantization: out[i,j] = acc[i,j] * a_scale[i] * b_scale[j].
 
-    Measured on v5e (4096^3, interleaved vs the bf16 kernel in one run):
-    293-355 TFLOP/s = 1.8x the bf16 rate, 74-90% of the 394 int8 roofline;
-    block defaults from that sweep."""
+    Measured on v5e 4096^3 (round-3 interleaved 5-round medians,
+    tools_q8bench.py): this kernel holds 285-300 TFLOP/s (median 291)
+    across every swept block shape, with or without the dequant epilogue —
+    the plateau is the MXU int8 feed, not the epilogue or tiling.  XLA's
+    own int8 dot measures 303-363 (median 323) in the same harness, which
+    is why matmul_q8_auto dispatches XLA by default and keeps this kernel
+    as the KFUNCA_GEMM_ENGINE=pallas substrate (same split as the bf16
+    GEMM, ops/gemm.py)."""
     m, k = a_q8.shape
     k2, n = b_q8.shape
     assert k == k2, (a_q8.shape, b_q8.shape)
@@ -130,13 +135,33 @@ def gemm_w8(a, w_q8, w_scale, out_dtype=None):
     return matmul_q8(a_q8, w_q8, a_scale, w_scale, out_dtype=out_dtype)
 
 
-def matmul_q8_auto(a_q8, b_q8, a_scale, b_scale, out_dtype=jnp.bfloat16, **kw):
-    """matmul_q8 with per-chip autotuned blocks (runtime/autotune.py; the
-    shipped v5e defaults / bench.py-seeded cache), explicit kwargs win."""
-    from ..runtime.autotune import lookup, shape_bucket
+def matmul_q8_xla(a_q8, b_q8, a_scale, b_scale, out_dtype=jnp.bfloat16):
+    """XLA's native int8 dot with the rank-1 dequant fused by the compiler.
+    Exact i32 accumulation, same contract as matmul_q8."""
+    acc = jax.lax.dot_general(
+        a_q8, b_q8, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    return (
+        acc.astype(jnp.float32)
+        * a_scale.astype(jnp.float32)[:, None]
+        * b_scale.astype(jnp.float32)[None, :]
+    ).astype(out_dtype)
 
-    m, k = a_q8.shape
-    n = b_q8.shape[1]
-    tuned = lookup("gemm_q8", shape_bucket(m, k, n), "int8") or {}
-    tuned.update(kw)
-    return matmul_q8(a_q8, b_q8, a_scale, b_scale, out_dtype=out_dtype, **tuned)
+
+def matmul_q8_auto(a_q8, b_q8, a_scale, b_scale, out_dtype=jnp.bfloat16, **kw):
+    """Dispatched int8 GEMM.  Default engine is XLA's dot (measured median
+    323 TFLOP/s on v5e 4096^3 vs 291 for the Pallas kernel — the same
+    vendor-path-wins split as bf16 gemm); KFUNCA_GEMM_ENGINE=pallas routes
+    to matmul_q8 with per-chip autotuned blocks (runtime/autotune.py),
+    explicit kwargs winning."""
+    import os
+
+    if os.environ.get("KFUNCA_GEMM_ENGINE", "xla") == "pallas" or kw:
+        from ..runtime.autotune import lookup, shape_bucket
+
+        m, k = a_q8.shape
+        n = b_q8.shape[1]
+        tuned = lookup("gemm_q8", shape_bucket(m, k, n), "int8") or {}
+        tuned.update(kw)
+        return matmul_q8(a_q8, b_q8, a_scale, b_scale, out_dtype=out_dtype, **tuned)
+    return matmul_q8_xla(a_q8, b_q8, a_scale, b_scale, out_dtype=out_dtype)

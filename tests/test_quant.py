@@ -63,3 +63,35 @@ class TestQuantization:
         assert float(err.max()) < 0.08 * float(np.std(want)), (
             float(err.max()), float(np.std(want))
         )
+
+
+class TestDispatchedQ8:
+    def test_xla_path_matches_int64_oracle(self):
+        from kfunca_tpu.ops.quant import matmul_q8_xla, quantize_cols, quantize_rows
+
+        rng = np.random.default_rng(9)
+        af = jnp.asarray(rng.uniform(-2, 2, (64, 96)), jnp.float32)
+        bf = jnp.asarray(rng.uniform(-2, 2, (96, 48)), jnp.float32)
+        aq, asc = quantize_rows(af)
+        bq, bsc = quantize_cols(bf)
+        got = np.asarray(matmul_q8_xla(aq, bq, asc, bsc, out_dtype=jnp.float32))
+        acc = np.asarray(aq, np.int64) @ np.asarray(bq, np.int64)
+        want = acc.astype(np.float64) * np.asarray(asc)[:, None] * np.asarray(bsc)[None, :]
+        assert np.allclose(got, want, atol=1e-3, rtol=1e-4)
+
+    def test_auto_dispatch_engines_agree(self):
+        import os
+
+        from kfunca_tpu.ops.quant import matmul_q8, matmul_q8_auto, quantize_cols, quantize_rows
+
+        rng = np.random.default_rng(10)
+        af = jnp.asarray(rng.uniform(-2, 2, (128, 128)), jnp.float32)
+        bf = jnp.asarray(rng.uniform(-2, 2, (128, 128)), jnp.float32)
+        aq, asc = quantize_rows(af)
+        bq, bsc = quantize_cols(bf)
+        auto = np.asarray(matmul_q8_auto(aq, bq, asc, bsc, out_dtype=jnp.float32))
+        pall = np.asarray(
+            matmul_q8(aq, bq, asc, bsc, out_dtype=jnp.float32, interpret=True)
+        )
+        # both engines share the exact-i32-acc contract
+        assert np.allclose(auto, pall, atol=1e-4, rtol=1e-5)

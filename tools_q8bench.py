@@ -46,23 +46,64 @@ def main():
     flops = 2.0 * m * n * k
 
     configs = [
-        (512, 512, 4096),   # round-2 default
-        (1024, 1024, 2048),
-        (1024, 1024, 4096),
-        (2048, 2048, 1024),
+        (512, 512, 4096),   # round-2 default (sweep-1 best median: 298)
         (2048, 1024, 2048),
-        (1024, 2048, 2048),
+        ("xla", None, None),       # XLA's own int8 dot + dequant epilogue
+        ("xla-raw", None, None),   # XLA int8 dot, no dequant (isolate epilogue)
+        ("pallas-raw", None, None),  # kernel path, dequant epilogue removed
     ]
+
+    import functools
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from kfunca_tpu.ops.quant import _q8_kernel
+
+    def q8_raw(x, y, bm=512, bn=512, bk=4096):
+        # kernel without the dequant epilogue: i32 accumulator out
+        def kern(a_ref, b_ref, o_ref, acc_ref):
+            @pl.when(pl.program_id(2) == 0)
+            def _init():
+                acc_ref[:] = jnp.zeros_like(acc_ref)
+            acc_ref[:] += jax.lax.dot(a_ref[:], b_ref[:], preferred_element_type=jnp.int32)
+            @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
+            def _store():
+                o_ref[:] = acc_ref[:]
+        grid = (m // bm, n // bn, k // bk)
+        return pl.pallas_call(
+            kern, grid=grid,
+            in_specs=[pl.BlockSpec((bm, bk), lambda i, j, kk: (i, kk)),
+                      pl.BlockSpec((bk, bn), lambda i, j, kk: (kk, j))],
+            out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j)),
+            out_shape=jax.ShapeDtypeStruct((m, n), jnp.int32),
+            scratch_shapes=[pltpu.VMEM((bm, bn), jnp.int32)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary"),
+                vmem_limit_bytes=100 * 1024 * 1024),
+        )(x, y)
 
     def chain(bm, bn, bk, K):
         @jax.jit
         def f(x, y, ra, cb):
             out = None
             for _ in range(K):
-                out = matmul_q8(x, y, ra, cb, bm=bm, bn=bn, bk=bk)
-                # non-foldable dependency: feed a data-dependent +-0 int8
-                # back into x so XLA cannot CSE the chain
-                bump = (out[0, 0] > jnp.bfloat16(1e30)).astype(jnp.int8)
+                if bm == "xla":
+                    acc = jax.lax.dot_general(
+                        x, y, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
+                    out = (acc.astype(jnp.float32) * ra[:, None] * cb[None, :]).astype(jnp.bfloat16)
+                    bump = (out[0, 0] > jnp.bfloat16(1e30)).astype(jnp.int8)
+                elif bm == "xla-raw":
+                    acc = jax.lax.dot_general(
+                        x, y, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
+                    out = acc
+                    bump = (acc[0, 0] > jnp.int32(2**30)).astype(jnp.int8)
+                elif bm == "pallas-raw":
+                    out = q8_raw(x, y)
+                    bump = (out[0, 0] > jnp.int32(2**30)).astype(jnp.int8)
+                else:
+                    out = matmul_q8(x, y, ra, cb, bm=bm, bn=bn, bk=bk)
+                    # non-foldable dependency: feed a data-dependent +-0 int8
+                    # back into x so XLA cannot CSE the chain
+                    bump = (out[0, 0] > jnp.bfloat16(1e30)).astype(jnp.int8)
                 x = x + bump
             return out
         return lambda: f(a, b, sa, sb)
@@ -76,7 +117,7 @@ def main():
             dt = max((t2 - t1) / (k2 - k1), 1e-9)
             tf = flops / dt / 1e12
             results[c].append(tf)
-            print(f"[q8] r{r} bm{c[0]} bn{c[1]} bk{c[2]}: {dt*1e3:.3f} ms -> {tf:.1f} TFLOP/s",
+            print(f"[q8] r{r} {c}: {dt*1e3:.3f} ms -> {tf:.1f} TFLOP/s",
                   flush=True)
     print("[q8] === medians ===", flush=True)
     for c, tfs in results.items():
