@@ -215,57 +215,60 @@ def bench_elementwise_engines(shape=(4096, 4096), dtype=jnp.float32):
 def bench_reduce_engines():
     """A/B the TPU-default Pallas reduce + welford against XLA's reductions
     (VERDICT r2 weak #6: those defaults were dispatched without TPU
-    evidence).  ops/reduce.py's dispatch thresholds cite this section."""
+    evidence).  INTERLEAVED rounds (sequential phases drift 10-30%);
+    ops/reduce.py's dispatch thresholds cite this section."""
     from kfunca_tpu.ops.pallas_kernels.reduce import reduce_2d
     from kfunca_tpu.ops.pallas_kernels.welford import welford_norm_stat
 
     key = jax.random.PRNGKey(5)
-    results = {}
-
-    # fp32 sum >= 64K elems (the ops/reduce.py Pallas dispatch band)
     A = jax.random.normal(key, (4096, 4096), jnp.float32)
-
-    def chain_sum(engine):
-        def mk(K):
-            @jax.jit
-            def f(x):
-                r = None
-                for _ in range(K):
-                    if engine == "pallas":
-                        r = reduce_2d(x, op="sum", out_dt=jnp.float32)
-                    else:
-                        r = jnp.sum(x, axis=0, keepdims=True)
-                    x = x + (r[0, 0] > jnp.float32(1e30)).astype(jnp.float32)
-                return r
-            return f
-        return lambda K: (lambda: mk(K)(A))
-
-    # norm_stat on the reference suite's 16387^2 shape (1 GB fp32)
     B = jax.random.normal(key, (16387, 16387), jnp.float32)
 
-    def chain_norm(engine):
-        def mk(K):
-            @jax.jit
-            def f(x):
-                for _ in range(K):
-                    if engine == "pallas":
-                        m_, inv = welford_norm_stat(x)
-                    else:
-                        m_ = jnp.mean(x, axis=0, keepdims=True)
-                        var = jnp.mean((x - m_) * (x - m_), axis=0, keepdims=True)
-                        inv = 1.0 / jnp.sqrt(var + 1e-12)
-                    x = x + (inv[0, 0] > jnp.float32(1e30)).astype(jnp.float32)
-                return m_, inv
-            return f
-        return lambda K: (lambda: mk(K)(B))
+    def chain_sum(engine, K):
+        @jax.jit
+        def f(x):
+            r = None
+            for _ in range(K):
+                if engine == "pallas":
+                    r = reduce_2d(x, op="sum", out_dt=jnp.float32)
+                else:
+                    r = jnp.sum(x, axis=0, keepdims=True)
+                x = x + (r[0, 0] > jnp.float32(1e30)).astype(jnp.float32)
+            return r
+        return lambda: f(A)
 
-    for label, mk, k1, k2 in [
-        ("sum-pallas", chain_sum("pallas"), 8, 40),
-        ("sum-xla", chain_sum("xla"), 8, 40),
-        ("normstat-pallas", chain_norm("pallas"), 2, 8),
-        ("normstat-xla", chain_norm("xla"), 2, 8),
-    ]:
-        results[label] = round(slope_time(mk, k1=k1, k2=k2, label=label, reps=2) * 1e3, 4)
+    def chain_norm(engine, K):
+        @jax.jit
+        def f(x):
+            inv = None
+            for _ in range(K):
+                if engine == "pallas":
+                    m_, inv = welford_norm_stat(x)
+                else:
+                    m_ = jnp.mean(x, axis=0, keepdims=True)
+                    var = jnp.mean((x - m_) * (x - m_), axis=0, keepdims=True)
+                    inv = 1.0 / jnp.sqrt(var + 1e-12)
+                x = x + (inv[0, 0] > jnp.float32(1e30)).astype(jnp.float32)
+            return inv
+        return lambda: f(B)
+
+    cases = {
+        "sum-pallas": (chain_sum("pallas", 8), chain_sum("pallas", 40), 32),
+        "sum-xla": (chain_sum("xla", 8), chain_sum("xla", 40), 32),
+        "normstat-pallas": (chain_norm("pallas", 2), chain_norm("pallas", 8), 6),
+        "normstat-xla": (chain_norm("xla", 2), chain_norm("xla", 8), 6),
+    }
+    samples = {k: [] for k in cases}
+    for r in range(3):
+        for label, (f1, f2, span) in cases.items():
+            t1, t2 = _timed(f1, iters=4), _timed(f2, iters=4)
+            dt = max((t2 - t1) / span, 1e-9)
+            samples[label].append(dt)
+            _log(f"{label}[{r}]: {dt*1e3:.3f} ms/iter")
+    results = {}
+    for label, xs in samples.items():
+        xs.sort()
+        results[label] = round(xs[len(xs) // 2] * 1e3, 4)
     return results
 
 

@@ -32,6 +32,11 @@ class MoEConfig:
     d_model: int = 512
     d_ff: int = 1024
     top_k: int = 1  # 1 = switch routing; 2 = GShard-style top-2
+    # capacity-overflow second pass ("no-token-left-behind", Switch paper
+    # appendix): tokens whose every top-k choice overflowed compete for the
+    # remaining capacity of their NEXT-preference experts, one extra
+    # choice rank per rescue rank.  0 = standard drop semantics.
+    rescue_ranks: int = 0
 
 
 def init_moe_params(key, cfg: MoEConfig):
@@ -51,7 +56,7 @@ def init_moe_params(key, cfg: MoEConfig):
     }
 
 
-def _topk_dispatch(probs, e: int, cap: int, top_k: int):
+def _topk_dispatch(probs, e: int, cap: int, top_k: int, rescue_ranks: int = 0):
     """Static-shape top-k routing.
 
     Returns (dispatch (T, E, cap) one-hot weights, combine (T, E, cap)
@@ -60,26 +65,36 @@ def _topk_dispatch(probs, e: int, cap: int, top_k: int):
     Queues fill in choice-rank order: rank-0 assignments for ALL tokens are
     seated first, then rank-1 competes for the remaining slots (GShard).
     Gates are renormalized over the token's KEPT experts.
+
+    rescue_ranks > 0 adds overflow-rescue rounds: tokens that did not get
+    ANY seat compete (in the same cumsum machinery) for the remaining
+    capacity of their next-preference experts — seated capacity counts
+    carry over, so rescue can never evict or exceed cap.
     """
     t = probs.shape[0]
-    top_probs, top_idx = jax.lax.top_k(probs, top_k)  # (T, k) — k is tiny
-    onehots = [jax.nn.one_hot(top_idx[:, r], e, dtype=jnp.float32) for r in range(top_k)]
+    n_ranks = top_k + rescue_ranks
+    top_probs, top_idx = jax.lax.top_k(probs, n_ranks)  # (T, ranks) — tiny
+    onehots = [jax.nn.one_hot(top_idx[:, r], e, dtype=jnp.float32) for r in range(n_ranks)]
 
     # seat tokens: cumulative per-expert counts carry across ranks
     base = jnp.zeros((e,), jnp.float32)
-    dispatches, gates, keeps = [], [], []
-    for r in range(top_k):
+    seated = jnp.zeros((t,), jnp.bool_)
+    dispatches, gates = [], []
+    for r in range(n_ranks):
         oh = onehots[r]
+        if r >= top_k:
+            # rescue round: only completely-dropped tokens participate
+            oh = oh * (~seated)[:, None].astype(jnp.float32)
         position = (jnp.cumsum(oh, axis=0) - 1.0) * oh + base[None, :] * oh
         pos_in_expert = jnp.sum(position, axis=-1)  # (T,)
-        keep = pos_in_expert < cap
+        keep = (pos_in_expert < cap) & (jnp.sum(oh, axis=-1) > 0)
         slot = jax.nn.one_hot(pos_in_expert.astype(jnp.int32), cap, dtype=jnp.float32)
         dispatches.append(oh[:, :, None] * slot[:, None, :] * keep[:, None, None])
         gates.append(top_probs[:, r] * keep)
-        keeps.append(keep)
+        seated = seated | keep
         base = base + jnp.sum(oh, axis=0)
 
-    # renormalize gates over kept choices (sum of kept top-k probs)
+    # renormalize gates over kept choices (sum of kept probs)
     denom = sum(gates)
     denom = jnp.where(denom == 0.0, 1.0, denom)
     dispatch = sum(dispatches)
@@ -102,7 +117,9 @@ def moe_ffn(x, params, cfg: MoEConfig):
         xt.astype(jnp.float32), params["router"], preferred_element_type=jnp.float32
     )  # (T, E)
     probs = jax.nn.softmax(logits, axis=-1)
-    dispatch, combine, onehot1 = _topk_dispatch(probs, e, cap, cfg.top_k)
+    dispatch, combine, onehot1 = _topk_dispatch(
+        probs, e, cap, cfg.top_k, cfg.rescue_ranks
+    )
 
     # route tokens to expert buffers: (E, cap, D) — all-to-all under ep sharding
     expert_in = jnp.einsum("tec,td->ecd", dispatch, xt.astype(jnp.float32))
@@ -160,7 +177,9 @@ def moe_ffn_ep_spmd(x_local, params_local, cfg: MoEConfig, *, axis: str = "ep"):
         xt.astype(jnp.float32), params_local["router"], preferred_element_type=jnp.float32
     )
     probs = jax.nn.softmax(logits, axis=-1)
-    dispatch, combine, onehot1 = _topk_dispatch(probs, e, cap, cfg.top_k)
+    dispatch, combine, onehot1 = _topk_dispatch(
+        probs, e, cap, cfg.top_k, cfg.rescue_ranks
+    )
 
     # local expert queues for ALL experts: (E, cap, D)
     expert_in = jnp.einsum("tec,td->ecd", dispatch, xt.astype(jnp.float32))

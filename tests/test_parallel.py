@@ -344,3 +344,42 @@ class TestInterleavedPipeline:
         for d in range(n_stages):
             for c in range(v):
                 assert np.abs(gw[d, c]).max() > 0, (d, c)
+
+
+class TestMoERescue:
+    def test_rescue_seats_dropped_tokens(self):
+        """With capacity forced tiny, rescue ranks seat tokens the plain
+        top-1 router drops — without ever exceeding per-expert capacity."""
+        from kfunca_tpu.models.moe import MoEConfig, _topk_dispatch
+
+        t, e, cap = 16, 4, 2  # 16 tokens into 4*2=8 seats: heavy overflow
+        key = jax.random.PRNGKey(0)
+        probs = jax.nn.softmax(jax.random.normal(key, (t, e)) * 3.0, axis=-1)
+        d0, c0, _ = _topk_dispatch(probs, e, cap, top_k=1, rescue_ranks=0)
+        d2, c2, _ = _topk_dispatch(probs, e, cap, top_k=1, rescue_ranks=2)
+        seated0 = int(jnp.sum(jnp.sum(d0, axis=(1, 2)) > 0))
+        seated2 = int(jnp.sum(jnp.sum(d2, axis=(1, 2)) > 0))
+        assert seated2 > seated0, (seated0, seated2)
+        # capacity is never exceeded and slots are never double-booked
+        per_slot = jnp.sum(d2, axis=0)  # (E, cap)
+        assert float(per_slot.max()) <= 1.0 + 1e-6
+        # tokens seated by the base pass keep their assignment
+        base_tokens = jnp.sum(d0, axis=(1, 2)) > 0
+        same = jnp.where(base_tokens[:, None, None], d2 - d0, 0.0)
+        assert float(jnp.abs(same).max()) == 0.0
+
+    def test_rescue_moe_ffn_differentiable(self):
+        from kfunca_tpu.models.moe import MoEConfig, init_moe_params, moe_ffn
+
+        cfg = MoEConfig(n_experts=4, capacity_factor=0.5, d_model=16, d_ff=32,
+                        top_k=1, rescue_ranks=1)
+        params = init_moe_params(jax.random.PRNGKey(1), cfg)
+        x = jax.random.normal(jax.random.PRNGKey(2), (2, 8, 16), jnp.float32)
+
+        def loss(p):
+            out, aux = moe_ffn(x, p, cfg)
+            return jnp.sum(out ** 2) + 0.01 * aux
+
+        g = jax.grad(loss)(params)
+        assert float(jnp.abs(g["router"]).max()) > 0
+        assert float(jnp.abs(g["w_in"]).max()) > 0
