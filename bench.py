@@ -224,6 +224,11 @@ def bench_reduce_engines():
     A = jax.random.normal(key, (4096, 4096), jnp.float32)
     B = jax.random.normal(key, (16387, 16387), jnp.float32)
 
+    # NB the iteration dependency must be NON-LINEAR in x: `x = x + bump`
+    # lets XLA rewrite sum(x + c) = sum(x) + n*c and collapse the whole
+    # chain to one reduce + scalar updates (measured: slope ~= 0).  The
+    # maximum() against a data-dependent always-smaller scalar is a no-op
+    # numerically but blocks the reassociation.
     def chain_sum(engine, K):
         @jax.jit
         def f(x):
@@ -233,7 +238,7 @@ def bench_reduce_engines():
                     r = reduce_2d(x, op="sum", out_dt=jnp.float32)
                 else:
                     r = jnp.sum(x, axis=0, keepdims=True)
-                x = x + (r[0, 0] > jnp.float32(1e30)).astype(jnp.float32)
+                x = jnp.maximum(x, r[0, 0] - jnp.float32(3e38))
             return r
         return lambda: f(A)
 
@@ -248,7 +253,7 @@ def bench_reduce_engines():
                     m_ = jnp.mean(x, axis=0, keepdims=True)
                     var = jnp.mean((x - m_) * (x - m_), axis=0, keepdims=True)
                     inv = 1.0 / jnp.sqrt(var + 1e-12)
-                x = x + (inv[0, 0] > jnp.float32(1e30)).astype(jnp.float32)
+                x = jnp.maximum(x, inv[0, 0] - jnp.float32(3e38))
             return inv
         return lambda: f(B)
 
@@ -429,7 +434,7 @@ def main():
                     "elementwise_chained_ms_per_op": {
                         "xla": round(ew_xla_ms, 4),
                         "pallas": round(ew_pallas_ms, 4),
-                        "note": "XLA fuses the chain (near-zero marginal cost) - the reason it is the default engine",
+                        "note": "XLA fuses/collapses the chain (near-zero marginal cost) - the reason it is the default engine",
                     },
                 },
             }

@@ -467,3 +467,65 @@ KF_EXPORT int64_t kf_queue_size(int64_t queue_id) {
     if (it == s.queues.end()) return -1;
     return (int64_t)it->second.size();
 }
+
+// ---------------------------------------------------------------------------
+// live-grid step tables (flash attention): enumerate only the (iq, ik) tile
+// pairs on or below the causal diagonal.  The kernels' scalar-prefetch grid
+// consumes these tables (ops/pallas_kernels/flash_attention.py); generating
+// them natively keeps trace-time Python cost flat as nqb*nkb grows (long-
+// context shapes enumerate tens of thousands of steps).
+// Flags: 1 = first block of its row stream, 2 = last, 4 = first step of the
+// whole launch, 8 = last step (the bwd kernel's dq-accumulator lifecycle).
+// ---------------------------------------------------------------------------
+
+// q-major (forward): for each q row, kv blocks 0..last_k.  Returns the step
+// count; call with out_* null to size the buffers first.
+KF_EXPORT int64_t kf_fwd_live_tables(int64_t nqb, int64_t nkb, int64_t bq,
+                                     int64_t bk, int32_t *out_iq,
+                                     int32_t *out_ik, int32_t *out_fl) {
+    int64_t t = 0;
+    for (int64_t i = 0; i < nqb; i++) {
+        int64_t last_k = (i * bq + bq - 1) / bk;
+        if (last_k > nkb - 1) last_k = nkb - 1;
+        for (int64_t j = 0; j <= last_k; j++, t++) {
+            if (out_iq) {
+                out_iq[t] = (int32_t)i;
+                out_ik[t] = (int32_t)j;
+                out_fl[t] = (j == 0 ? 1 : 0) | (j == last_k ? 2 : 0);
+            }
+        }
+    }
+    return t;
+}
+
+// kv-major (fused backward): for each kv block, q blocks first_q..nqb-1,
+// first_q clamped so every kv block gets >= 1 (possibly fully-masked) step
+// — an unvisited block would leave its dk/dv output unwritten.
+KF_EXPORT int64_t kf_bwd_live_tables(int64_t nqb, int64_t nkb, int64_t bq,
+                                     int64_t bk, int32_t *out_iq,
+                                     int32_t *out_ik, int32_t *out_fl) {
+    int64_t total = 0;
+    for (int64_t jk = 0; jk < nkb; jk++) {
+        int64_t first_q = (jk * bk) / bq;
+        if (first_q > nqb - 1) first_q = nqb - 1;
+        total += nqb - first_q;
+    }
+    int64_t t = 0;
+    for (int64_t jk = 0; jk < nkb; jk++) {
+        int64_t first_q = (jk * bk) / bq;
+        if (first_q > nqb - 1) first_q = nqb - 1;
+        for (int64_t i = first_q; i < nqb; i++, t++) {
+            if (out_iq) {
+                int32_t fl = 0;
+                if (i == first_q) fl |= 1;
+                if (i == nqb - 1) fl |= 2;
+                if (t == 0) fl |= 4;
+                if (t == total - 1) fl |= 8;
+                out_iq[t] = (int32_t)i;
+                out_ik[t] = (int32_t)jk;
+                out_fl[t] = fl;
+            }
+        }
+    }
+    return t;
+}

@@ -99,11 +99,39 @@ LOG2E = _np.float32(math.log2(math.e))
 LN2 = _np.float32(math.log(2.0))
 
 
+def _tables_native(kind: str, nqb, nkb, bq, bk):
+    """Step tables from the native core (kf_{fwd,bwd}_live_tables); None
+    when the library is unavailable (KFUNCA_NO_NATIVE or build failure)."""
+    from ...runtime._native import get_lib
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    import ctypes
+
+    fn = lib.kf_fwd_live_tables if kind == "fwd" else lib.kf_bwd_live_tables
+    n = int(fn(nqb, nkb, bq, bk, None, None, None))
+    iqs = _np.empty(n, _np.int32)
+    iks = _np.empty(n, _np.int32)
+    fls = _np.empty(n, _np.int32)
+    p = ctypes.POINTER(ctypes.c_int32)
+    fn(nqb, nkb, bq, bk, iqs.ctypes.data_as(p), iks.ctypes.data_as(p),
+       fls.ctypes.data_as(p))
+    return iqs, iks, fls
+
+
 def _fwd_tables(nqb, nkb, bq, bk):
     """(iq, ik, flags) per LIVE step, q-major with kv streamed inner.
     Blocks above the causal diagonal never enter the grid (the round-2
     kernel cycled them as prefetch-only dead steps; the live-only grid
-    measured faster and is what makes causal skipping pay at all)."""
+    measured faster and is what makes causal skipping pay at all).
+
+    Generated natively (csrc kf_fwd_live_tables) when the core is loaded —
+    long-context shapes enumerate tens of thousands of steps and this runs
+    at trace time; the Python loop below is the parity-tested fallback."""
+    native = _tables_native("fwd", nqb, nkb, bq, bk)
+    if native is not None:
+        return native
     iqs, iks, fls = [], [], []
     for i in range(nqb):
         last_k = min((i * bq + bq - 1) // bk, nkb - 1)
@@ -303,7 +331,13 @@ def _bwd_tables(nqb, nkb, bq, bk):
     first_q is CLAMPED so every kv block gets at least one step: a kv block
     entirely beyond the last q block (ragged skv > sq) computes one fully-
     masked step that flushes exact-zero dk/dv — skipping it would leave the
-    output block unwritten (uninitialized HBM)."""
+    output block unwritten (uninitialized HBM).
+
+    Generated natively (csrc kf_bwd_live_tables) when the core is loaded;
+    the Python loop is the parity-tested fallback."""
+    native = _tables_native("bwd", nqb, nkb, bq, bk)
+    if native is not None:
+        return native
     steps = []
     for jk in range(nkb):
         first_q = min((jk * bk) // bq, nqb - 1)

@@ -87,6 +87,10 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.kf_queue_pop.argtypes = [i64]
     lib.kf_queue_size.restype = i64
     lib.kf_queue_size.argtypes = [i64]
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    for fn in (lib.kf_fwd_live_tables, lib.kf_bwd_live_tables):
+        fn.restype = i64
+        fn.argtypes = [i64, i64, i64, i64, i32p, i32p, i32p]
     return lib
 
 

@@ -169,3 +169,35 @@ class TestNativeAllocator:
         b2 = lib.kf_allocate(3, 4500, ctypes.byref(size), ctypes.byref(reused))
         assert b2 == b1 and reused.value == 1
         lib.kf_free(b2)
+
+
+import numpy as np
+
+
+class TestLiveTables:
+    def test_native_matches_python_fallback(self):
+        """kf_{fwd,bwd}_live_tables must reproduce the Python reference
+        enumeration for square, rectangular, and ragged-clamped shapes."""
+        import os
+        from unittest import mock
+
+        from kfunca_tpu.ops.pallas_kernels import flash_attention as fa
+        from kfunca_tpu.runtime._native import get_lib
+
+        if get_lib() is None:
+            import pytest
+
+            pytest.skip("native core unavailable")
+
+        cases = [(4, 4, 512, 512), (2, 4, 1024, 512), (4, 2, 512, 1024),
+                 (1, 2, 128, 128), (16, 16, 128, 128)]
+        for nqb, nkb, bq, bk in cases:
+            nat_f = fa._tables_native("fwd", nqb, nkb, bq, bk)
+            nat_b = fa._tables_native("bwd", nqb, nkb, bq, bk)
+            with mock.patch.object(fa, "_tables_native", lambda *a: None):
+                py_f = fa._fwd_tables(nqb, nkb, bq, bk)
+                py_b = fa._bwd_tables(nqb, nkb, bq, bk)
+            for got, want in zip(nat_f, py_f):
+                assert np.array_equal(got, want), (nqb, nkb, bq, bk, "fwd")
+            for got, want in zip(nat_b, py_b):
+                assert np.array_equal(got, want), (nqb, nkb, bq, bk, "bwd")
