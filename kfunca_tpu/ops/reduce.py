@@ -12,10 +12,13 @@ tensor_reduce.h:994-1083, welford_norm.h).  Contracts preserved:
   * norm_stat(dim) -> (mean, invstd) with biased variance and eps=1e-12
     (reference norm_ops_kernel.cu:6-61).
 
-On CPU these lower to XLA reductions; on TPU the Welford statistics run as a
-single-pass Pallas kernel (ops/pallas_kernels/welford.py) — the grid is
-sequential per core, so the reference's staging-buffer + semaphore dance
-(welford_norm.h:122-177) collapses into a VMEM accumulator loop.
+Engine: XLA reductions by default EVERYWHERE — chosen from the round-3
+interleaved TPU A/B (bench.py bench_reduce_engines; see _reduce_engine
+below for the numbers).  KFUNCA_REDUCE_ENGINE=pallas dispatches the
+single-pass Pallas kernels (ops/pallas_kernels/{reduce,welford}.py) — the
+grid is sequential per core, so the reference's staging-buffer + semaphore
+dance (welford_norm.h:122-177) collapses into a VMEM accumulator loop;
+they remain the tuning substrate, 3.4x behind XLA on the welford shape.
 """
 
 from __future__ import annotations
@@ -66,12 +69,30 @@ def _pallas_reduce_jit(A, dim, out_dt, mean: bool):
     return jnp.moveaxis(r.reshape((1,) + A.shape[1:]), 0, dim)
 
 
+def _reduce_engine() -> str:
+    """Reduction engine, read at DISPATCH time.  XLA is the default: the
+    round-3 interleaved A/B (bench.py bench_reduce_engines, v5e) measured
+    XLA never slower — 4096^2 fp32 column-sum chains are RTT-noise-bounded
+    for both engines (<0.2 ms/iter), and on the 16387^2 norm_stat shape
+    XLA's two-pass reduction runs 2.4 ms vs 8.1 ms for the Pallas Welford
+    kernel (3.4x).  KFUNCA_REDUCE_ENGINE=pallas keeps the Pallas kernels
+    dispatchable as the tuning substrate."""
+    import os
+
+    return os.environ.get("KFUNCA_REDUCE_ENGINE", "xla")
+
+
 def _reduce_common(t: Tensor, dim: int, mean: bool) -> Tensor:
     plan = plan_reduce(t, dim)
     out = empty(plan.out_shape, t.dtype(), plan.device)
     launcher = Launcher.instance()
     name = "mean" if mean else "sum"
-    if use_pallas() and plan.acc_dtype in (ScalarType.Float,) and t.numel() >= 1 << 16:
+    if (
+        _reduce_engine() == "pallas"
+        and use_pallas()
+        and plan.acc_dtype in (ScalarType.Float,)
+        and t.numel() >= 1 << 16
+    ):
         out._write(
             launcher.submit(
                 _pallas_reduce_jit, t._array(), plan.dim, to_jnp(t.dtype()), mean, name=name
@@ -141,7 +162,13 @@ def norm_stat(t: Tensor, dim: int):
     (reference welford_norm.h + norm_ops_kernel.cu; eps=1e-12)."""
     plan = plan_reduce(t, dim)
     check(plan.acc_dtype in (ScalarType.Float, ScalarType.Double), "norm_stat: float only")
-    if use_pallas() and t.dim() == 2 and plan.dim == 0 and t.dtype() == ScalarType.Float:
+    if (
+        _reduce_engine() == "pallas"
+        and use_pallas()
+        and t.dim() == 2
+        and plan.dim == 0
+        and t.dtype() == ScalarType.Float
+    ):
         from .pallas_kernels.welford import welford_norm_stat
 
         m, invstd = Launcher.instance().submit(

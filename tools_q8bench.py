@@ -47,10 +47,7 @@ def main():
 
     configs = [
         (512, 512, 4096),   # round-2 default (sweep-1 best median: 298)
-        (2048, 1024, 2048),
         ("xla", None, None),       # XLA's own int8 dot + dequant epilogue
-        ("xla-raw", None, None),   # XLA int8 dot, no dequant (isolate epilogue)
-        ("pallas-raw", None, None),  # kernel path, dequant epilogue removed
     ]
 
     import functools
@@ -101,10 +98,11 @@ def main():
                     bump = (out[0, 0] > jnp.int32(2**30)).astype(jnp.int8)
                 else:
                     out = matmul_q8(x, y, ra, cb, bm=bm, bn=bn, bk=bk)
-                    # non-foldable dependency: feed a data-dependent +-0 int8
-                    # back into x so XLA cannot CSE the chain
                     bump = (out[0, 0] > jnp.bfloat16(1e30)).astype(jnp.int8)
-                x = x + bump
+                # collapse-proof: x + bump lets XLA distribute the dot and
+                # fold the chain (int8 "435 TFLOP/s" artifact); max() with
+                # an always-smaller data-dependent value is irreducible
+                x = jnp.maximum(x, bump + jnp.int8(-128))
             return out
         return lambda: f(a, b, sa, sb)
 
