@@ -295,6 +295,7 @@ class InferenceServer:
         top_p: float = 1.0,
         eos_token: int | None = None,
         seed: int = 0,
+        prefix_cache: bool = False,
     ):
         self.params = params
         self.cfg = cfg
@@ -304,6 +305,18 @@ class InferenceServer:
         self.temperature = float(temperature)
         self.top_p = float(top_p)
         self.eos = eos_token
+        # prefix caching (vLLM-style): full prompt pages are content-hashed
+        # (chained per-page hash) and SHARED read-only between sequences —
+        # admission reuses the longest cached page prefix and prefills only
+        # the remainder.  Safe because RoPE positions are absolute (a page's
+        # KV depends only on the token prefix) and decode never writes a
+        # page at an index below the prompt tail.  Pages are refcounted;
+        # cache-only pages are evicted LRU under pool pressure.
+        self.prefix_cache = bool(prefix_cache)
+        self._page_refs: dict[int, int] = {}
+        self._pcache: dict[bytes, int] = {}  # chained page hash -> page id
+        self.prefix_hit_pages = 0
+        self.prefix_fresh_pages = 0
         # page n_pages-1 is the TRASH page: never allocated; idle slots point
         # their whole page table at it so their (harmless) decode writes
         # cannot corrupt pages owned by live sequences.
@@ -351,9 +364,44 @@ class InferenceServer:
             "completed": len(done),
             "generated_tokens": sum(len(r.tokens) for r in done),
             "pages_available": self.pool.available,
+            "prefix_hit_pages": self.prefix_hit_pages,
+            "prefix_fresh_pages": self.prefix_fresh_pages,
+            "cached_pages": len(self._pcache),
         }
 
     # -- internals -----------------------------------------------------------
+
+    def _incref(self, page: int) -> None:
+        self._page_refs[page] = self._page_refs.get(page, 0) + 1
+
+    def _decref(self, page: int) -> None:
+        r = self._page_refs.get(page, 0) - 1
+        if r <= 0:
+            self._page_refs.pop(page, None)
+            self.pool.free([page])
+        else:
+            self._page_refs[page] = r
+
+    def _prefix_hashes(self, prompt: np.ndarray) -> list[bytes]:
+        """Chained content hash per FULL prompt page: page i's key commits
+        to the entire token prefix [0, (i+1)*page_size)."""
+        import hashlib
+
+        ps = self.page_size
+        hashes, h = [], b""
+        for i in range(len(prompt) // ps):
+            h = hashlib.sha1(h + prompt[i * ps : (i + 1) * ps].tobytes()).digest()
+            hashes.append(h)
+        return hashes
+
+    def _evict_one(self) -> bool:
+        """Drop the least-recently-used cache entry no sequence is using."""
+        for h, page in self._pcache.items():
+            if self._page_refs.get(page, 0) == 1:  # cache holds the only ref
+                del self._pcache[h]
+                self._decref(page)
+                return True
+        return False
 
     def _admit(self):
         for slot in range(self.B):
@@ -374,54 +422,108 @@ class InferenceServer:
                     # spin run() through max_steps doing nothing
                     req.done = True
                     continue
-                pages = self.pool.alloc(need)
-                if pages is None:
+                reused: list[tuple[bytes, int]] = []
+                hashes: list[bytes] = []
+                if self.prefix_cache:
+                    hashes = self._prefix_hashes(req.prompt)
+                    # never reuse the page holding the LAST prompt token:
+                    # its logits seed sampling, so it must be prefilled
+                    for h in hashes[: (t - 1) // self.page_size]:
+                        page = self._pcache.get(h)
+                        if page is None:
+                            break
+                        reused.append((h, page))
+                fresh = None
+                while True:
+                    fresh = self.pool.alloc(need - len(reused))
+                    if fresh is not None:
+                        break
+                    if not (self.prefix_cache and self._evict_one()):
+                        break
+                if fresh is None:
                     self.queue.push(rid)  # no memory NOW: requeue, try next round
                     return
+                for h, page in reused:
+                    self._incref(page)
+                    # LRU touch: re-insert at the back of the (ordered) dict
+                    del self._pcache[h]
+                    self._pcache[h] = page
+                for page in fresh:
+                    self._incref(page)
+                pages = [page for _, page in reused] + fresh
+                self.prefix_hit_pages += len(reused)
+                self.prefix_fresh_pages += len(fresh)
                 break
             self.slot_req[slot] = rid
             self.slot_pages[slot] = pages
             self.page_tables[slot] = self.trash_page
             self.page_tables[slot, : len(pages)] = pages
-            first = self._prefill(slot, req)
+            first = self._prefill(slot, req, len(reused) * self.page_size)
+            if self.prefix_cache:
+                # publish this prompt's full pages (pure prompt KV: decode
+                # writes start at position t, beyond every full page)
+                for i in range(len(reused), t // self.page_size):
+                    if hashes[i] not in self._pcache:
+                        self._pcache[hashes[i]] = pages[i]
+                        self._incref(pages[i])
             self.positions[slot] = t
             self.last_tokens[slot] = first
             req.tokens.append(int(first))
             if self._finished(req, first):
                 self._release(slot)
 
-    def _prefill(self, slot: int, req: Request) -> int:
-        """Dense prefill of the prompt, scattered into this slot's pages.
+    def _prefill(self, slot: int, req: Request, prefix_len: int = 0) -> int:
+        """Prefill the prompt SUFFIX beyond the reused prefix, scattered
+        into this slot's fresh pages.
 
-        The prompt is PADDED to the next page multiple so prefill compiles
-        once per length BUCKET, not per length (remote compiles dominate
-        cold-start otherwise). Padded tail positions write garbage KV, but
-        the decode mask only admits slots <= position, and the first decode
-        tokens overwrite those slots in order, so they are never read."""
+        The suffix is PADDED to the next page multiple so prefill compiles
+        once per (prefix, suffix) length BUCKET, not per length (remote
+        compiles dominate cold-start otherwise). Padded tail positions
+        write garbage KV, but the decode mask only admits slots <=
+        position, and the first decode tokens overwrite those slots in
+        order, so they are never read.
+
+        With prefix_len > 0 the reused pages' KV is gathered from the pool
+        into the dense cache so suffix attention sees the full context —
+        the forward itself runs only over the suffix tokens (the compute
+        prefix caching saves)."""
         cfg, t = self.cfg, len(req.prompt)
-        tp = -(-t // self.page_size) * self.page_size  # bucket: page multiple
-        padded = np.zeros((tp,), np.int32)
-        padded[:t] = req.prompt
+        ps = self.page_size
+        st = t - prefix_len
+        stp = -(-st // ps) * ps  # bucket: page multiple
+        padded = np.zeros((stp,), np.int32)
+        padded[:st] = req.prompt[prefix_len:]
         tokens = jnp.asarray(padded[None], jnp.int32)
-        cache = init_kv_cache(cfg, 1, tp)
-        logits, cache = forward_with_cache(self.params, tokens, cache, jnp.int32(0), cfg)
-        # scatter the dense (1,H,T,hd) prompt cache into the paged pools
-        n_full = t // self.page_size
-        rem = t % self.page_size
+        cache = init_kv_cache(cfg, 1, prefix_len + stp)
+        if prefix_len:
+            npre = prefix_len // ps
+            pre_pages = jnp.asarray(self.slot_pages[slot][:npre], jnp.int32)
+            for li, lc in enumerate(cache):
+                # (npre, ps, H, hd) -> (1, H, prefix, hd)
+                k = self.pools_k[li, pre_pages].reshape(prefix_len, cfg.n_heads, -1)
+                v = self.pools_v[li, pre_pages].reshape(prefix_len, cfg.n_heads, -1)
+                lc["k"] = lc["k"].at[:, :, :prefix_len].set(k.transpose(1, 0, 2)[None])
+                lc["v"] = lc["v"].at[:, :, :prefix_len].set(v.transpose(1, 0, 2)[None])
+        logits, cache = forward_with_cache(
+            self.params, tokens, cache, jnp.int32(prefix_len), cfg
+        )
+        # scatter the dense suffix KV into this slot's fresh pages
+        n_full = t // ps
+        rem = t % ps
         pk, pv = self.pools_k, self.pools_v
         for li, lc in enumerate(cache):
-            k = lc["k"][0].transpose(1, 0, 2)  # (T, H, hd)
+            k = lc["k"][0].transpose(1, 0, 2)  # (prefix+stp, H, hd), absolute
             v = lc["v"][0].transpose(1, 0, 2)
-            for pi in range(n_full + (1 if rem else 0)):
+            for pi in range(prefix_len // ps, n_full + (1 if rem else 0)):
                 page = self.slot_pages[slot][pi]
-                lo = pi * self.page_size
-                n = self.page_size if pi < n_full else rem
+                lo = pi * ps
+                n = ps if pi < n_full else rem
                 pk = pk.at[li, page, :n].set(k[lo : lo + n].astype(pk.dtype))
                 pv = pv.at[li, page, :n].set(v[lo : lo + n].astype(pv.dtype))
         self.pools_k, self.pools_v = pk, pv
         self._key, sub = jax.random.split(self._key)
         first = sample_tokens(
-            logits[:, t - 1], sub, temperature=self.temperature, top_p=self.top_p
+            logits[:, st - 1], sub, temperature=self.temperature, top_p=self.top_p
         )
         return int(first[0])
 
@@ -453,7 +555,8 @@ class InferenceServer:
     def _release(self, slot: int):
         rid = self.slot_req[slot]
         self.requests[rid].done = True
-        self.pool.free(self.slot_pages[slot])
+        for page in self.slot_pages[slot]:
+            self._decref(page)  # cached pages survive on the cache's ref
         self.slot_req[slot] = None
         self.slot_pages[slot] = []
         self.page_tables[slot] = self.trash_page

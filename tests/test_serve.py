@@ -201,3 +201,69 @@ class TestPagedDecodeKernel:
         out = paged_decode_attention(q, pool_k, pool_v, tables, positions, interpret=True)
         assert bool(jnp.isfinite(out).all())
         assert np.allclose(np.asarray(out), 2.0, atol=1e-5)
+
+
+class TestPrefixCache:
+    def _servers(self, model, **kw):
+        params, cfg = model
+        base = dict(batch_slots=2, page_size=4, n_pages=64, max_pages_per_seq=8)
+        base.update(kw)
+        return (InferenceServer(params, cfg, **base),
+                InferenceServer(params, cfg, prefix_cache=True, **base))
+
+    def test_identical_prompts_hit_and_match(self, model):
+        """A repeated prompt reuses its cached prefix pages and produces
+        exactly the same greedy tokens as the uncached server."""
+        plain, cached = self._servers(model)
+        prompt = list(range(1, 13))  # 12 tokens = 3 full pages
+        r_plain = [plain.submit(prompt, max_new=6) for _ in range(3)]
+        out_plain = plain.run()
+        r_cached = [cached.submit(prompt, max_new=6) for _ in range(3)]
+        out_cached = cached.run()
+        for a, b in zip(r_plain, r_cached):
+            assert out_plain[a] == out_cached[b], (out_plain[a], out_cached[b])
+        stats = cached.throughput_stats()
+        # the 2nd and 3rd submissions reuse the first's full pages (the
+        # last-token page is excluded from reuse): 2 pages each
+        assert stats["prefix_hit_pages"] >= 4, stats
+        assert stats["cached_pages"] >= 2, stats
+
+    def test_shared_prefix_divergent_suffix(self, model):
+        """Requests sharing only a prefix still decode correctly (suffix
+        prefill attends the gathered prefix KV)."""
+        plain, cached = self._servers(model)
+        p1 = list(range(1, 13)) + [20, 21]
+        p2 = list(range(1, 13)) + [30, 31, 32]
+        outs = {}
+        for srv, tag in ((plain, "p"), (cached, "c")):
+            a = srv.submit(p1, max_new=5)
+            b = srv.submit(p2, max_new=5)
+            res = srv.run()
+            outs[tag] = (res[a], res[b])
+        assert outs["p"] == outs["c"], outs
+
+    def test_eviction_under_pool_pressure(self, model):
+        """Cache-only pages are evicted when the pool runs dry; requests
+        still complete and match the uncached server."""
+        params, cfg = model
+        plain = InferenceServer(params, cfg, batch_slots=1, page_size=4,
+                                n_pages=10, max_pages_per_seq=8)
+        cached = InferenceServer(params, cfg, batch_slots=1, page_size=4,
+                                 n_pages=10, max_pages_per_seq=8, prefix_cache=True)
+        prompts = [list(range(1 + i, 13 + i)) for i in range(3)]  # distinct
+        outs = {}
+        for srv, tag in ((plain, "p"), (cached, "c")):
+            rids = [srv.submit(p, max_new=4) for p in prompts]
+            res = srv.run()
+            outs[tag] = [res[r] for r in rids]
+        assert outs["p"] == outs["c"], outs
+        # the pool only has 9 usable pages; caching 3 prompts x 3 pages
+        # forces eviction, and no page may leak
+        assert cached.pool.available + len(cached._pcache) == 9
+
+    def test_refcounts_never_leak_without_cache(self, model):
+        plain, _ = self._servers(model)
+        rid = plain.submit(list(range(1, 10)), max_new=4)
+        plain.run()
+        assert plain.pool.available == 63  # all pages returned
+        assert plain._page_refs == {}
