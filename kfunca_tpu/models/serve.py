@@ -27,6 +27,18 @@ framework's production story).  TPU-first construction:
 
 Prefill reuses generate.forward_with_cache (dense, flash-sized matmuls on
 the MXU), then the dense prompt cache is scattered into the paged pools.
+
+Round-3 additions:
+  * **Prefix caching** (prefix_cache=True) — full prompt pages are
+    content-hashed (chained per-page hash, keyed by adapter) and shared
+    read-only between sequences; admission reuses the longest cached page
+    prefix and prefills only the suffix.  Pages are refcounted; cache-only
+    pages evict LRU under pool pressure.
+  * **Multi-LoRA** (max_loras>0) — stacked per-layer wqkv adapters with
+    per-slot selection inside the ONE compiled decode step (mixed-adapter
+    batches); prefill runs the adapter's merged weights (cached per id).
+  * The ragged paged-decode Pallas kernel measures 1587-1601 decode tok/s
+    vs 944-1219 for the gather path at B=4/8 (bench.py decode_tokens_per_s).
 """
 
 from __future__ import annotations
@@ -149,11 +161,16 @@ def sample_tokens(logits, key, temperature=0.0, top_p=1.0):
 # ---------------------------------------------------------------------------
 
 
-def _paged_block(x, p, pool_k, pool_v, page_tables, positions, cfg, page_size, engine):
+def _paged_block(x, p, pool_k, pool_v, page_tables, positions, cfg, page_size, engine,
+                 lora=None):
     """One transformer block over B single tokens against paged KV.
 
     x: (B, 1, dm); pool_k/v: (n_pages, page, H, hd); page_tables:
     (B, max_pages) int32; positions: (B,) int32 (index of the new token).
+    lora: optional (A (n_adapters, dm, r), B_ (n_adapters, r, 3*dm),
+    ids (B,)) — per-SLOT low-rank wqkv deltas (adapter 0 is the zero/base
+    adapter); decode applies x @ A[id] @ B[id] batched, so one compiled
+    step serves a mixed-adapter batch.
     Returns (x, new_pool_k, new_pool_v)."""
     b = x.shape[0]
     h, hd = cfg.n_heads, cfg.head_dim
@@ -161,6 +178,10 @@ def _paged_block(x, p, pool_k, pool_v, page_tables, positions, cfg, page_size, e
 
     y = rms_norm(x, p["attn_norm"])
     qkv = jnp.dot(y, p["wqkv"].astype(y.dtype), preferred_element_type=jnp.float32)
+    if lora is not None:
+        A, B_, ids = lora
+        ya = jnp.einsum("btd,bdr->btr", y.astype(jnp.float32), A[ids])
+        qkv = qkv + jnp.einsum("btr,bro->bto", ya, B_[ids])
     qkv = qkv.astype(y.dtype).reshape(b, 1, 3, h, hd)
     q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))  # (B,H,1,hd)
 
@@ -226,7 +247,7 @@ def _paged_block(x, p, pool_k, pool_v, page_tables, positions, cfg, page_size, e
 def paged_decode_step(
     params, pools_k, pools_v, page_tables, positions, last_tokens, key,
     cfg: TransformerConfig, page_size: int, temperature=0.0, top_p=1.0,
-    engine="xla",
+    engine="xla", lora=None,
 ):
     """One batched decode step over paged KV.
 
@@ -239,7 +260,8 @@ def paged_decode_step(
     new_k, new_v = [], []
     for li, p in enumerate(params["blocks"]):
         x, pk, pv = _paged_block(
-            x, p, pools_k[li], pools_v[li], page_tables, positions, cfg, page_size, engine
+            x, p, pools_k[li], pools_v[li], page_tables, positions, cfg, page_size,
+            engine, lora=None if lora is None else (lora[0][li], lora[1][li], lora[2]),
         )
         new_k.append(pk)
         new_v.append(pv)
@@ -272,6 +294,7 @@ class Request:
     max_new: int
     tokens: list = field(default_factory=list)  # generated
     done: bool = False
+    lora_id: int = 0
 
 
 class InferenceServer:
@@ -296,6 +319,8 @@ class InferenceServer:
         eos_token: int | None = None,
         seed: int = 0,
         prefix_cache: bool = False,
+        max_loras: int = 0,
+        lora_rank: int = 8,
     ):
         self.params = params
         self.cfg = cfg
@@ -317,6 +342,22 @@ class InferenceServer:
         self._pcache: dict[bytes, int] = {}  # chained page hash -> page id
         self.prefix_hit_pages = 0
         self.prefix_fresh_pages = 0
+        # multi-LoRA: stacked per-layer wqkv adapters, slot 0 = the zero
+        # (base) adapter; one compiled decode step serves a mixed-adapter
+        # batch via per-slot gathers.  Prefill runs with MERGED weights
+        # (W + A@B materialized once per adapter) — a per-admission matmul,
+        # amortized by the merged-params cache.
+        self.max_loras = int(max_loras)
+        self.lora_rank = int(lora_rank)
+        self._n_loras = 0
+        self._merged_params: dict[int, dict] = {}
+        if self.max_loras:
+            L, dm = cfg.n_layers, cfg.d_model
+            self.lora_A = jnp.zeros((L, max_loras + 1, dm, lora_rank), jnp.float32)
+            self.lora_B = jnp.zeros((L, max_loras + 1, lora_rank, 3 * dm), jnp.float32)
+        else:
+            self.lora_A = self.lora_B = None
+        self.slot_lora = np.zeros((batch_slots,), np.int32)
         # page n_pages-1 is the TRASH page: never allocated; idle slots point
         # their whole page table at it so their (harmless) decode writes
         # cannot corrupt pages owned by live sequences.
@@ -340,10 +381,49 @@ class InferenceServer:
 
     # -- API ---------------------------------------------------------------
 
-    def submit(self, prompt, max_new: int = 16) -> int:
+    def register_lora(self, adapters) -> int:
+        """Register a wqkv LoRA adapter; returns its lora_id (>= 1; 0 is
+        the base model).  `adapters` is a list of per-layer dicts with
+        "A" (d_model, r) and "B" (r, 3*d_model) fp32 arrays."""
+        if self.max_loras == 0:
+            raise ValueError("server constructed with max_loras=0")
+        if self._n_loras >= self.max_loras:
+            raise ValueError("lora registry full")
+        lid = self._n_loras + 1
+        self._n_loras = lid
+        for li, ad in enumerate(adapters):
+            A = jnp.asarray(ad["A"], jnp.float32)
+            B = jnp.asarray(ad["B"], jnp.float32)
+            assert A.shape == (self.cfg.d_model, self.lora_rank), A.shape
+            assert B.shape == (self.lora_rank, 3 * self.cfg.d_model), B.shape
+            self.lora_A = self.lora_A.at[li, lid].set(A)
+            self.lora_B = self.lora_B.at[li, lid].set(B)
+        return lid
+
+    def _params_for(self, lora_id: int):
+        """Base params, or the adapter's MERGED weights (cached)."""
+        if lora_id == 0:
+            return self.params
+        merged = self._merged_params.get(lora_id)
+        if merged is None:
+            merged = dict(self.params)
+            blocks = []
+            for li, blk in enumerate(self.params["blocks"]):
+                blk = dict(blk)
+                delta = self.lora_A[li, lora_id] @ self.lora_B[li, lora_id]
+                blk["wqkv"] = blk["wqkv"] + delta.astype(blk["wqkv"].dtype)
+                blocks.append(blk)
+            merged["blocks"] = blocks
+            self._merged_params[lora_id] = merged
+        return merged
+
+    def submit(self, prompt, max_new: int = 16, lora_id: int = 0) -> int:
+        if lora_id and not (self.max_loras and lora_id <= self._n_loras):
+            raise ValueError(f"unknown lora_id {lora_id}")
         rid = self._next_id
         self._next_id += 1
-        self.requests[rid] = Request(rid, np.asarray(prompt, np.int32), max_new)
+        self.requests[rid] = Request(rid, np.asarray(prompt, np.int32), max_new,
+                                     lora_id=int(lora_id))
         self.queue.push(rid)
         return rid
 
@@ -382,13 +462,15 @@ class InferenceServer:
         else:
             self._page_refs[page] = r
 
-    def _prefix_hashes(self, prompt: np.ndarray) -> list[bytes]:
+    def _prefix_hashes(self, prompt: np.ndarray, lora_id: int = 0) -> list[bytes]:
         """Chained content hash per FULL prompt page: page i's key commits
-        to the entire token prefix [0, (i+1)*page_size)."""
+        to the entire token prefix [0, (i+1)*page_size) AND the adapter —
+        LoRA changes the K projection, so identical prompts under different
+        adapters must not share pages."""
         import hashlib
 
         ps = self.page_size
-        hashes, h = [], b""
+        hashes, h = [], np.int32(lora_id).tobytes()
         for i in range(len(prompt) // ps):
             h = hashlib.sha1(h + prompt[i * ps : (i + 1) * ps].tobytes()).digest()
             hashes.append(h)
@@ -425,7 +507,7 @@ class InferenceServer:
                 reused: list[tuple[bytes, int]] = []
                 hashes: list[bytes] = []
                 if self.prefix_cache:
-                    hashes = self._prefix_hashes(req.prompt)
+                    hashes = self._prefix_hashes(req.prompt, req.lora_id)
                     # never reuse the page holding the LAST prompt token:
                     # its logits seed sampling, so it must be prefilled
                     for h in hashes[: (t - 1) // self.page_size]:
@@ -456,6 +538,7 @@ class InferenceServer:
                 break
             self.slot_req[slot] = rid
             self.slot_pages[slot] = pages
+            self.slot_lora[slot] = req.lora_id
             self.page_tables[slot] = self.trash_page
             self.page_tables[slot, : len(pages)] = pages
             first = self._prefill(slot, req, len(reused) * self.page_size)
@@ -505,7 +588,7 @@ class InferenceServer:
                 lc["k"] = lc["k"].at[:, :, :prefix_len].set(k.transpose(1, 0, 2)[None])
                 lc["v"] = lc["v"].at[:, :, :prefix_len].set(v.transpose(1, 0, 2)[None])
         logits, cache = forward_with_cache(
-            self.params, tokens, cache, jnp.int32(prefix_len), cfg
+            self._params_for(req.lora_id), tokens, cache, jnp.int32(prefix_len), cfg
         )
         # scatter the dense suffix KV into this slot's fresh pages
         n_full = t // ps
@@ -529,12 +612,15 @@ class InferenceServer:
 
     def _step(self):
         self._key, sub = jax.random.split(self._key)
+        lora = None
+        if self.max_loras:
+            lora = (self.lora_A, self.lora_B, jnp.asarray(self.slot_lora))
         tokens, self.pools_k, self.pools_v = paged_decode_step(
             self.params, self.pools_k, self.pools_v,
             jnp.asarray(self.page_tables), jnp.asarray(self.positions),
             jnp.asarray(self.last_tokens), sub,
             self.cfg, self.page_size, self.temperature, self.top_p,
-            engine=_decode_engine(),
+            engine=_decode_engine(), lora=lora,
         )
         tokens = np.asarray(tokens)
         for slot in range(self.B):
@@ -559,4 +645,5 @@ class InferenceServer:
             self._decref(page)  # cached pages survive on the cache's ref
         self.slot_req[slot] = None
         self.slot_pages[slot] = []
+        self.slot_lora[slot] = 0
         self.page_tables[slot] = self.trash_page

