@@ -144,9 +144,17 @@ def bench_attention(b=4, h=16, s=2048, d=128, dtype=jnp.bfloat16):
 
 
 def bench_eager_dispatch(n=256, iters=400):
-    """Host-side eager dispatch overhead: median us per op for the fused
-    single-program dispatch (core/dispatch.py).  The reference's analog is
-    TensorIterator::build + one launch per op call."""
+    """Eager dispatch cost: median us per op for the fused single-program
+    dispatch (core/dispatch.py).  The reference's analog is
+    TensorIterator::build + one launch per op call.
+
+    READ WITH CARE on the relayed TPU: the fire-and-forget loop saturates
+    the in-flight dispatch queue, so these numbers measure sustained
+    RELAY+DEVICE throughput, which swings 70-400 us/op with relay weather
+    (r3 windows).  The stable decomposition, measured isolated on a quiet
+    relay with interleaved loops: bare jit(x+y) 16 us/op, kfunca a+b 70
+    us/op => the framework's own host overhead is ~54 us/op.  floor_0arg /
+    floor_2arg below give this run's in-window baselines."""
     import kfunca_tpu as kfunca
 
     a = kfunca.from_numpy(np.random.rand(n, n).astype(np.float32), 0)

@@ -659,6 +659,22 @@ def main():
             "v5_1024": lambda q, k, v: attn_v5(q, k, v, bq=1024, bk=1024),
             "stock": stock,
         }
+    elif which == "long":
+        # long-context scaling: s=8192, live grid skips ~47% of blocks
+        from kfunca_tpu.ops.pallas_kernels.flash_attention import (
+            flash_attention_fwd_stats,
+        )
+
+        variants = {
+            "prod512": lambda q, k, v: flash_attention_fwd_stats(
+                q, k, v, bq=512, bk=512, save_stats=False)[0],
+            "prod1024": lambda q, k, v: flash_attention_fwd_stats(
+                q, k, v, bq=1024, bk=1024, save_stats=False)[0],
+            "prod2048": lambda q, k, v: flash_attention_fwd_stats(
+                q, k, v, bq=2048, bk=2048, save_stats=False)[0],
+        }
+        sweep(variants, b=1, h=8, s=8192, d=128, rounds=3)
+        return
     elif which == "stock":
         from jax.experimental.pallas.ops.tpu.flash_attention import (
             flash_attention as stock_flash, BlockSizes,

@@ -299,7 +299,7 @@ def main():
     # numerics vs the current two-kernel backward
     ref = flash_attention_backward(q, k, v, g, out=out, lse=lse)
     mdf = jax.jit(lambda a, b: jnp.max(jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32))))
-    for bq, bk in [(512, 512), (1024, 1024), (2048, 2048)]:
+    for bq, bk in [(512, 512), (1024, 512), (512, 1024), (256, 512)]:
         got = flash_bwd_fused(q, k, v, g, out, lse, bq=bq, bk=bk)
         for name, r, gg in zip("dq dk dv".split(), ref, got):
             md = float(jax.device_get(mdf(r, gg)))
@@ -335,10 +335,10 @@ def main():
         return mk
 
     variants = {
-        "cur(2kernel)": chain_cur,
         "fused512": chain_fused(512, 512),
-        "fused1024": chain_fused(1024, 1024),
-        "fused2048": chain_fused(2048, 2048),
+        "fused1024x512": chain_fused(1024, 512),
+        "fused512x1024": chain_fused(512, 1024),
+        "fused256x512": chain_fused(256, 512),
     }
     k1, k2 = 2, 8
     chains = {n: (mk(k1), mk(k2)) for n, mk in variants.items()}
