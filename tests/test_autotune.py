@@ -1,0 +1,55 @@
+"""Autotune cache: record/lookup round-trip, defaults overlay, bucketing."""
+
+import json
+import os
+
+import numpy as np  # noqa: F401
+
+from kfunca_tpu.runtime import autotune
+
+
+class TestAutotune:
+    def _fresh(self, tmp_path, monkeypatch):
+        monkeypatch.setenv("KFUNCA_AUTOTUNE_CACHE", str(tmp_path / "at.json"))
+        autotune._CACHE = None  # force reload against the new path
+        return tmp_path / "at.json"
+
+    def test_shape_bucket_pow2(self):
+        assert autotune.shape_bucket(4096, 4000, 4096) == "4096x4096x4096"
+        assert autotune.shape_bucket(2048, 2049) == "2048x4096"
+        assert autotune.shape_bucket(1) == "1"
+
+    def test_record_lookup_roundtrip(self, tmp_path, monkeypatch):
+        path = self._fresh(tmp_path, monkeypatch)
+        assert autotune.lookup("gemm", "64x64x64", "bfloat16") is None
+        autotune.record("gemm", "64x64x64", "bfloat16", {"bm": 64, "bn": 64, "bk": 64})
+        got = autotune.lookup("gemm", "64x64x64", "bfloat16")
+        assert got == {"bm": 64, "bn": 64, "bk": 64}
+        # persisted: a fresh in-memory cache reloads it from disk
+        autotune._CACHE = None
+        assert autotune.lookup("gemm", "64x64x64", "bfloat16") == got
+        on_disk = json.load(open(path))
+        assert any(k.endswith("|gemm|64x64x64|bfloat16") for k in on_disk)
+
+    def test_measured_overlays_shipped_defaults(self, tmp_path, monkeypatch):
+        self._fresh(tmp_path, monkeypatch)
+        key = f"{autotune.chip_name()}|attn_fwd|9999x9999|bfloat16"
+        autotune._DEFAULTS = {key: {"bq": 1024, "bk": 1024}}
+        try:
+            assert autotune.lookup("attn_fwd", "9999x9999", "bfloat16") == {
+                "bq": 1024, "bk": 1024}
+            autotune.record("attn_fwd", "9999x9999", "bfloat16", {"bq": 512, "bk": 512})
+            assert autotune.lookup("attn_fwd", "9999x9999", "bfloat16") == {
+                "bq": 512, "bk": 512}
+        finally:
+            autotune._DEFAULTS = None
+
+    def test_chip_keying_isolates_entries(self, tmp_path, monkeypatch):
+        self._fresh(tmp_path, monkeypatch)
+        autotune.record("gemm", "128x128x128", "float32", {"bm": 128})
+        real = autotune.chip_name
+        try:
+            autotune.chip_name = lambda: "some-other-chip"
+            assert autotune.lookup("gemm", "128x128x128", "float32") is None
+        finally:
+            autotune.chip_name = real
