@@ -130,3 +130,76 @@ def causal_attention(q: Tensor, k: Tensor, v: Tensor) -> Tensor:
         out.set_requires_grad(True)
         out.set_grad_fn(AttentionGradFunction(q, k, v))
     return out
+
+
+# ----------------------------------------------------------------------------
+# GQA / sliding-window flash attention (jax-level API extension)
+# ----------------------------------------------------------------------------
+
+
+def _sdpa_xla_gqa(q, k, v, window=None):
+    """Einsum oracle with grouped kv heads and optional sliding window."""
+    b, h, sq, d = q.shape
+    hkv, skv = k.shape[1], k.shape[2]
+    group = h // hkv
+    kx = jnp.repeat(k, group, axis=1) if group > 1 else k
+    vx = jnp.repeat(v, group, axis=1) if group > 1 else v
+    scale = 1.0 / math.sqrt(d)
+    acc = jnp.float32 if q.dtype != jnp.float64 else jnp.float64
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, kx, preferred_element_type=acc) * scale
+    row = jax.lax.broadcasted_iota(jnp.int32, (sq, skv), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (sq, skv), 1)
+    ok = col <= row
+    if window is not None:
+        ok = ok & (col > row - window)
+    s = jnp.where(ok, s, jnp.finfo(acc).min)
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum(
+        "bhqk,bhkd->bhqd", p.astype(q.dtype), vx, preferred_element_type=acc
+    ).astype(q.dtype)
+
+
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=None)
+def make_flash_attention(window: int | None = None):
+    """Differentiable causal flash attention fn(q, k, v) supporting GQA
+    (k/v with H_kv heads, H % H_kv == 0) and sliding-window masking.
+
+    On TPU this runs the live-grid Pallas kernels (fwd + ONE fused bwd);
+    elsewhere the einsum oracle.  Cached per window so each variant builds
+    its custom_vjp once.  This is the model-facing API (Mistral-style
+    models); the reference-parity `causal_attention` keeps its same-heads
+    contract."""
+
+    def _pallas_ok(q):
+        return use_pallas() and q.dtype in (jnp.float32, jnp.bfloat16)
+
+    @jax.custom_vjp
+    def fn(q, k, v):
+        if _pallas_ok(q):
+            from .pallas_kernels.flash_attention import flash_attention_fwd_stats
+
+            return flash_attention_fwd_stats(q, k, v, save_stats=False, window=window)[0]
+        return _sdpa_xla_gqa(q, k, v, window)
+
+    def fwd_rule(q, k, v):
+        if _pallas_ok(q):
+            from .pallas_kernels.flash_attention import flash_attention_fwd_stats
+
+            out, lse = flash_attention_fwd_stats(q, k, v, window=window)
+            return out, (q, k, v, out, lse)
+        return _sdpa_xla_gqa(q, k, v, window), (q, k, v, None, None)
+
+    def bwd_rule(res, g):
+        q, k, v, out, lse = res
+        if _pallas_ok(q):
+            from .pallas_kernels.flash_attention import flash_attention_backward
+
+            return flash_attention_backward(q, k, v, g, out=out, lse=lse, window=window)
+        _, vjp = jax.vjp(lambda a, b, c: _sdpa_xla_gqa(a, b, c, window), q, k, v)
+        return vjp(g)
+
+    fn.defvjp(fwd_rule, bwd_rule)
+    return fn

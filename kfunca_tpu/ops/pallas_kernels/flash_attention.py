@@ -72,10 +72,15 @@ def _mxu_in(x, hi_prec: bool, dt):
     return x if hi_prec else x.astype(dt)
 
 
-def _causal_mask(s, iq, ik, bq, bk, skv):
+def _causal_mask(s, iq, ik, bq, bk, skv, window=None):
+    """Top-left-aligned causal mask; `window` adds Mistral-style sliding-
+    window attention (row attends cols in (row-window, row])."""
     row = iq * _np.int32(bq) + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
     col = ik * _np.int32(bk) + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
-    return jnp.where((col <= row) & (col < _np.int32(skv)), s, NEG_INF)
+    ok = (col <= row) & (col < _np.int32(skv))
+    if window is not None:
+        ok = ok & (col > row - _np.int32(window))
+    return jnp.where(ok, s, NEG_INF)
 
 
 def _lanes(x128, n):
@@ -120,31 +125,42 @@ def _tables_native(kind: str, nqb, nkb, bq, bk):
     return iqs, iks, fls
 
 
-def _fwd_tables(nqb, nkb, bq, bk):
+def _fwd_tables(nqb, nkb, bq, bk, window=None):
     """(iq, ik, flags) per LIVE step, q-major with kv streamed inner.
     Blocks above the causal diagonal never enter the grid (the round-2
     kernel cycled them as prefetch-only dead steps; the live-only grid
     measured faster and is what makes causal skipping pay at all).
 
+    `window` (sliding-window attention) additionally drops blocks entirely
+    BELOW each row's window — long-context sliding attention then costs
+    O(S * window) regardless of S.
+
     Generated natively (csrc kf_fwd_live_tables) when the core is loaded —
     long-context shapes enumerate tens of thousands of steps and this runs
-    at trace time; the Python loop below is the parity-tested fallback."""
-    native = _tables_native("fwd", nqb, nkb, bq, bk)
-    if native is not None:
-        return native
+    at trace time; the Python loop below is the parity-tested fallback
+    (and the only path for window != None)."""
+    if window is None:
+        native = _tables_native("fwd", nqb, nkb, bq, bk)
+        if native is not None:
+            return native
     iqs, iks, fls = [], [], []
     for i in range(nqb):
         last_k = min((i * bq + bq - 1) // bk, nkb - 1)
-        for j in range(last_k + 1):
+        first_k = 0
+        if window is not None:
+            # the block's FIRST row attends cols > i*bq - window
+            first_k = max(0, (i * bq - window + 1) // bk)
+        for j in range(first_k, last_k + 1):
             iqs.append(i)
             iks.append(j)
-            fls.append((F_ROW_FIRST if j == 0 else 0) | (F_ROW_LAST if j == last_k else 0))
+            fls.append((F_ROW_FIRST if j == first_k else 0)
+                       | (F_ROW_LAST if j == last_k else 0))
     return (_np.asarray(iqs, _np.int32), _np.asarray(iks, _np.int32),
             _np.asarray(fls, _np.int32))
 
 
 def _fwd_kernel(iq_t, ik_t, fl_t, q_ref, k_ref, v_ref, o_ref, lse_ref,
-                m_ref, l_ref, acc_ref, *, skv, bq, bk, hi_prec):
+                m_ref, l_ref, acc_ref, *, skv, bq, bk, hi_prec, window=None):
     # lse_ref is None in the inference-only variant (no residual output)
     t = pl.program_id(1)
     iq = iq_t[t]
@@ -169,7 +185,7 @@ def _fwd_kernel(iq_t, ik_t, fl_t, q_ref, k_ref, v_ref, o_ref, lse_ref,
     # mask applied unconditionally: a scalar lax.cond that skips it on
     # fully-below-diagonal blocks measured ~35% SLOWER (Mosaic materializes
     # the vector-valued branch), sweeps r3
-    s = _causal_mask(s, iq, ik, bq, bk, skv)
+    s = _causal_mask(s, iq, ik, bq, bk, skv, window)
     # softmax state stays lane-replicated (bq, 128): full-vreg VPU ops.
     # exp2 domain: scale*log2(e) is folded into the q prescale, so the
     # per-element transcendental is the VPU-native exp2
@@ -212,17 +228,35 @@ BQ_DEFAULT = 512
 BK_DEFAULT = 512
 
 
-@functools.partial(jax.jit, static_argnames=("bq", "bk", "save_stats", "interpret"))
-def flash_attention_fwd_stats(q, k, v, bq=BQ_DEFAULT, bk=BK_DEFAULT, save_stats=True, interpret=False):
+def _kv_head_map(h: int, hkv: int):
+    """bh (q-head grid coord) -> kv-head coordinate for GQA: q head hq
+    reads kv head hq // (h // hkv).  Identity when hkv == h."""
+    if hkv == h:
+        return lambda bh: bh
+    group = h // hkv
+    i32 = _np.int32
+    return lambda bh: (bh // i32(h)) * i32(hkv) + (bh % i32(h)) // i32(group)
+
+
+@functools.partial(jax.jit, static_argnames=("bq", "bk", "save_stats", "window", "interpret"))
+def flash_attention_fwd_stats(q, k, v, bq=BQ_DEFAULT, bk=BK_DEFAULT, save_stats=True,
+                              window=None, interpret=False):
     """Returns (out, lse) with out: (B,H,Sq,D), lse: (B,H,Sq) fp32 natural
     log (lse is None when save_stats=False — the inference path skips the
     residual write entirely).
+
+    GQA: k/v may carry FEWER heads than q (H % H_kv == 0); each group of
+    H/H_kv query heads reads one kv head — expressed purely through the kv
+    BlockSpec index maps, zero extra compute or HBM.  `window` enables
+    sliding-window attention: blocks outside each row's window never enter
+    the live grid, so cost is O(S * window).
 
     On HBM the per-row statistics travel lane-replicated as (BH, Sq, 128);
     the public return value slices lane 0.
     """
     b, h, sq, d = q.shape
-    skv = k.shape[2]
+    hkv, skv = k.shape[1], k.shape[2]
+    assert h % hkv == 0, (h, hkv)
     scale = (1.0 / math.sqrt(d)) * float(LOG2E)  # exp2-domain prescale
 
     bq = pick_block(sq, bq)
@@ -232,11 +266,12 @@ def flash_attention_fwd_stats(q, k, v, bq=BQ_DEFAULT, bk=BK_DEFAULT, save_stats=
 
     qs = (q * jnp.asarray(scale, q.dtype)).reshape(b * h, sq, d)
     qf = pad_to(qs, (b * h, sqp, dp))
-    kf = pad_to(k.reshape(b * h, skv, d), (b * h, skvp, dp))
-    vf = pad_to(v.reshape(b * h, skv, d), (b * h, skvp, dp))
+    kf = pad_to(k.reshape(b * hkv, skv, d), (b * hkv, skvp, dp))
+    vf = pad_to(v.reshape(b * hkv, skv, d), (b * hkv, skvp, dp))
 
-    iq_t, ik_t, fl_t = _fwd_tables(nqb, nkb, bq, bk)
+    iq_t, ik_t, fl_t = _fwd_tables(nqb, nkb, bq, bk, window)
     i32 = _np.int32
+    kvh = _kv_head_map(h, hkv)
 
     kernel = _fwd_kernel
     if not save_stats:
@@ -246,7 +281,7 @@ def flash_attention_fwd_stats(q, k, v, bq=BQ_DEFAULT, bk=BK_DEFAULT, save_stats=
                 m_ref, l_ref, acc_ref, **kw
             )
     kernel = functools.partial(
-        kernel, skv=skv, bq=bq, bk=bk, hi_prec=q.dtype == jnp.float32
+        kernel, skv=skv, bq=bq, bk=bk, hi_prec=q.dtype == jnp.float32, window=window
     )
     out_specs = [pl.BlockSpec((1, bq, dp), lambda bh, t, iqt, ikt, flt: (bh, iqt[t], i32(0)))]
     out_shapes = [jax.ShapeDtypeStruct((b * h, sqp, dp), q.dtype)]
@@ -260,8 +295,8 @@ def flash_attention_fwd_stats(q, k, v, bq=BQ_DEFAULT, bk=BK_DEFAULT, save_stats=
         grid=(b * h, len(iq_t)),
         in_specs=[
             pl.BlockSpec((1, bq, dp), lambda bh, t, iqt, ikt, flt: (bh, iqt[t], i32(0))),
-            pl.BlockSpec((1, bk, dp), lambda bh, t, iqt, ikt, flt: (bh, ikt[t], i32(0))),
-            pl.BlockSpec((1, bk, dp), lambda bh, t, iqt, ikt, flt: (bh, ikt[t], i32(0))),
+            pl.BlockSpec((1, bk, dp), lambda bh, t, iqt, ikt, flt: (kvh(bh), ikt[t], i32(0))),
+            pl.BlockSpec((1, bk, dp), lambda bh, t, iqt, ikt, flt: (kvh(bh), ikt[t], i32(0))),
         ],
         out_specs=out_specs,
         scratch_shapes=[
@@ -325,7 +360,7 @@ F_BH_FIRST = 4   # first step of this bh: zero the dq acc
 F_BH_LAST = 8    # last step of this bh: flush dq
 
 
-def _bwd_tables(nqb, nkb, bq, bk):
+def _bwd_tables(nqb, nkb, bq, bk, window=None):
     """(iq, ik, flags) per live step, kv-major with q streamed inner.
 
     first_q is CLAMPED so every kv block gets at least one step: a kv block
@@ -334,21 +369,28 @@ def _bwd_tables(nqb, nkb, bq, bk):
     output block unwritten (uninitialized HBM).
 
     Generated natively (csrc kf_bwd_live_tables) when the core is loaded;
-    the Python loop is the parity-tested fallback."""
-    native = _tables_native("bwd", nqb, nkb, bq, bk)
-    if native is not None:
-        return native
+    the Python loop is the parity-tested fallback (and the only path for
+    window != None, which also DROPS q blocks beyond the kv block's
+    window)."""
+    if window is None:
+        native = _tables_native("bwd", nqb, nkb, bq, bk)
+        if native is not None:
+            return native
     steps = []
     for jk in range(nkb):
         first_q = min((jk * bk) // bq, nqb - 1)
-        for i in range(first_q, nqb):
-            steps.append((jk, i, first_q))
+        last_q = nqb - 1
+        if window is not None:
+            # cols in this kv block are read by rows < jk*bk + bk + window - 1
+            last_q = min(nqb - 1, (jk * bk + bk - 1 + window - 1) // bq)
+        for i in range(first_q, last_q + 1):
+            steps.append((jk, i, first_q, last_q))
     iqs, iks, fls = [], [], []
-    for t, (jk, i, first_q) in enumerate(steps):
+    for t, (jk, i, first_q, last_q) in enumerate(steps):
         fl = 0
         if i == first_q:
             fl |= F_ROW_FIRST
-        if i == nqb - 1:
+        if i == last_q:
             fl |= F_ROW_LAST
         if t == 0:
             fl |= F_BH_FIRST
@@ -363,7 +405,7 @@ def _bwd_tables(nqb, nkb, bq, bk):
 
 def _fused_bwd_kernel(iq_t, ik_t, fl_t, q_ref, k_ref, v_ref, g_ref, lse_ref,
                       delta_ref, dq_ref, dk_ref, dv_ref, dq_acc, dk_acc, dv_acc,
-                      *, scale, skv, bq, bk, hi_prec):
+                      *, scale, skv, bq, bk, hi_prec, window=None):
     t = pl.program_id(1)
     iq = iq_t[t]
     ik = ik_t[t]
@@ -395,7 +437,7 @@ def _fused_bwd_kernel(iq_t, ik_t, fl_t, q_ref, k_ref, v_ref, g_ref, lse_ref,
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32, precision=prec,
     )
-    s = _causal_mask(s, iq, ik, bq, bk, skv)
+    s = _causal_mask(s, iq, ik, bq, bk, skv, window)
     # masked entries underflow to exact 0 (lse is finite for every real row;
     # padded q rows have lse == 0 from the forward and only ever multiply
     # zero g/delta)
@@ -438,16 +480,23 @@ BQ_BWD_DEFAULT = 512
 BK_BWD_DEFAULT = 512
 
 
-@functools.partial(jax.jit, static_argnames=("bq", "bk", "interpret"))
+@functools.partial(jax.jit, static_argnames=("bq", "bk", "window", "interpret"))
 def flash_attention_backward(q, k, v, g, out=None, lse=None,
-                             bq=BQ_BWD_DEFAULT, bk=BK_BWD_DEFAULT, interpret=False):
+                             bq=BQ_BWD_DEFAULT, bk=BK_BWD_DEFAULT, window=None,
+                             interpret=False):
     """Fused dq/dk/dv in one kernel pass.  `lse` is the natural-log per-row
-    logsumexp from flash_attention_fwd_stats (recomputed here if absent)."""
+    logsumexp from flash_attention_fwd_stats (recomputed here if absent).
+
+    GQA (k/v with fewer heads): the kernel emits PER-Q-HEAD dk/dv partials
+    (the kv index maps read the shared head); the wrapper group-sums them
+    to kv-head shape — one cheap XLA reduction instead of cross-grid
+    accumulation races."""
     b, h, sq, d = q.shape
-    skv = k.shape[2]
+    hkv, skv = k.shape[1], k.shape[2]
+    assert h % hkv == 0, (h, hkv)
     scale = 1.0 / math.sqrt(d)
     if out is None or lse is None:
-        out, lse = flash_attention_fwd_stats(q, k, v, interpret=interpret)
+        out, lse = flash_attention_fwd_stats(q, k, v, window=window, interpret=interpret)
     delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)  # (b,h,sq)
 
     bq = pick_block(sq, bq)
@@ -457,8 +506,8 @@ def flash_attention_backward(q, k, v, g, out=None, lse=None,
 
     qs = (q * jnp.asarray(scale * float(LOG2E), q.dtype)).reshape(b * h, sq, d)
     qf = pad_to(qs, (b * h, sqp, dp))
-    kf = pad_to(k.reshape(b * h, skv, d), (b * h, skvp, dp))
-    vf = pad_to(v.reshape(b * h, skv, d), (b * h, skvp, dp))
+    kf = pad_to(k.reshape(b * hkv, skv, d), (b * hkv, skvp, dp))
+    vf = pad_to(v.reshape(b * hkv, skv, d), (b * hkv, skvp, dp))
     gf = pad_to(g.reshape(b * h, sq, d), (b * h, sqp, dp))
     # lane-replicated row statistics, lse converted to the exp2 domain
     lsef = pad_to(
@@ -471,16 +520,17 @@ def flash_attention_backward(q, k, v, g, out=None, lse=None,
         jnp.broadcast_to(delta.reshape(b * h, sq, 1), (b * h, sq, 128)), (b * h, sqp, 128)
     )
 
-    iq_t, ik_t, fl_t = _bwd_tables(nqb, nkb, bq, bk)
+    iq_t, ik_t, fl_t = _bwd_tables(nqb, nkb, bq, bk, window)
     i32 = _np.int32
+    kvh = _kv_head_map(h, hkv)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(b * h, len(iq_t)),
         in_specs=[
             pl.BlockSpec((1, bq, dp), lambda bh, t, iqt, ikt, flt: (bh, iqt[t], i32(0))),
-            pl.BlockSpec((1, bk, dp), lambda bh, t, iqt, ikt, flt: (bh, ikt[t], i32(0))),
-            pl.BlockSpec((1, bk, dp), lambda bh, t, iqt, ikt, flt: (bh, ikt[t], i32(0))),
+            pl.BlockSpec((1, bk, dp), lambda bh, t, iqt, ikt, flt: (kvh(bh), ikt[t], i32(0))),
+            pl.BlockSpec((1, bk, dp), lambda bh, t, iqt, ikt, flt: (kvh(bh), ikt[t], i32(0))),
             pl.BlockSpec((1, bq, dp), lambda bh, t, iqt, ikt, flt: (bh, iqt[t], i32(0))),
             pl.BlockSpec((1, bq, 128), lambda bh, t, iqt, ikt, flt: (bh, iqt[t], i32(0))),
             pl.BlockSpec((1, bq, 128), lambda bh, t, iqt, ikt, flt: (bh, iqt[t], i32(0))),
@@ -499,13 +549,15 @@ def flash_attention_backward(q, k, v, g, out=None, lse=None,
     dq, dk, dv = pl.pallas_call(
         functools.partial(
             _fused_bwd_kernel, scale=scale, skv=skv, bq=bq, bk=bk,
-            hi_prec=q.dtype == jnp.float32,
+            hi_prec=q.dtype == jnp.float32, window=window,
         ),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((b * h, sqp, dp), q.dtype),
-            jax.ShapeDtypeStruct((b * h, skvp, dp), k.dtype),
-            jax.ShapeDtypeStruct((b * h, skvp, dp), v.dtype),
+            # GQA: per-q-head partials stay fp32 so the group-sum does not
+            # round per term
+            jax.ShapeDtypeStruct((b * h, skvp, dp), jnp.float32 if hkv != h else k.dtype),
+            jax.ShapeDtypeStruct((b * h, skvp, dp), jnp.float32 if hkv != h else v.dtype),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
@@ -522,4 +574,8 @@ def flash_attention_backward(q, k, v, g, out=None, lse=None,
     dq = dq[:, :sq, :d].reshape(b, h, sq, d)
     dk = dk[:, :skv, :d].reshape(b, h, skv, d)
     dv = dv[:, :skv, :d].reshape(b, h, skv, d)
+    if hkv != h:
+        group = h // hkv
+        dk = dk.reshape(b, hkv, group, skv, d).sum(axis=2).astype(k.dtype)
+        dv = dv.reshape(b, hkv, group, skv, d).sum(axis=2).astype(v.dtype)
     return dq, dk, dv

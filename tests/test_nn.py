@@ -79,3 +79,32 @@ if __name__ == "__main__":
             method = getattr(test_instance, method_name)
             print(f"Running {method_name}...")
             method()
+
+
+class TestMakeFlashAttention:
+    def test_gqa_window_grad_flows(self):
+        """ops-level differentiable GQA+window attention (XLA path here;
+        the pallas path is pinned in test_pallas_kernels.TestGQAWindow)."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from kfunca_tpu.ops.attention import make_flash_attention, _sdpa_xla_gqa
+
+        fn = make_flash_attention(window=32)
+        rng = np.random.default_rng(0)
+        q = jnp.asarray(rng.uniform(-1, 1, (1, 4, 64, 32)), jnp.float32)
+        k = jnp.asarray(rng.uniform(-1, 1, (1, 2, 64, 32)), jnp.float32)
+        v = jnp.asarray(rng.uniform(-1, 1, (1, 2, 64, 32)), jnp.float32)
+        out = fn(q, k, v)
+        ref = _sdpa_xla_gqa(q, k, v, window=32)
+        assert np.allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+        def loss(q, k, v):
+            return jnp.sum(fn(q, k, v) ** 2)
+
+        gq, gk, gv = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+        assert gk.shape == k.shape and gv.shape == v.shape
+        assert float(jnp.abs(gq).max()) > 0 and float(jnp.abs(gk).max()) > 0
+        # same fn object returned per window (custom_vjp built once)
+        assert make_flash_attention(window=32) is fn

@@ -163,3 +163,91 @@ class TestBitonicSort:
         ks, idx = bitonic_sort_pairs(jnp.asarray(x), interpret=True)
         assert np.array_equal(np.asarray(ks), np.sort(x, axis=1))
         assert np.array_equal(np.asarray(idx), np.argsort(x, axis=1, kind="stable"))
+
+
+class TestGQAWindow:
+    @staticmethod
+    def _oracle(q, k, v, window=None):
+        """Einsum causal (+ sliding window) GQA oracle."""
+        import math
+
+        b, h, sq, d = q.shape
+        hkv, skv = k.shape[1], k.shape[2]
+        group = h // hkv
+        kx = jnp.repeat(k, group, axis=1)
+        vx = jnp.repeat(v, group, axis=1)
+        s = jnp.einsum("bhqd,bhkd->bhqk", q, kx) / math.sqrt(d)
+        row = jax.lax.broadcasted_iota(jnp.int32, (sq, skv), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (sq, skv), 1)
+        ok = col <= row
+        if window is not None:
+            ok = ok & (col > row - window)
+        s = jnp.where(ok, s, -jnp.inf)
+        p = jax.nn.softmax(s, axis=-1)
+        return jnp.einsum("bhqk,bhkd->bhqd", p, vx)
+
+    @pytest.mark.parametrize("h,hkv", [(4, 1), (4, 2), (6, 3)])
+    def test_gqa_forward(self, h, hkv):
+        rng = np.random.default_rng(0)
+        b, sq, d = 1, 256, 64
+        q = jnp.asarray(rng.uniform(-1, 1, (b, h, sq, d)), jnp.float32)
+        k = jnp.asarray(rng.uniform(-1, 1, (b, hkv, sq, d)), jnp.float32)
+        v = jnp.asarray(rng.uniform(-1, 1, (b, hkv, sq, d)), jnp.float32)
+        out, lse = flash_attention_fwd_stats(q, k, v, bq=128, bk=128, interpret=True)
+        ref = self._oracle(q, k, v)
+        assert np.allclose(np.asarray(out), np.asarray(ref), atol=1e-4, rtol=1e-4)
+
+    def test_gqa_backward(self):
+        rng = np.random.default_rng(1)
+        b, h, hkv, sq, d = 1, 4, 2, 256, 64
+        q = jnp.asarray(rng.uniform(-1, 1, (b, h, sq, d)), jnp.float32)
+        k = jnp.asarray(rng.uniform(-1, 1, (b, hkv, sq, d)), jnp.float32)
+        v = jnp.asarray(rng.uniform(-1, 1, (b, hkv, sq, d)), jnp.float32)
+        g = jnp.asarray(rng.uniform(-1, 1, (b, h, sq, d)), jnp.float32)
+        dq, dk, dv = flash_attention_backward(q, k, v, g, bq=128, bk=128, interpret=True)
+        _, vjp = jax.vjp(self._oracle, q, k, v)
+        rdq, rdk, rdv = vjp(g)
+        assert dk.shape == k.shape and dv.shape == v.shape
+        assert np.allclose(np.asarray(dq), np.asarray(rdq), atol=1e-4, rtol=1e-4)
+        assert np.allclose(np.asarray(dk), np.asarray(rdk), atol=1e-4, rtol=1e-4)
+        assert np.allclose(np.asarray(dv), np.asarray(rdv), atol=1e-4, rtol=1e-4)
+
+    @pytest.mark.parametrize("window", [64, 100, 256])
+    def test_sliding_window_forward(self, window):
+        rng = np.random.default_rng(2)
+        b, h, sq, d = 1, 2, 384, 64
+        q = jnp.asarray(rng.uniform(-1, 1, (b, h, sq, d)), jnp.float32)
+        k = jnp.asarray(rng.uniform(-1, 1, (b, h, sq, d)), jnp.float32)
+        v = jnp.asarray(rng.uniform(-1, 1, (b, h, sq, d)), jnp.float32)
+        out, _ = flash_attention_fwd_stats(q, k, v, bq=128, bk=128, window=window,
+                                           interpret=True)
+        ref = self._oracle(q, k, v, window=window)
+        assert np.allclose(np.asarray(out), np.asarray(ref), atol=1e-4, rtol=1e-4)
+
+    def test_sliding_window_backward_gqa_combined(self):
+        rng = np.random.default_rng(3)
+        b, h, hkv, sq, d, window = 1, 4, 2, 384, 64, 130
+        q = jnp.asarray(rng.uniform(-1, 1, (b, h, sq, d)), jnp.float32)
+        k = jnp.asarray(rng.uniform(-1, 1, (b, hkv, sq, d)), jnp.float32)
+        v = jnp.asarray(rng.uniform(-1, 1, (b, hkv, sq, d)), jnp.float32)
+        g = jnp.asarray(rng.uniform(-1, 1, (b, h, sq, d)), jnp.float32)
+        dq, dk, dv = flash_attention_backward(q, k, v, g, bq=128, bk=128,
+                                              window=window, interpret=True)
+        _, vjp = jax.vjp(lambda a, bb, c: self._oracle(a, bb, c, window=window), q, k, v)
+        rdq, rdk, rdv = vjp(g)
+        assert np.allclose(np.asarray(dq), np.asarray(rdq), atol=1e-4, rtol=1e-4)
+        assert np.allclose(np.asarray(dk), np.asarray(rdk), atol=1e-4, rtol=1e-4)
+        assert np.allclose(np.asarray(dv), np.asarray(rdv), atol=1e-4, rtol=1e-4)
+
+    def test_window_tables_drop_dead_blocks(self):
+        from kfunca_tpu.ops.pallas_kernels.flash_attention import (
+            _bwd_tables, _fwd_tables,
+        )
+
+        # s=1024, bq=bk=128, window=128: each row keeps <= 2 live kv blocks
+        iq, ik, fl = _fwd_tables(8, 8, 128, 128, window=128)
+        assert len(iq) <= 2 * 8
+        full_iq, _, _ = _fwd_tables(8, 8, 128, 128)
+        assert len(iq) < len(full_iq)
+        biq, bik, bfl = _bwd_tables(8, 8, 128, 128, window=128)
+        assert len(biq) <= 3 * 8
