@@ -26,7 +26,8 @@ from .transformer import TransformerConfig, rms_norm
 
 
 def init_kv_cache(cfg: TransformerConfig, batch: int, max_len: int):
-    shape = (batch, cfg.n_heads, max_len, cfg.head_dim)
+    # GQA: the cache holds only kv_heads — the memory win that motivates it
+    shape = (batch, cfg.kv_heads, max_len, cfg.head_dim)
     return [
         {
             "k": jnp.zeros(shape, cfg.act_dtype),
@@ -58,8 +59,9 @@ def _block_with_cache(x, p, layer_cache, start_pos, cfg: TransformerConfig):
 
     y = rms_norm(x, p["attn_norm"])
     qkv = jnp.dot(y, p["wqkv"].astype(y.dtype), preferred_element_type=jnp.float32)
-    qkv = qkv.astype(y.dtype).reshape(b, t, 3, h, hd)
-    q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
+    from .transformer import split_qkv
+
+    q, k, v = split_qkv(qkv.astype(y.dtype), cfg)  # q (B,H,..), k/v (B,Hkv,..)
     positions = start_pos + jnp.arange(t)
     q = _rope_at(q, positions, cfg.rope_theta)
     k = _rope_at(k, positions, cfg.rope_theta)
@@ -69,18 +71,25 @@ def _block_with_cache(x, p, layer_cache, start_pos, cfg: TransformerConfig):
     kc = jax.lax.dynamic_update_slice(layer_cache["k"], k, idx)
     vc = jax.lax.dynamic_update_slice(layer_cache["v"], v, idx)
 
-    # attend the T new queries against the first start_pos+T cache entries
+    # attend the T new queries against the first start_pos+T cache entries.
+    # GQA: q grouped (B, Hkv, G, T, hd) against the shared kv head — the
+    # repeated kv is never materialized
+    hkv = cfg.kv_heads
+    group = h // hkv
     scale = 1.0 / math.sqrt(hd)
+    qg = q.reshape(b, hkv, group, t, hd)
     s = jnp.einsum(
-        "bhtd,bhld->bhtl", q.astype(jnp.float32), kc.astype(jnp.float32)
+        "bkgtd,bkld->bkgtl", qg.astype(jnp.float32), kc.astype(jnp.float32)
     ) * scale
     q_pos = positions[:, None]  # (T, 1)
     l_pos = jnp.arange(max_len)[None, :]  # (1, L)
     mask = l_pos <= q_pos
+    if cfg.attention_window is not None:
+        mask = mask & (l_pos > q_pos - cfg.attention_window)
     s = jnp.where(mask, s, jnp.float32(-1e30))
     prob = jax.nn.softmax(s, axis=-1)
-    attn = jnp.einsum("bhtl,bhld->bhtd", prob, vc.astype(jnp.float32)).astype(x.dtype)
-    attn = attn.transpose(0, 2, 1, 3).reshape(b, t, dm)
+    attn = jnp.einsum("bkgtl,bkld->bkgtd", prob, vc.astype(jnp.float32)).astype(x.dtype)
+    attn = attn.reshape(b, h, t, hd).transpose(0, 2, 1, 3).reshape(b, t, dm)
     x = x + jnp.dot(
         attn, p["wo"].astype(attn.dtype), preferred_element_type=jnp.float32
     ).astype(x.dtype)

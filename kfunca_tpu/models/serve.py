@@ -322,6 +322,12 @@ class InferenceServer:
         max_loras: int = 0,
         lora_rank: int = 8,
     ):
+        if cfg.kv_heads != cfg.n_heads or cfg.attention_window is not None:
+            raise NotImplementedError(
+                "InferenceServer's paged decode kernel does not support GQA "
+                "or sliding windows yet; use models.generate / speculative "
+                "for those configs (ROADMAP)"
+            )
         self.params = params
         self.cfg = cfg
         self.B = batch_slots

@@ -37,6 +37,24 @@ class TransformerConfig:
     dtype: str = "bfloat16"  # activation/compute dtype; params stay fp32
     rope_theta: float = 10000.0
     remat: bool = False  # jax.checkpoint each block (HBM <-> FLOPs trade)
+    # GQA: number of K/V heads (None = n_heads, i.e. full MHA).  The KV
+    # cache and wqkv shrink accordingly; the flash kernels read the shared
+    # kv head through their index maps (zero extra compute).
+    n_kv_heads: int | None = None
+    # sliding-window attention (Mistral-style); None = full causal
+    attention_window: int | None = None
+
+    @property
+    def kv_heads(self) -> int:
+        hkv = self.n_kv_heads or self.n_heads
+        assert self.n_heads % hkv == 0, (self.n_heads, hkv)
+        return hkv
+
+    @property
+    def qkv_out(self) -> int:
+        # fused projection width: h + 2*hkv head outputs (== 3*d_model
+        # for MHA, so existing checkpoints keep their shapes)
+        return (self.n_heads + 2 * self.kv_heads) * self.head_dim
 
     @property
     def head_dim(self) -> int:
@@ -66,7 +84,7 @@ def init_params(key, cfg: TransformerConfig):
         params["blocks"].append(
             {
                 "attn_norm": jnp.ones((cfg.d_model,), jnp.float32),
-                "wqkv": _init_linear(k[0], cfg.d_model, 3 * cfg.d_model),
+                "wqkv": _init_linear(k[0], cfg.d_model, cfg.qkv_out),
                 "wo": _init_linear(k[1], cfg.d_model, cfg.d_model),
                 "mlp_norm": jnp.ones((cfg.d_model,), jnp.float32),
                 "w_gate": _init_linear(k[2], cfg.d_model, cfg.d_ff),
@@ -101,18 +119,31 @@ def _rope(x, theta: float):
     return jnp.concatenate([r1, r2], axis=-1).astype(x.dtype)
 
 
+def split_qkv(qkv, cfg: TransformerConfig):
+    """(B, S, qkv_out) fused projection -> q (B,H,S,hd), k/v (B,Hkv,S,hd)."""
+    b, s, _ = qkv.shape
+    h, hkv, hd = cfg.n_heads, cfg.kv_heads, cfg.head_dim
+    q = qkv[..., : h * hd].reshape(b, s, h, hd).transpose(0, 2, 1, 3)
+    k = qkv[..., h * hd : (h + hkv) * hd].reshape(b, s, hkv, hd).transpose(0, 2, 1, 3)
+    v = qkv[..., (h + hkv) * hd :].reshape(b, s, hkv, hd).transpose(0, 2, 1, 3)
+    return q, k, v
+
+
 def _block(x, p, cfg: TransformerConfig):
     b, s, dm = x.shape
-    h, hd = cfg.n_heads, cfg.head_dim
 
     # attention
     y = rms_norm(x, p["attn_norm"])
     qkv = jnp.dot(y, p["wqkv"].astype(y.dtype), preferred_element_type=jnp.float32)
-    qkv = qkv.astype(y.dtype).reshape(b, s, 3, h, hd)
-    q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))  # (B,H,S,hd)
+    q, k, v = split_qkv(qkv.astype(y.dtype), cfg)
     q = _rope(q, cfg.rope_theta)
     k = _rope(k, cfg.rope_theta)
-    attn = causal_attention_fn(q, k, v)  # Pallas flash kernel on TPU
+    if cfg.kv_heads == cfg.n_heads and cfg.attention_window is None:
+        attn = causal_attention_fn(q, k, v)  # Pallas flash kernel on TPU
+    else:
+        from ..ops.attention import make_flash_attention
+
+        attn = make_flash_attention(window=cfg.attention_window)(q, k, v)
     attn = attn.transpose(0, 2, 1, 3).reshape(b, s, dm)
     x = x + jnp.dot(
         attn, p["wo"].astype(attn.dtype), preferred_element_type=jnp.float32

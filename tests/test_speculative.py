@@ -3,6 +3,7 @@ decoding regardless of draft quality; a perfect draft spends ~max_new/(g+1)
 target forwards."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -42,6 +43,7 @@ class TestSpeculative:
         assert int(rounds) <= 4, int(rounds)
         assert int(rounds) < 12  # speculation actually compressed rounds
 
+    @pytest.mark.slow
     def test_exact_match_longer_and_gamma_sweep(self):
         params_t, cfg = _mk(2)
         params_d, cfg_d = _mk(3)
@@ -52,6 +54,7 @@ class TestSpeculative:
                                           prompt, max_new=20, gamma=gamma)
             assert np.array_equal(np.asarray(got), np.asarray(ref)), gamma
 
+    @pytest.mark.slow
     def test_sampled_matches_target_distribution(self):
         """Leviathan accept-reject preserves the target distribution
         EXACTLY in expectation: the first-token histogram over many keys
