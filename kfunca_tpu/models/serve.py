@@ -182,8 +182,10 @@ def _paged_block(x, p, pool_k, pool_v, page_tables, positions, cfg, page_size, e
         A, B_, ids = lora
         ya = jnp.einsum("btd,bdr->btr", y.astype(jnp.float32), A[ids])
         qkv = qkv + jnp.einsum("btr,bro->bto", ya, B_[ids])
-    qkv = qkv.astype(y.dtype).reshape(b, 1, 3, h, hd)
-    q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))  # (B,H,1,hd)
+    from .transformer import split_qkv
+
+    q, k, v = split_qkv(qkv.astype(y.dtype), cfg)  # q (B,H,1,hd), k/v (B,Hkv,1,hd)
+    hkv = cfg.kv_heads
 
     # RoPE at each sequence's own absolute position (vmap over the batch)
     rope = jax.vmap(lambda xx, pos: _rope_at(xx[None], pos[None], cfg.rope_theta)[0])
@@ -213,18 +215,24 @@ def _paged_block(x, p, pool_k, pool_v, page_tables, positions, cfg, page_size, e
         attn = paged_decode_attention(qs, pool_k, pool_v, page_tables, positions)
         attn = attn.astype(x.dtype).reshape(b, 1, h * hd)
     else:
-        # XLA gather path (oracle + CPU tier): reads the full table width
-        kc = pool_k[page_tables].reshape(b, max_pages * page_size, h, hd).transpose(0, 2, 1, 3)
-        vc = pool_v[page_tables].reshape(b, max_pages * page_size, h, hd).transpose(0, 2, 1, 3)
+        # XLA gather path (oracle + CPU tier): reads the full table width.
+        # GQA: grouped queries (B, Hkv, G, 1, hd) against the shared kv head
+        group = h // hkv
+        L = max_pages * page_size
+        kc = pool_k[page_tables].reshape(b, L, hkv, hd).transpose(0, 2, 1, 3)
+        vc = pool_v[page_tables].reshape(b, L, hkv, hd).transpose(0, 2, 1, 3)
+        qg = q.reshape(b, hkv, group, 1, hd)
         s = jnp.einsum(
-            "bhtd,bhld->bhtl", q.astype(jnp.float32), kc.astype(jnp.float32)
+            "bkgtd,bkld->bkgtl", qg.astype(jnp.float32), kc.astype(jnp.float32)
         ) * scale
-        l_pos = jnp.arange(max_pages * page_size, dtype=jnp.int32)[None, None, None, :]
-        mask = l_pos <= positions[:, None, None, None]
+        l_pos = jnp.arange(L, dtype=jnp.int32)[None, None, None, None, :]
+        mask = l_pos <= positions[:, None, None, None, None]
         s = jnp.where(mask, s, jnp.float32(-1e30))
         prob = jax.nn.softmax(s, axis=-1)
-        attn = jnp.einsum("bhtl,bhld->bhtd", prob, vc.astype(jnp.float32)).astype(x.dtype)
-        attn = attn.transpose(0, 2, 1, 3).reshape(b, 1, h * hd)
+        attn = jnp.einsum(
+            "bkgtl,bkld->bkgtd", prob, vc.astype(jnp.float32)
+        ).astype(x.dtype)
+        attn = attn.reshape(b, h, 1, hd).transpose(0, 2, 1, 3).reshape(b, 1, h * hd)
     x = x + jnp.dot(
         attn, p["wo"].astype(attn.dtype), preferred_element_type=jnp.float32
     ).astype(x.dtype)
@@ -322,11 +330,11 @@ class InferenceServer:
         max_loras: int = 0,
         lora_rank: int = 8,
     ):
-        if cfg.kv_heads != cfg.n_heads or cfg.attention_window is not None:
+        if cfg.attention_window is not None:
             raise NotImplementedError(
-                "InferenceServer's paged decode kernel does not support GQA "
-                "or sliding windows yet; use models.generate / speculative "
-                "for those configs (ROADMAP)"
+                "InferenceServer does not page-manage sliding windows yet "
+                "(out-of-window pages should be FREED, not just masked); "
+                "use models.generate for windowed configs (ROADMAP)"
             )
         self.params = params
         self.cfg = cfg
@@ -360,7 +368,7 @@ class InferenceServer:
         if self.max_loras:
             L, dm = cfg.n_layers, cfg.d_model
             self.lora_A = jnp.zeros((L, max_loras + 1, dm, lora_rank), jnp.float32)
-            self.lora_B = jnp.zeros((L, max_loras + 1, lora_rank, 3 * dm), jnp.float32)
+            self.lora_B = jnp.zeros((L, max_loras + 1, lora_rank, cfg.qkv_out), jnp.float32)
         else:
             self.lora_A = self.lora_B = None
         self.slot_lora = np.zeros((batch_slots,), np.int32)
@@ -374,7 +382,9 @@ class InferenceServer:
         self._next_id = 0
         self._key = jax.random.PRNGKey(seed)
 
-        h, hd = cfg.n_heads, cfg.head_dim
+        # GQA: the pools hold only kv_heads — the paged cache shrinks by
+        # the group factor, the big serving-memory win
+        h, hd = cfg.kv_heads, cfg.head_dim
         shape = (cfg.n_layers, n_pages, page_size, h, hd)
         self.pools_k = jnp.zeros(shape, cfg.act_dtype)
         self.pools_v = jnp.zeros(shape, cfg.act_dtype)
@@ -401,7 +411,7 @@ class InferenceServer:
             A = jnp.asarray(ad["A"], jnp.float32)
             B = jnp.asarray(ad["B"], jnp.float32)
             assert A.shape == (self.cfg.d_model, self.lora_rank), A.shape
-            assert B.shape == (self.lora_rank, 3 * self.cfg.d_model), B.shape
+            assert B.shape == (self.lora_rank, self.cfg.qkv_out), B.shape
             self.lora_A = self.lora_A.at[li, lid].set(A)
             self.lora_B = self.lora_B.at[li, lid].set(B)
         return lid
@@ -589,8 +599,8 @@ class InferenceServer:
             pre_pages = jnp.asarray(self.slot_pages[slot][:npre], jnp.int32)
             for li, lc in enumerate(cache):
                 # (npre, ps, H, hd) -> (1, H, prefix, hd)
-                k = self.pools_k[li, pre_pages].reshape(prefix_len, cfg.n_heads, -1)
-                v = self.pools_v[li, pre_pages].reshape(prefix_len, cfg.n_heads, -1)
+                k = self.pools_k[li, pre_pages].reshape(prefix_len, cfg.kv_heads, -1)
+                v = self.pools_v[li, pre_pages].reshape(prefix_len, cfg.kv_heads, -1)
                 lc["k"] = lc["k"].at[:, :, :prefix_len].set(k.transpose(1, 0, 2)[None])
                 lc["v"] = lc["v"].at[:, :, :prefix_len].set(v.transpose(1, 0, 2)[None])
         logits, cache = forward_with_cache(

@@ -35,7 +35,7 @@ NEG_INF = _np.float32(-1e30)
 
 def _decode_kernel(
     tables_ref, positions_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
-    *, page, h, hd, max_pages
+    *, page, h, hkv, hd, max_pages
 ):
     b = pl.program_id(0)
     j = pl.program_id(1)
@@ -52,10 +52,16 @@ def _decode_kernel(
     @pl.when(j < n_live)
     def _compute():
         q = q_ref[0].astype(jnp.float32)  # (H, hd)
-        k = k_ref[0].astype(jnp.float32)  # (page, H, hd)
+        k = k_ref[0].astype(jnp.float32)  # (page, Hkv, hd)
         v = v_ref[0].astype(jnp.float32)
-        # s[h, p] = sum_d q[h, d] * k[p, h, d]
-        s = jnp.sum(q[None, :, :] * k, axis=-1).T  # (H, page)
+        if hkv == h:
+            # s[h, p] = sum_d q[h, d] * k[p, h, d]
+            s = jnp.sum(q[None, :, :] * k, axis=-1).T  # (H, page)
+        else:
+            # GQA: each group of h//hkv query heads reads one kv head
+            group = h // hkv
+            qg = q.reshape(hkv, group, hd)
+            s = jnp.einsum("kgd,pkd->kgp", qg, k).reshape(h, page)
         # ragged mask: global slot index of column p is j*page + p
         slot = j * _np.int32(page) + jax.lax.broadcasted_iota(jnp.int32, (h, page), 1)
         s = jnp.where(slot <= pos, s, NEG_INF)
@@ -67,10 +73,17 @@ def _decode_kernel(
         l_ref[:] = jnp.broadcast_to(
             l_ref[:, 0:1] * alpha + jnp.sum(p, axis=1, keepdims=True), l_ref.shape
         )
-        # acc[h, d] += sum_p p[h, p] * v[p, h, d]
-        acc_ref[:] = acc_ref[:] * alpha + jnp.sum(
-            p.T[:, :, None] * v, axis=0
-        )
+        if hkv == h:
+            # acc[h, d] += sum_p p[h, p] * v[p, h, d]
+            acc_ref[:] = acc_ref[:] * alpha + jnp.sum(
+                p.T[:, :, None] * v, axis=0
+            )
+        else:
+            group = h // hkv
+            pg = p.reshape(hkv, group, page)
+            acc_ref[:] = acc_ref[:] * alpha + jnp.einsum(
+                "kgp,pkd->kgd", pg, v
+            ).reshape(h, hd)
         m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
 
     @pl.when(j == max_pages - 1)
@@ -86,8 +99,8 @@ def paged_decode_attention(q, pool_k, pool_v, page_tables, positions, interpret=
     Returns (B, H, hd) attention outputs over slots <= position per sequence.
     """
     bsz, h, hd = q.shape
-    n_pages, page, h2, hd2 = pool_k.shape
-    assert (h, hd) == (h2, hd2), (q.shape, pool_k.shape)
+    n_pages, page, hkv, hd2 = pool_k.shape
+    assert hd == hd2 and h % hkv == 0, (q.shape, pool_k.shape)
     max_pages = page_tables.shape[1]
 
     def page_idx(b, j, tables, positions):
@@ -104,8 +117,8 @@ def paged_decode_attention(q, pool_k, pool_v, page_tables, positions, interpret=
             # or equal to the array dims): (h, hd) trailing dims satisfy that
             # for any head count, so no reshapes are needed anywhere
             pl.BlockSpec((1, h, hd), lambda b, j, t, p: (b, _np.int32(0), _np.int32(0))),
-            pl.BlockSpec((1, page, h, hd), page_idx),
-            pl.BlockSpec((1, page, h, hd), page_idx),
+            pl.BlockSpec((1, page, hkv, hd), page_idx),
+            pl.BlockSpec((1, page, hkv, hd), page_idx),
         ],
         out_specs=pl.BlockSpec(
             (1, h, hd), lambda b, j, t, p: (b, _np.int32(0), _np.int32(0))
@@ -118,7 +131,7 @@ def paged_decode_attention(q, pool_k, pool_v, page_tables, positions, interpret=
     )
     out = pl.pallas_call(
         functools.partial(
-            _decode_kernel, page=page, h=h, hd=hd, max_pages=max_pages
+            _decode_kernel, page=page, h=h, hkv=hkv, hd=hd, max_pages=max_pages
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((bsz, h, hd), q.dtype),

@@ -360,3 +360,58 @@ class TestMultiLoRA:
         assert srv.prefix_hit_pages > hits0
         # and the adapter run stays oracle-correct under caching
         del r1, r2, r3
+
+
+class TestGQAServing:
+    def test_gqa_server_matches_generate(self):
+        """GQA configs serve through the paged path with tokens identical
+        to dense-cache generate() (which shares the GQA cache math)."""
+        cfg = TransformerConfig(vocab_size=128, d_model=64, n_heads=4,
+                                n_kv_heads=2, n_layers=2, d_ff=128,
+                                max_seq_len=128, dtype="float32")
+        params = init_params(jax.random.PRNGKey(3), cfg)
+        srv = InferenceServer(params, cfg, batch_slots=2, page_size=4, n_pages=64,
+                              max_pages_per_seq=8)
+        # pools hold only kv_heads
+        assert srv.pools_k.shape[3] == 2
+        prompts = [[3, 5, 7], [11, 2, 9, 4]]
+        ids = [srv.submit(p, max_new=6) for p in prompts]
+        results = srv.run()
+        for rid, prompt in zip(ids, prompts):
+            want = generate(params, jnp.asarray([prompt], jnp.int32), cfg, max_new=6)
+            assert results[rid] == np.asarray(want)[0].tolist(), (rid, prompt)
+
+    def test_gqa_paged_kernel_matches_gather(self):
+        """The GQA paged-decode kernel (interpret) == grouped gather oracle."""
+        from kfunca_tpu.ops.pallas_kernels.paged_attention import paged_decode_attention
+
+        rng = np.random.default_rng(5)
+        n_pages, page, h, hkv, hd = 16, 4, 4, 2, 128
+        bsz, max_pages = 2, 4
+        pool_k = jnp.asarray(rng.standard_normal((n_pages, page, hkv, hd)), jnp.float32)
+        pool_v = jnp.asarray(rng.standard_normal((n_pages, page, hkv, hd)), jnp.float32)
+        tables = jnp.asarray([[1, 2, 3, 15], [4, 5, 15, 15]], jnp.int32)
+        positions = jnp.asarray([9, 6], jnp.int32)
+        q = jnp.asarray(rng.standard_normal((bsz, h, hd)), jnp.float32) / (hd ** 0.5)
+        got = paged_decode_attention(q, pool_k, pool_v, tables, positions, interpret=True)
+
+        group = h // hkv
+        L = max_pages * page
+        kc = pool_k[tables].reshape(bsz, L, hkv, hd)
+        vc = pool_v[tables].reshape(bsz, L, hkv, hd)
+        qg = q.reshape(bsz, hkv, group, hd)
+        s = jnp.einsum("bkgd,blkd->bkgl", qg, kc)
+        slot = jnp.arange(L, dtype=jnp.int32)[None, None, None, :]
+        s = jnp.where(slot <= positions[:, None, None, None], s, -1e30)
+        prob = jax.nn.softmax(s, axis=-1)
+        want = jnp.einsum("bkgl,blkd->bkgd", prob, vc).reshape(bsz, h, hd)
+        assert np.allclose(np.asarray(got), np.asarray(want), atol=1e-5), (
+            np.abs(np.asarray(got) - np.asarray(want)).max()
+        )
+
+    def test_window_config_rejected(self):
+        cfg = TransformerConfig(vocab_size=64, d_model=64, n_heads=4,
+                                attention_window=8, n_layers=1, d_ff=64)
+        params = init_params(jax.random.PRNGKey(0), cfg)
+        with pytest.raises(NotImplementedError):
+            InferenceServer(params, cfg)
