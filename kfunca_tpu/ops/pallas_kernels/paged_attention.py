@@ -58,10 +58,16 @@ def _decode_kernel(
             # s[h, p] = sum_d q[h, d] * k[p, h, d]
             s = jnp.sum(q[None, :, :] * k, axis=-1).T  # (H, page)
         else:
-            # GQA: each group of h//hkv query heads reads one kv head
+            # GQA: each group of h//hkv query heads reads one kv head.
+            # Static per-kv-head loop — Mosaic rejects the batched einsum
+            # ("batch dims must be equal"), and hkv is tiny
             group = h // hkv
-            qg = q.reshape(hkv, group, hd)
-            s = jnp.einsum("kgd,pkd->kgp", qg, k).reshape(h, page)
+            parts = []
+            for kk in range(hkv):
+                qk = q[kk * group : (kk + 1) * group]  # (group, hd)
+                kp = k[:, kk, :]  # (page, hd)
+                parts.append(jnp.sum(qk[None, :, :] * kp[:, None, :], axis=-1).T)
+            s = jnp.concatenate(parts, axis=0)  # (H, page)
         # ragged mask: global slot index of column p is j*page + p
         slot = j * _np.int32(page) + jax.lax.broadcasted_iota(jnp.int32, (h, page), 1)
         s = jnp.where(slot <= pos, s, NEG_INF)
@@ -80,10 +86,12 @@ def _decode_kernel(
             )
         else:
             group = h // hkv
-            pg = p.reshape(hkv, group, page)
-            acc_ref[:] = acc_ref[:] * alpha + jnp.einsum(
-                "kgp,pkd->kgd", pg, v
-            ).reshape(h, hd)
+            parts = []
+            for kk in range(hkv):
+                pk = p[kk * group : (kk + 1) * group]  # (group, page)
+                vp = v[:, kk, :]  # (page, hd)
+                parts.append(jnp.sum(pk.T[:, :, None] * vp[:, None, :], axis=0))
+            acc_ref[:] = acc_ref[:] * alpha + jnp.concatenate(parts, axis=0)
         m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
 
     @pl.when(j == max_pages - 1)
