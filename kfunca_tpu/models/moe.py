@@ -235,3 +235,56 @@ def make_moe_ffn_ep(mesh, cfg: MoEConfig, *, ep_axis: str = "ep"):
         axis_names=frozenset({ep_axis}),
         check_vma=False,
     )
+
+
+# ---------------------------------------------------------------------------
+# expert-choice routing (round 3): experts pick tokens, not tokens experts
+# ---------------------------------------------------------------------------
+
+
+def expert_choice_ffn(x, params, cfg: MoEConfig):
+    """Expert-choice MoE (Zhou et al. 2022): each expert selects its own
+    top-capacity tokens by router affinity, instead of tokens competing for
+    expert capacity.
+
+    Properties that make it TPU-first and production-attractive:
+      * PERFECT load balance by construction — every expert processes
+        exactly `capacity` tokens, so no aux loss, no overflow drops, no
+        rescue pass;
+      * static shapes fall out directly (top_k over the token axis);
+      * a token may be chosen by several experts (outputs sum, weighted by
+        the router gate) or by none (its FFN contribution is zero — the
+        residual stream still carries it).
+
+    Returns (out, aux) with aux = 0.0 (kept for interface parity with
+    moe_ffn's load-balancing loss).
+    """
+    b, s, d = x.shape
+    n_tokens = b * s
+    e = cfg.n_experts
+    cap = max(1, int(cfg.capacity_factor * cfg.top_k * n_tokens / e))
+    cap = min(cap, n_tokens)
+
+    xt = x.reshape(n_tokens, d)
+    logits = jnp.dot(
+        xt.astype(jnp.float32), params["router"], preferred_element_type=jnp.float32
+    )  # (T, E)
+    # gates over experts per token (softmax), then experts pick tokens
+    probs = jax.nn.softmax(logits, axis=-1)
+    gates, idx = jax.lax.top_k(probs.T, cap)  # (E, cap): each expert's tokens
+
+    # dispatch: gather each expert's chosen tokens
+    expert_in = xt.astype(jnp.float32)[idx]  # (E, cap, D)
+    hmid = jax.nn.gelu(
+        jnp.einsum("ecd,edf->ecf", expert_in, params["w_in"],
+                   preferred_element_type=jnp.float32)
+    )
+    expert_out = jnp.einsum(
+        "ecf,efd->ecd", hmid, params["w_out"], preferred_element_type=jnp.float32
+    )
+    # combine: scatter-add gate-weighted outputs back to token positions
+    weighted = expert_out * gates[:, :, None]
+    out = jnp.zeros((n_tokens, d), jnp.float32).at[idx.reshape(-1)].add(
+        weighted.reshape(-1, d)
+    )
+    return out.astype(x.dtype).reshape(b, s, d), jnp.float32(0.0)

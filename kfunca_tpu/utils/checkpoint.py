@@ -280,3 +280,44 @@ def save_async(path: str, tree) -> AsyncCheckpoint:
     handle = AsyncCheckpoint(t)
     t.start()
     return handle
+
+
+# ---------------------------------------------------------------------------
+# orbax interop (round 3): ecosystem-standard checkpoint format
+# ---------------------------------------------------------------------------
+
+
+def save_orbax(dir_path: str, tree) -> None:
+    """Save a jax pytree in orbax's StandardCheckpointer format — the
+    ecosystem interchange path (MaxText/flax tooling reads it).  Eager
+    kfunca Tensors are converted to arrays (dtype-preserving); use save()/
+    save_sharded() for Tensor-aware native checkpoints."""
+    import jax.numpy as jnp
+    import orbax.checkpoint as ocp
+
+    from ..core.tensor import Tensor
+
+    def to_array(x):
+        if isinstance(x, Tensor):
+            return jnp.asarray(x.contiguous().numpy())
+        return x
+
+    tree = jax.tree_util.tree_map(
+        to_array, tree, is_leaf=lambda x: isinstance(x, Tensor)
+    )
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(dir_path), tree, force=True)
+    ckptr.wait_until_finished()
+
+
+def load_orbax(dir_path: str, like):
+    """Restore an orbax StandardCheckpointer directory against `like`'s
+    structure (shapes/dtypes/shardings from the abstract target)."""
+    import jax.numpy as jnp
+    import orbax.checkpoint as ocp
+
+    abstract = jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.asarray(x).dtype), like
+    )
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(os.path.abspath(dir_path), abstract)

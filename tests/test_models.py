@@ -351,3 +351,27 @@ class TestGQAModel:
         params, opt, l1 = step(params, opt, tokens, targets)
         params, opt, l2 = step(params, opt, tokens, targets)
         assert float(l2) < float(l1)
+
+
+class TestOrbaxInterop:
+    def test_orbax_roundtrip(self, tmp_path):
+        from kfunca_tpu.utils.checkpoint import load_orbax, save_orbax
+
+        cfg = tiny_cfg()
+        params = init_params(jax.random.PRNGKey(0), cfg)
+        state = {"params": params, "step": jnp.int32(9)}
+        save_orbax(str(tmp_path / "orbax_ckpt"), state)
+        restored = load_orbax(str(tmp_path / "orbax_ckpt"), like=state)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(state), jax.tree_util.tree_leaves(restored)
+        ):
+            assert np.array_equal(np.asarray(a), np.asarray(b))
+
+    def test_orbax_accepts_eager_tensors(self, tmp_path):
+        from kfunca_tpu.utils.checkpoint import load_orbax, save_orbax
+
+        t = kfunca.from_numpy(np.random.uniform(-1, 1, (4, 8)).astype(np.float32), 0)
+        state = {"t": t}
+        save_orbax(str(tmp_path / "orbax_t"), state)
+        restored = load_orbax(str(tmp_path / "orbax_t"), like={"t": t._array()})
+        assert np.array_equal(np.asarray(restored["t"]), t.numpy())

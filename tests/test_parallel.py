@@ -383,3 +383,58 @@ class TestMoERescue:
         g = jax.grad(loss)(params)
         assert float(jnp.abs(g["router"]).max()) > 0
         assert float(jnp.abs(g["w_in"]).max()) > 0
+
+
+class TestExpertChoice:
+    def test_matches_dense_oracle(self):
+        """With capacity == n_tokens every expert picks every token, so the
+        output equals the full softmax-weighted mixture (dense oracle)."""
+        from kfunca_tpu.models.moe import MoEConfig, expert_choice_ffn, init_moe_params
+
+        e, dm, ff = 3, 16, 32
+        cfg = MoEConfig(n_experts=e, d_model=dm, d_ff=ff,
+                        capacity_factor=float(e), top_k=1)  # cap = T
+        params = init_moe_params(jax.random.PRNGKey(1), cfg)
+        x = jax.random.normal(jax.random.PRNGKey(2), (2, 4, dm), jnp.float32)
+        out, aux = expert_choice_ffn(x, params, cfg)
+        assert float(aux) == 0.0
+
+        xt = x.reshape(-1, dm)
+        probs = jax.nn.softmax(xt @ params["router"], axis=-1)
+        hmid = jax.nn.gelu(jnp.einsum("td,edf->tef", xt, params["w_in"]))
+        eo = jnp.einsum("tef,efd->ted", hmid, params["w_out"])
+        want = jnp.einsum("te,ted->td", probs, eo).reshape(x.shape)
+        assert np.allclose(np.asarray(out), np.asarray(want), atol=1e-5), (
+            np.abs(np.asarray(out) - np.asarray(want)).max()
+        )
+
+    def test_perfect_load_balance_and_shapes(self):
+        """Every expert processes exactly `cap` tokens regardless of routing
+        skew (the property expert choice exists for)."""
+        from kfunca_tpu.models.moe import MoEConfig, expert_choice_ffn, init_moe_params
+
+        cfg = MoEConfig(n_experts=4, d_model=16, d_ff=32, capacity_factor=0.5)
+        params = init_moe_params(jax.random.PRNGKey(3), cfg)
+        # heavily skewed inputs (all tokens nearly identical): token-choice
+        # routing would overflow one expert; expert choice cannot
+        x = jnp.ones((2, 16, 16), jnp.float32) + 0.01 * jax.random.normal(
+            jax.random.PRNGKey(4), (2, 16, 16)
+        )
+        out, _ = expert_choice_ffn(x, params, cfg)
+        assert out.shape == x.shape
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_differentiable(self):
+        from kfunca_tpu.models.moe import MoEConfig, expert_choice_ffn, init_moe_params
+
+        cfg = MoEConfig(n_experts=2, d_model=8, d_ff=16, capacity_factor=1.0)
+        params = init_moe_params(jax.random.PRNGKey(5), cfg)
+        x = jax.random.normal(jax.random.PRNGKey(6), (1, 8, 8), jnp.float32)
+
+        def loss(p):
+            out, _ = expert_choice_ffn(x, p, cfg)
+            return jnp.sum(out ** 2)
+
+        g = jax.grad(loss)(params)
+        assert float(jnp.abs(g["router"]).max()) > 0
+        assert float(jnp.abs(g["w_in"]).max()) > 0
