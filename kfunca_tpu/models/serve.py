@@ -212,7 +212,9 @@ def _paged_block(x, p, pool_k, pool_v, page_tables, positions, cfg, page_size, e
         from ..ops.pallas_kernels.paged_attention import paged_decode_attention
 
         qs = (q[:, :, 0] * jnp.asarray(scale, q.dtype))  # (B, H, hd)
-        attn = paged_decode_attention(qs, pool_k, pool_v, page_tables, positions)
+        attn = paged_decode_attention(
+            qs, pool_k, pool_v, page_tables, positions, window=cfg.attention_window
+        )
         attn = attn.astype(x.dtype).reshape(b, 1, h * hd)
     else:
         # XLA gather path (oracle + CPU tier): reads the full table width.
@@ -226,7 +228,10 @@ def _paged_block(x, p, pool_k, pool_v, page_tables, positions, cfg, page_size, e
             "bkgtd,bkld->bkgtl", qg.astype(jnp.float32), kc.astype(jnp.float32)
         ) * scale
         l_pos = jnp.arange(L, dtype=jnp.int32)[None, None, None, None, :]
-        mask = l_pos <= positions[:, None, None, None, None]
+        pos5 = positions[:, None, None, None, None]
+        mask = l_pos <= pos5
+        if cfg.attention_window is not None:
+            mask = mask & (l_pos > pos5 - cfg.attention_window)
         s = jnp.where(mask, s, jnp.float32(-1e30))
         prob = jax.nn.softmax(s, axis=-1)
         attn = jnp.einsum(
@@ -330,11 +335,10 @@ class InferenceServer:
         max_loras: int = 0,
         lora_rank: int = 8,
     ):
-        if cfg.attention_window is not None:
+        if cfg.attention_window is not None and prefix_cache:
             raise NotImplementedError(
-                "InferenceServer does not page-manage sliding windows yet "
-                "(out-of-window pages should be FREED, not just masked); "
-                "use models.generate for windowed configs (ROADMAP)"
+                "prefix caching with sliding windows is not supported (a "
+                "window invalidates shared-prefix reuse beyond the window)"
             )
         self.params = params
         self.cfg = cfg
@@ -391,6 +395,7 @@ class InferenceServer:
         # slot state (host-side)
         self.slot_req = [None] * self.B  # req_id or None
         self.slot_pages = [[] for _ in range(self.B)]
+        self.slot_watermark = [0] * self.B  # windowed: first live page index
         self.page_tables = np.full((self.B, self.max_pages), self.trash_page, np.int32)
         self.positions = np.zeros((self.B,), np.int32)  # index of next token
         self.last_tokens = np.zeros((self.B,), np.int32)
@@ -513,8 +518,14 @@ class InferenceServer:
                 rid = self.queue.pop()
                 req = self.requests[rid]
                 t = len(req.prompt)
-                need = -(-(t + req.max_new) // self.page_size)
-                if need > self.max_pages or need > self.pool.n_pages:
+                total_pages = -(-(t + req.max_new) // self.page_size)
+                first_page = 0
+                if self.cfg.attention_window is not None:
+                    # pages wholly below the first decode position's window
+                    # are never read: decode starts at t, attends > t-window
+                    first_page = max(0, (t - self.cfg.attention_window) // self.page_size)
+                need = total_pages - first_page
+                if total_pages > self.max_pages or need > self.pool.n_pages:
                     # oversized for a slot's table OR for the whole pool:
                     # reject now — requeueing a can-never-fit request would
                     # spin run() through max_steps doing nothing
@@ -553,11 +564,15 @@ class InferenceServer:
                 self.prefix_fresh_pages += len(fresh)
                 break
             self.slot_req[slot] = rid
-            self.slot_pages[slot] = pages
+            # slot_pages is table-index aligned: trash placeholders for the
+            # below-window pages a windowed config never allocates
+            self.slot_pages[slot] = [self.trash_page] * first_page + pages
             self.slot_lora[slot] = req.lora_id
             self.page_tables[slot] = self.trash_page
-            self.page_tables[slot, : len(pages)] = pages
-            first = self._prefill(slot, req, len(reused) * self.page_size)
+            self.page_tables[slot, first_page : first_page + len(pages)] = pages
+            first = self._prefill(
+                slot, req, len(reused) * self.page_size, first_page * self.page_size
+            )
             if self.prefix_cache:
                 # publish this prompt's full pages (pure prompt KV: decode
                 # writes start at position t, beyond every full page)
@@ -571,7 +586,8 @@ class InferenceServer:
             if self._finished(req, first):
                 self._release(slot)
 
-    def _prefill(self, slot: int, req: Request, prefix_len: int = 0) -> int:
+    def _prefill(self, slot: int, req: Request, prefix_len: int = 0,
+                 skip_len: int = 0) -> int:
         """Prefill the prompt SUFFIX beyond the reused prefix, scattered
         into this slot's fresh pages.
 
@@ -585,7 +601,10 @@ class InferenceServer:
         With prefix_len > 0 the reused pages' KV is gathered from the pool
         into the dense cache so suffix attention sees the full context —
         the forward itself runs only over the suffix tokens (the compute
-        prefix caching saves)."""
+        prefix caching saves).  skip_len (sliding windows) marks the
+        below-window region whose pages were never allocated: the dense
+        prefill still computes them (the windowed mask reads only the live
+        span) but nothing is scattered there."""
         cfg, t = self.cfg, len(req.prompt)
         ps = self.page_size
         st = t - prefix_len
@@ -609,11 +628,12 @@ class InferenceServer:
         # scatter the dense suffix KV into this slot's fresh pages
         n_full = t // ps
         rem = t % ps
+        start_page = max(prefix_len // ps, skip_len // ps)
         pk, pv = self.pools_k, self.pools_v
         for li, lc in enumerate(cache):
             k = lc["k"][0].transpose(1, 0, 2)  # (prefix+stp, H, hd), absolute
             v = lc["v"][0].transpose(1, 0, 2)
-            for pi in range(prefix_len // ps, n_full + (1 if rem else 0)):
+            for pi in range(start_page, n_full + (1 if rem else 0)):
                 page = self.slot_pages[slot][pi]
                 lo = pi * ps
                 n = ps if pi < n_full else rem
@@ -648,8 +668,29 @@ class InferenceServer:
             req.tokens.append(tok)
             self.positions[slot] += 1
             self.last_tokens[slot] = tok
+            if self.cfg.attention_window is not None:
+                self._free_behind_window(slot)
             if self._finished(req, tok):
                 self._release(slot)
+
+    def _free_behind_window(self, slot: int):
+        """Sliding window: pages whose every slot fell below the window are
+        recycled NOW, bounding a sequence's footprint at
+        ceil(window/page)+1 pages regardless of length."""
+        w = self.cfg.attention_window
+        pos = int(self.positions[slot])
+        ps = self.page_size
+        pages = self.slot_pages[slot]
+        pi = self.slot_watermark[slot]
+        # page pi is dead when its last slot < pos - w + 1
+        while (pi + 1) * ps <= pos - w + 1 and pi < len(pages):
+            page = pages[pi]
+            if page != self.trash_page:
+                self._decref(page)
+                pages[pi] = self.trash_page
+                self.page_tables[slot, pi] = self.trash_page
+            pi += 1
+        self.slot_watermark[slot] = pi
 
     def _finished(self, req: Request, tok: int) -> bool:
         return len(req.tokens) >= req.max_new or (self.eos is not None and tok == self.eos)
@@ -658,7 +699,9 @@ class InferenceServer:
         rid = self.slot_req[slot]
         self.requests[rid].done = True
         for page in self.slot_pages[slot]:
-            self._decref(page)  # cached pages survive on the cache's ref
+            if page != self.trash_page:  # windowed slots hold trash markers
+                self._decref(page)  # cached pages survive on the cache's ref
+        self.slot_watermark[slot] = 0
         self.slot_req[slot] = None
         self.slot_pages[slot] = []
         self.slot_lora[slot] = 0

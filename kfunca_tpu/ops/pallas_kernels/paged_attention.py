@@ -35,7 +35,7 @@ NEG_INF = _np.float32(-1e30)
 
 def _decode_kernel(
     tables_ref, positions_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
-    *, page, h, hkv, hd, max_pages
+    *, page, h, hkv, hd, max_pages, window=None
 ):
     b = pl.program_id(0)
     j = pl.program_id(1)
@@ -48,8 +48,17 @@ def _decode_kernel(
 
     pos = positions_ref[b]  # index of the query token (attends <= pos)
     n_live = jax.lax.div(pos, _np.int32(page)) + _np.int32(1)
+    first_live = _np.int32(0)
+    if window is not None:
+        # sliding window: pages entirely below (pos - window] are dead —
+        # the scheduler has usually FREED them already (their table entries
+        # point at recycled pages), so they must be neither read nor masked
+        first_live = jnp.maximum(
+            _np.int32(0),
+            jax.lax.div(pos - _np.int32(window) + _np.int32(1), _np.int32(page)),
+        )
 
-    @pl.when(j < n_live)
+    @pl.when((j < n_live) & (j >= first_live))
     def _compute():
         q = q_ref[0].astype(jnp.float32)  # (H, hd)
         k = k_ref[0].astype(jnp.float32)  # (page, Hkv, hd)
@@ -70,7 +79,10 @@ def _decode_kernel(
             s = jnp.concatenate(parts, axis=0)  # (H, page)
         # ragged mask: global slot index of column p is j*page + p
         slot = j * _np.int32(page) + jax.lax.broadcasted_iota(jnp.int32, (h, page), 1)
-        s = jnp.where(slot <= pos, s, NEG_INF)
+        ok = slot <= pos
+        if window is not None:
+            ok = ok & (slot > pos - _np.int32(window))
+        s = jnp.where(ok, s, NEG_INF)
 
         m_prev = m_ref[:, 0:1]  # (H, 1)
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
@@ -100,8 +112,9 @@ def _decode_kernel(
         o_ref[0] = (acc_ref[:] / l_safe).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def paged_decode_attention(q, pool_k, pool_v, page_tables, positions, interpret=False):
+@functools.partial(jax.jit, static_argnames=("window", "interpret"))
+def paged_decode_attention(q, pool_k, pool_v, page_tables, positions, window=None,
+                           interpret=False):
     """q: (B, H, hd) PRE-SCALED by 1/sqrt(hd); pool_k/v: (n_pages, page, H, hd);
     page_tables: (B, max_pages) int32; positions: (B,) int32 (query's slot).
     Returns (B, H, hd) attention outputs over slots <= position per sequence.
@@ -112,9 +125,16 @@ def paged_decode_attention(q, pool_k, pool_v, page_tables, positions, interpret=
     max_pages = page_tables.shape[1]
 
     def page_idx(b, j, tables, positions):
-        # clamp dead steps to the sequence's FIRST page (refetch elided)
-        n_live = jax.lax.div(positions[b], _np.int32(page)) + _np.int32(1)
+        # clamp dead steps into the live page range (refetch elided)
+        pos = positions[b]
+        n_live = jax.lax.div(pos, _np.int32(page)) + _np.int32(1)
         live_j = jnp.minimum(j, n_live - _np.int32(1))
+        if window is not None:
+            first_live = jnp.maximum(
+                _np.int32(0),
+                jax.lax.div(pos - _np.int32(window) + _np.int32(1), _np.int32(page)),
+            )
+            live_j = jnp.maximum(live_j, first_live)
         return (tables[b, live_j], _np.int32(0), _np.int32(0), _np.int32(0))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -139,7 +159,8 @@ def paged_decode_attention(q, pool_k, pool_v, page_tables, positions, interpret=
     )
     out = pl.pallas_call(
         functools.partial(
-            _decode_kernel, page=page, h=h, hkv=hkv, hd=hd, max_pages=max_pages
+            _decode_kernel, page=page, h=h, hkv=hkv, hd=hd, max_pages=max_pages,
+            window=window,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((bsz, h, hd), q.dtype),

@@ -409,9 +409,103 @@ class TestGQAServing:
             np.abs(np.asarray(got) - np.asarray(want)).max()
         )
 
-    def test_window_config_rejected(self):
+    def test_window_with_prefix_cache_rejected(self):
+        """A sliding window invalidates shared-prefix reuse beyond the
+        window, so the combination is refused (bare windows now serve)."""
         cfg = TransformerConfig(vocab_size=64, d_model=64, n_heads=4,
                                 attention_window=8, n_layers=1, d_ff=64)
         params = init_params(jax.random.PRNGKey(0), cfg)
         with pytest.raises(NotImplementedError):
-            InferenceServer(params, cfg)
+            InferenceServer(params, cfg, prefix_cache=True)
+
+
+class TestSlidingWindowServing:
+    def _cfg(self, window):
+        return TransformerConfig(vocab_size=128, d_model=64, n_heads=2,
+                                 n_layers=2, d_ff=128, max_seq_len=128,
+                                 attention_window=window, dtype="float32")
+
+    def test_windowed_matches_generate(self):
+        """Windowed serving (paged pools + behind-window page freeing) must
+        reproduce dense-cache generate() on the same windowed config."""
+        cfg = self._cfg(8)
+        params = init_params(jax.random.PRNGKey(2), cfg)
+        srv = InferenceServer(params, cfg, batch_slots=2, page_size=4, n_pages=64,
+                              max_pages_per_seq=16)
+        # long enough that pages fall wholly behind the window mid-decode
+        prompts = [[3, 5, 7, 9, 2, 8], [11, 2, 9, 4]]
+        max_new = 14
+        ids = [srv.submit(p, max_new=max_new) for p in prompts]
+        results = srv.run()
+        for rid, prompt in zip(ids, prompts):
+            want = generate(
+                params, jnp.asarray([prompt], jnp.int32), cfg, max_new=max_new
+            )
+            assert results[rid] == np.asarray(want)[0].tolist(), (rid, prompt)
+
+    def test_pages_freed_behind_window(self):
+        """Decode must return dead pages to the pool WHILE running (footprint
+        bound ~ window/page_size, not sequence length)."""
+        cfg = self._cfg(8)
+        params = init_params(jax.random.PRNGKey(2), cfg)
+        srv = InferenceServer(params, cfg, batch_slots=1, page_size=4, n_pages=64,
+                              max_pages_per_seq=16)
+        srv.submit(list(range(1, 7)), max_new=20)
+        srv._admit()
+        avail_after_admit = srv.pool.available
+        grew = False
+        for _ in range(20):
+            if not any(r is not None for r in srv.slot_req):
+                break
+            srv._step()
+            srv._admit()
+            if srv.pool.available > avail_after_admit:
+                grew = True
+        assert grew, "no page was freed behind the window during decode"
+        # and everything is back once the request completes (the pool
+        # already excludes the reserved trash page)
+        assert srv.pool.available == srv.pool.n_pages
+
+    def test_windowed_paged_kernel_matches_oracle(self):
+        """Windowed paged-decode kernel (interpret) == windowed gather oracle,
+        with NaN-poisoned pages wholly below the window: the kernel must
+        neither read nor mask them (the scheduler has FREED those pages)."""
+        from kfunca_tpu.ops.pallas_kernels.paged_attention import paged_decode_attention
+
+        rng = np.random.default_rng(7)
+        n_pages, page, h, hd = 16, 4, 2, 128
+        bsz, max_pages, window = 2, 6, 7
+        pool_k = np.asarray(rng.standard_normal((n_pages, page, h, hd)), np.float32)
+        pool_v = np.asarray(rng.standard_normal((n_pages, page, h, hd)), np.float32)
+        # seq 0: pos 17 -> live slots (10, 17], first live page 11//4 = 2:
+        # table entries 0,1 are dead -> poison their pages entirely
+        tables = np.asarray([[1, 2, 3, 4, 5, 15], [6, 7, 8, 15, 15, 15]], np.int32)
+        positions = np.asarray([17, 9], np.int32)
+        pool_k[1] = np.nan
+        pool_k[2] = np.nan
+        pool_v[1] = np.nan
+        pool_v[2] = np.nan
+        # seq 1: pos 9 -> live (2, 9], first live page 3//4 = 0: nothing dead
+        q = np.asarray(rng.standard_normal((bsz, h, hd)), np.float32) / (hd ** 0.5)
+        got = paged_decode_attention(
+            jnp.asarray(q), jnp.asarray(pool_k), jnp.asarray(pool_v),
+            jnp.asarray(tables), jnp.asarray(positions),
+            window=window, interpret=True,
+        )
+        assert np.isfinite(np.asarray(got)).all(), "dead NaN page leaked in"
+
+        L = max_pages * page
+        kc = np.where(np.isnan(pool_k), 0.0, pool_k)[tables].reshape(bsz, L, h, hd)
+        vc = np.where(np.isnan(pool_v), 0.0, pool_v)[tables].reshape(bsz, L, h, hd)
+        s = np.einsum("bhd,blhd->bhl", q, kc)
+        slot = np.arange(L, dtype=np.int32)[None, None, :]
+        pos3 = positions[:, None, None]
+        ok = (slot <= pos3) & (slot > pos3 - window)
+        s = np.where(ok, s, -1e30)
+        s -= s.max(axis=-1, keepdims=True)
+        prob = np.exp(s)
+        prob /= prob.sum(axis=-1, keepdims=True)
+        want = np.einsum("bhl,blhd->bhd", prob, vc)
+        assert np.allclose(np.asarray(got), want, atol=1e-5), (
+            np.abs(np.asarray(got) - want).max()
+        )
