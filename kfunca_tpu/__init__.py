@@ -42,6 +42,7 @@ from .ops.gemm import gemm  # noqa: E402
 from .ops.quant import gemm_w8, quantize_cols  # noqa: E402
 from .ops.shape_ops import concat as cat  # noqa: E402
 from .runtime.allocator import memstat  # noqa: E402
+from .runtime.autotune import autotune  # noqa: E402
 from .runtime.launcher import Launcher  # noqa: E402
 from .utils.compare import all_close, max_diff  # noqa: E402
 from .utils.device_info import device_info  # noqa: E402
@@ -92,4 +93,5 @@ __all__ = [
     "device_count",
     "all_close",
     "max_diff",
+    "autotune",
 ]

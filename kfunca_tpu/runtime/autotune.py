@@ -23,6 +23,7 @@ import os
 import threading
 
 import jax
+import jax.numpy as jnp
 
 _LOCK = threading.Lock()
 _CACHE: dict | None = None
@@ -99,3 +100,179 @@ def record(op: str, shape_class: str, dtype, params: dict) -> None:
         with open(tmp, "w") as f:
             json.dump(_CACHE, f, indent=1, sort_keys=True)
         os.replace(tmp, p)
+
+
+# ---------------------------------------------------------------------------
+# in-process sweep API: kfunca.autotune()  (ROADMAP item 9, round 3)
+# ---------------------------------------------------------------------------
+#
+# Measurement discipline (docs + .claude/skills/verify: the TPU relay lies):
+#  * per-iteration time is the SLOPE between two chained-iteration counts
+#    inside single jit programs (dispatch latency cancels);
+#  * candidates are INTERLEAVED round-robin and compared per round, then
+#    medianed — sequential runs drift +-10-30% (thermal/relay);
+#  * chain iterates feed the next step's operand, so XLA cannot dead-code-
+#    eliminate any kernel, and operands are ARGUMENTS, not constants.
+
+
+def _slope(make_chain, k1, k2, iters=4):
+    import time
+
+    import numpy as _np
+
+    def sync(x):
+        _np.asarray(jax.device_get(jnp.ravel(x)[:1]))
+
+    f1, f2 = make_chain(k1), make_chain(k2)
+
+    def timed(f):
+        sync(f())  # compile + warm
+        best = float("inf")
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            sync(f())
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    return max((timed(f2) - timed(f1)) / (k2 - k1), 1e-9)
+
+
+def _gemm_chains(m, k, n, dtype, params):
+    from ..ops.pallas_kernels.matmul import matmul
+
+    interp = jax.default_backend() == "cpu"  # Pallas compiled path is TPU-only
+    key = jax.random.PRNGKey(0)
+    a = jax.random.normal(key, (m, k), dtype)
+    b = jax.random.normal(key, (k, n), dtype)
+
+    def make_chain(K):
+        @jax.jit
+        def f(x, y):
+            for _ in range(K):
+                x = matmul(x, y, interpret=interp, **params)
+            return x
+
+        return lambda: f(a, b)
+
+    return make_chain, 2.0 * m * k * n
+
+
+def _attn_chains(b, h, s, d, dtype, params, bwd):
+    from ..ops.pallas_kernels.flash_attention import (
+        flash_attention_backward, flash_attention_fwd_stats,
+    )
+
+    interp = jax.default_backend() == "cpu"
+    key = jax.random.PRNGKey(1)
+    q = jax.random.normal(key, (b, h, s, d), dtype)
+    kk = jax.random.normal(key, (b, h, s, d), dtype)
+    v = jax.random.normal(key, (b, h, s, d), dtype)
+    g = jax.random.normal(key, (b, h, s, d), dtype)
+    flops = 0.5 * 4 * b * h * s * s * d  # causal-halved accounting
+
+    if not bwd:
+
+        def make_chain(K):
+            @jax.jit
+            def f(x, k_, v_):
+                for _ in range(K):
+                    x, _ = flash_attention_fwd_stats(x, k_, v_, save_stats=False,
+                                                     interpret=interp, **params)
+                return x
+
+            return lambda: f(q, kk, v)
+
+        return make_chain, flops
+
+    def make_chain(K):
+        @jax.jit
+        def f(x, k_, v_, g_):
+            for _ in range(K):
+                o, lse = flash_attention_fwd_stats(x, k_, v_, interpret=interp)
+                dq, dk, dv = flash_attention_backward(x, k_, v_, g_, out=o,
+                                                      lse=lse, interpret=interp,
+                                                      **params)
+                # consume EVERY output or XLA drops the dkv kernel
+                bump = ((dk[0, 0, 0, 0] + dv[0, 0, 0, 0]) >
+                        jnp.float32(1e30)).astype(x.dtype)
+                x = dq + bump
+            return x
+
+        return lambda: f(q, kk, v, g)
+
+    return make_chain, flops * 3.5
+
+
+_SWEEP_DEFAULTS = {
+    "gemm": [
+        {"bm": 2048, "bn": 512, "bk": 2048},
+        {"bm": 1024, "bn": 512, "bk": 2048},
+        {"bm": 2048, "bn": 1024, "bk": 1024},
+        {"bm": 512, "bn": 512, "bk": 4096},
+    ],
+    "attn_fwd": [
+        {"bq": 512, "bk": 512},
+        {"bq": 1024, "bk": 512},
+        {"bq": 512, "bk": 1024},
+    ],
+    "attn_bwd": [
+        {"bq": 512, "bk": 512},
+        {"bq": 256, "bk": 512},
+        {"bq": 512, "bk": 1024},
+    ],
+}
+
+
+def autotune(op: str, *shape: int, dtype=None, candidates: list | None = None,
+             reps: int = 3, k1: int = 4, k2: int = 16, verbose: bool = True):
+    """Sweep kernel block candidates for `op` at `shape` ON THIS CHIP and
+    persist the winner, so subsequent dispatches at this shape class use it.
+
+        kfunca.autotune("gemm", 4096, 4096, 4096)          # m, k, n
+        kfunca.autotune("attn_fwd", 4, 16, 2048, 128)      # b, h, s, d
+        kfunca.autotune("attn_bwd", 4, 16, 2048, 128)
+
+    Candidates are interleaved round-robin (relay/thermal drift makes
+    sequential comparison meaningless) and per-iteration times come from
+    chained-program slopes.  Returns {"params", "ms", "tflops", "all"}.
+    """
+    if op not in _SWEEP_DEFAULTS:
+        raise ValueError(f"autotune: unknown op {op!r} "
+                         f"(supported: {sorted(_SWEEP_DEFAULTS)})")
+    dtype = jnp.bfloat16 if dtype is None else dtype
+    cands = candidates or _SWEEP_DEFAULTS[op]
+    if op == "gemm":
+        m, k, n = shape
+        built = [(_gemm_chains(m, k, n, dtype, c)) for c in cands]
+        bucket = shape_bucket(m, k, n)
+    elif op in ("attn_fwd", "attn_bwd"):
+        b, h, s, d = shape
+        built = [(_attn_chains(b, h, s, d, dtype, c, op == "attn_bwd"))
+                 for c in cands]
+        bucket = shape_bucket(s, s, d)
+    else:  # pragma: no cover - guarded above
+        raise AssertionError(op)
+
+    times = [[] for _ in cands]
+    for r in range(reps):
+        for i, (mk, _fl) in enumerate(built):
+            dt = _slope(mk, k1, k2)
+            times[i].append(dt)
+            if verbose:
+                print(f"[autotune] {op} r{r} {cands[i]}: {dt*1e3:.3f} ms/iter",
+                      flush=True)
+    medians = [sorted(ts)[len(ts) // 2] for ts in times]
+    best = min(range(len(cands)), key=lambda i: medians[i])
+    flops = built[best][1]
+    record(op, bucket, jnp.dtype(dtype), cands[best])
+    result = {
+        "params": dict(cands[best]),
+        "ms": medians[best] * 1e3,
+        "tflops": flops / medians[best] / 1e12,
+        "all": [{"params": dict(c), "ms": mt * 1e3}
+                for c, mt in zip(cands, medians)],
+    }
+    if verbose:
+        print(f"[autotune] {op} {bucket} -> {result['params']} "
+              f"({result['tflops']:.1f} TFLOP/s)", flush=True)
+    return result

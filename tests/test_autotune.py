@@ -53,3 +53,34 @@ class TestAutotune:
             assert autotune.lookup("gemm", "128x128x128", "float32") is None
         finally:
             autotune.chip_name = real
+
+
+class TestAutotuneSweep:
+    def test_autotune_gemm_records_winner(self, tmp_path, monkeypatch):
+        """kfunca.autotune() sweeps candidates in-process and persists the
+        measured winner where dispatch lookup() finds it."""
+        import jax.numpy as jnp
+
+        import kfunca_tpu as kfunca
+
+        monkeypatch.setenv("KFUNCA_AUTOTUNE_CACHE", str(tmp_path / "at.json"))
+        autotune._CACHE = None  # reload against the patched path
+        cands = [{"bm": 128, "bn": 128, "bk": 128},
+                 {"bm": 256, "bn": 256, "bk": 256}]
+        res = kfunca.autotune("gemm", 256, 256, 256, dtype=jnp.float32,
+                              candidates=cands, reps=1, k1=2, k2=4,
+                              verbose=False)
+        assert res["params"] in cands
+        assert len(res["all"]) == 2 and res["ms"] > 0
+        hit = autotune.lookup("gemm", autotune.shape_bucket(256, 256, 256),
+                              jnp.dtype(jnp.float32))
+        assert hit == res["params"]
+        autotune._CACHE = None
+
+    def test_autotune_unknown_op_raises(self):
+        import pytest
+
+        import kfunca_tpu as kfunca
+
+        with pytest.raises(ValueError):
+            kfunca.autotune("nope", 8)
