@@ -134,6 +134,38 @@ KF_EXPORT void kf_alloc_stats(int64_t *out5) {
     out5[4] = a.pool_reuses;
 }
 
+KF_EXPORT int kf_alloc_devices(int *out, int cap) {
+    // distinct device ids with a non-empty pool; returns the count found
+    Allocator &a = alloc();
+    std::lock_guard<std::mutex> lock(a.mu);
+    int n = 0;
+    int last = INT32_MIN;
+    for (auto &kv : a.pools) {  // std::map: keys ordered by (device, pool)
+        int dev = kv.first.first;
+        if (kv.second.empty() || dev == last) continue;
+        last = dev;
+        if (n < cap && out) out[n] = dev;
+        n++;
+    }
+    return n;
+}
+
+KF_EXPORT void kf_alloc_pool_stats(int device, int64_t *out16) {
+    // 8 pools x (parked blocks, parked bytes) for one device
+    Allocator &a = alloc();
+    std::lock_guard<std::mutex> lock(a.mu);
+    for (int i = 0; i < kNumPools; i++) {
+        int64_t blocks = 0, bytes = 0;
+        auto it = a.pools.find({device, i});
+        if (it != a.pools.end()) {
+            blocks = (int64_t)it->second.size();
+            for (auto &sb : it->second) bytes += sb.first;
+        }
+        out16[2 * i] = blocks;
+        out16[2 * i + 1] = bytes;
+    }
+}
+
 KF_EXPORT void kf_alloc_reset() {  // test hook
     Allocator &a = alloc();
     std::lock_guard<std::mutex> lock(a.mu);

@@ -60,6 +60,10 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.kf_alloc_stats.argtypes = [i64p]
     lib.kf_alloc_reset.restype = None
     lib.kf_alloc_reset.argtypes = []
+    lib.kf_alloc_devices.restype = ctypes.c_int
+    lib.kf_alloc_devices.argtypes = [i32p, ctypes.c_int]
+    lib.kf_alloc_pool_stats.restype = None
+    lib.kf_alloc_pool_stats.argtypes = [ctypes.c_int, i64p]
     lib.kf_promote.restype = i8
     lib.kf_promote.argtypes = [i8, i8]
     lib.kf_accumulate_type.restype = i8

@@ -197,13 +197,24 @@ class DeviceAllocator:
 
             out = (ctypes.c_int64 * 5)()
             self._lib.kf_alloc_stats(out)
+            devs = (ctypes.c_int32 * 64)()
+            n_dev = min(self._lib.kf_alloc_devices(devs, 64), 64)
+            pools = {}
+            for di in range(n_dev):
+                per = (ctypes.c_int64 * 16)()
+                self._lib.kf_alloc_pool_stats(devs[di], per)
+                pools[int(devs[di])] = [
+                    {"bound": bound, "blocks": int(per[2 * i]),
+                     "bytes": int(per[2 * i + 1])}
+                    for i, bound in enumerate(POOL_BOUNDS)
+                ]
             return {
                 "bytes_in_use": out[0],
                 "bytes_pooled": out[1],
                 "live_blocks": out[2],
                 "fresh_allocs": out[3],
                 "pool_reuses": out[4],
-                "pools": {},
+                "pools": pools,
                 "native": True,
             }
         with self._lock:

@@ -170,6 +170,35 @@ class TestNativeAllocator:
         assert b2 == b1 and reused.value == 1
         lib.kf_free(b2)
 
+    def test_pool_stats_surface(self):
+        """kf_alloc_devices / kf_alloc_pool_stats report parked blocks per
+        (device, size-class) pool — the native analog of the Python
+        fallback's per-pool breakdown."""
+        size = ctypes.c_int64()
+        reused = ctypes.c_int()
+        dev = 7  # fresh device id for isolation
+        b1 = lib.kf_allocate(dev, 5000, ctypes.byref(size), ctypes.byref(reused))
+        b2 = lib.kf_allocate(dev, 300_000, ctypes.byref(size), ctypes.byref(reused))
+        lib.kf_free(b1)
+        lib.kf_free(b2)
+        devs = (ctypes.c_int32 * 64)()
+        n = lib.kf_alloc_devices(devs, 64)
+        assert dev in [devs[i] for i in range(min(n, 64))]
+        out = (ctypes.c_int64 * 16)()
+        lib.kf_alloc_pool_stats(dev, out)
+        # 5000 -> 5120 parked in pool 1 (<=64K); 300000 -> pool 3 (<=1M)
+        assert out[2 * 1] >= 1 and out[2 * 1 + 1] >= 5120
+        assert out[2 * 3] >= 1 and out[2 * 3 + 1] >= 300_000
+        # and the ctypes-level DeviceAllocator stats() surfaces them
+        from kfunca_tpu.runtime.allocator import DeviceAllocator
+
+        alloc = DeviceAllocator.instance()
+        if alloc._lib is not None:
+            s = alloc.stats()
+            assert s.get("native") and dev in s["pools"]
+            pool1 = s["pools"][dev][1]
+            assert pool1["blocks"] >= 1 and pool1["bytes"] >= 5120
+
 
 import numpy as np
 
