@@ -375,3 +375,55 @@ class TestOrbaxInterop:
         save_orbax(str(tmp_path / "orbax_t"), state)
         restored = load_orbax(str(tmp_path / "orbax_t"), like={"t": t._array()})
         assert np.array_equal(np.asarray(restored["t"]), t.numpy())
+
+
+class TestOptimizerRecipe:
+    """LR schedule, global-norm clipping, and the 1-D no-decay mask."""
+
+    def test_schedule_warmup_and_cosine(self):
+        from kfunca_tpu.models.train import OptConfig, schedule_lr
+
+        oc = OptConfig(lr=1e-2, warmup_steps=10, total_steps=110, min_lr_frac=0.1)
+        import jax.numpy as jnp
+
+        assert np.isclose(float(schedule_lr(oc, jnp.int32(5))), 1e-2 * 0.5)
+        assert np.isclose(float(schedule_lr(oc, jnp.int32(10))), 1e-2)
+        # end of schedule: floor
+        assert np.isclose(float(schedule_lr(oc, jnp.int32(110))), 1e-3, rtol=1e-4)
+        # midpoint of the cosine: floor + half the range
+        mid = float(schedule_lr(oc, jnp.int32(60)))
+        assert np.isclose(mid, 1e-2 * (0.1 + 0.9 * 0.5), rtol=1e-4)
+        # constant-lr default keeps legacy behavior
+        assert float(schedule_lr(OptConfig(lr=3e-4), jnp.int32(999))) == np.float32(3e-4)
+
+    def test_clip_norm_bounds_update(self):
+        from kfunca_tpu.models.train import OptConfig, adamw_update, init_opt_state
+
+        params = {"w": jnp.zeros((4, 4), jnp.float32)}
+        huge = {"w": jnp.full((4, 4), 1e6, jnp.float32)}
+        opt = init_opt_state(params)
+        oc = OptConfig(lr=1.0, weight_decay=0.0, clip_norm=1.0)
+        p1, _ = adamw_update(params, huge, opt, oc)
+        # clipping rescales, so direction survives but the moment magnitudes
+        # are those of a unit-norm gradient: identical to feeding ANY larger
+        # multiple of the same gradient
+        p2, _ = adamw_update(
+            params, {"w": huge["w"] * 37.0}, opt, oc
+        )
+        assert np.allclose(np.asarray(p1["w"]), np.asarray(p2["w"]), rtol=1e-6)
+
+    def test_decay_mask_skips_1d(self):
+        from kfunca_tpu.models.train import OptConfig, adamw_update, init_opt_state
+
+        params = {"w": jnp.ones((4, 4), jnp.float32), "g": jnp.ones((4,), jnp.float32)}
+        zero_g = jax.tree_util.tree_map(jnp.zeros_like, params)
+        opt = init_opt_state(params)
+        masked, _ = adamw_update(params, zero_g, opt, OptConfig(lr=1e-2, weight_decay=0.5))
+        # 2-D weight decays, 1-D gain untouched
+        assert float(masked["w"][0, 0]) < 1.0
+        assert np.array_equal(np.asarray(masked["g"]), np.ones(4, np.float32))
+        legacy, _ = adamw_update(
+            params, zero_g, opt,
+            OptConfig(lr=1e-2, weight_decay=0.5, decay_mask_1d=False),
+        )
+        assert float(legacy["g"][0]) < 1.0
