@@ -203,12 +203,46 @@ def _attn_chains(b, h, s, d, dtype, params, bwd):
     return make_chain, flops * 3.5
 
 
+def _q8_chains(m, k, n, params):
+    from ..ops.quant import matmul_q8, quantize_cols, quantize_rows
+
+    interp = jax.default_backend() == "cpu"
+    key = jax.random.PRNGKey(3)
+    af = jax.random.normal(key, (m, k), jnp.bfloat16)
+    bf = jax.random.normal(key, (k, n), jnp.bfloat16)
+    aq, asc = quantize_rows(af)
+    bq, bsc = quantize_cols(bf)
+
+    def make_chain(K):
+        @jax.jit
+        def f(x, y, sa, sb):
+            out = None
+            for _ in range(K):
+                out = matmul_q8(x, y, sa, sb, out_dtype=jnp.bfloat16,
+                                interpret=interp, **params)
+                # collapse-proof: maximum() against an always-smaller
+                # data-dependent value (additive bumps fold through dots)
+                bump = (out[0, 0] > jnp.bfloat16(3e4)).astype(jnp.int8)
+                x = jnp.maximum(x, bump + jnp.int8(-128))
+            return out
+
+        return lambda: f(aq, bq, asc, bsc)
+
+    return make_chain, 2.0 * m * k * n
+
+
 _SWEEP_DEFAULTS = {
     "gemm": [
         {"bm": 2048, "bn": 512, "bk": 2048},
         {"bm": 1024, "bn": 512, "bk": 2048},
         {"bm": 2048, "bn": 1024, "bk": 1024},
         {"bm": 512, "bn": 512, "bk": 4096},
+    ],
+    "gemm_q8": [
+        {"bm": 512, "bn": 512, "bk": 4096},
+        {"bm": 256, "bn": 512, "bk": 4096},
+        {"bm": 512, "bn": 512, "bk": 2048},
+        {"bm": 1024, "bn": 512, "bk": 4096},
     ],
     "attn_fwd": [
         {"bq": 512, "bk": 512},
@@ -245,6 +279,11 @@ def autotune(op: str, *shape: int, dtype=None, candidates: list | None = None,
         m, k, n = shape
         built = [(_gemm_chains(m, k, n, dtype, c)) for c in cands]
         bucket = shape_bucket(m, k, n)
+    elif op == "gemm_q8":
+        m, k, n = shape
+        dtype = "int8"  # cache key convention shared with ops/quant.py
+        built = [(_q8_chains(m, k, n, c)) for c in cands]
+        bucket = shape_bucket(m, k, n)
     elif op in ("attn_fwd", "attn_bwd"):
         b, h, s, d = shape
         built = [(_attn_chains(b, h, s, d, dtype, c, op == "attn_bwd"))
@@ -264,7 +303,8 @@ def autotune(op: str, *shape: int, dtype=None, candidates: list | None = None,
     medians = [sorted(ts)[len(ts) // 2] for ts in times]
     best = min(range(len(cands)), key=lambda i: medians[i])
     flops = built[best][1]
-    record(op, bucket, jnp.dtype(dtype), cands[best])
+    record(op, bucket, dtype if isinstance(dtype, str) else jnp.dtype(dtype),
+           cands[best])
     result = {
         "params": dict(cands[best]),
         "ms": medians[best] * 1e3,

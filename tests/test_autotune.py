@@ -84,3 +84,16 @@ class TestAutotuneSweep:
 
         with pytest.raises(ValueError):
             kfunca.autotune("nope", 8)
+
+    def test_autotune_q8_records_winner(self, tmp_path, monkeypatch):
+        import kfunca_tpu as kfunca
+
+        monkeypatch.setenv("KFUNCA_AUTOTUNE_CACHE", str(tmp_path / "at8.json"))
+        autotune._CACHE = None
+        cands = [{"bm": 128, "bn": 128, "bk": 128}]
+        res = kfunca.autotune("gemm_q8", 128, 128, 128, candidates=cands,
+                              reps=1, k1=1, k2=2, verbose=False)
+        assert res["params"] == cands[0]
+        assert autotune.lookup("gemm_q8", autotune.shape_bucket(128, 128, 128),
+                               "int8") == cands[0]
+        autotune._CACHE = None
