@@ -326,17 +326,27 @@ def bench_int8_gemm(m=4096, k=4096, n=4096):
         return mk
 
     # A/B the dispatched XLA path vs the Pallas kernel (its measured-best
-    # blocks seed the autotune cache); headline = the dispatched path
+    # blocks seed the autotune cache); headline = the dispatched path.
+    # ROUND-INTERLEAVED (xla, pallas, xla, pallas...): phase-sequential
+    # comparison drifts 10-30% with relay weather and once reversed a
+    # verdict (round-3 session 2: sequential read 288 xla / 339 pallas)
     from kfunca_tpu.runtime.autotune import lookup, record, shape_bucket
 
     sbucket = shape_bucket(m, k, n)
     pallas_blocks = lookup("gemm_q8", sbucket, "int8") or {"bm": 512, "bn": 512, "bk": 4096}
-    dt_xla = slope_time(chain(None), k1=8, k2=40, label="gemm-int8-xla", reps=2)
-    dt_pl = slope_time(
-        chain(pallas_blocks), k1=8, k2=40,
-        label=f"gemm-int8-pallas-{pallas_blocks['bm']}x{pallas_blocks['bn']}x{pallas_blocks['bk']}",
-        reps=2,
-    )
+    mk_x, mk_p = chain(None), chain(pallas_blocks)
+    fx = (mk_x(8), mk_x(40))
+    fp = (mk_p(8), mk_p(40))
+    xs, ps = [], []
+    for r in range(3):
+        for name, (f1, f2), acc in (("xla", fx, xs), ("pallas", fp, ps)):
+            t1, t2 = _timed(f1, iters=5), _timed(f2, iters=5)
+            dt = max((t2 - t1) / 32, 1e-9)
+            acc.append(dt)
+            _log(f"gemm-int8-{name}[{r}]: {dt*1e3:.3f} ms/iter")
+    xs.sort()
+    ps.sort()
+    dt_xla, dt_pl = xs[len(xs) // 2], ps[len(ps) // 2]
     record("gemm_q8", sbucket, "int8", pallas_blocks)
     flops = 2 * m * k * n
     return flops / dt_xla / 1e12, flops / dt_pl / 1e12
