@@ -171,6 +171,14 @@ def _scalar_operand(value, dt):
 
 def _storage_slots(tensors):
     """Deduplicate storages into buffer slots (donation-sound aliasing)."""
+    if len(tensors) == 2:  # hot path: binary op, distinct storages
+        ia, ib = tensors[0].impl(), tensors[1].impl()
+        sa, sb = ia.storage, ib.storage
+        if sa is not sb:
+            return [sa, sb], {id(sa): 0, id(sb): 1}, (
+                (0, ia.shape, ia.strides, ia.offset),
+                (1, ib.shape, ib.strides, ib.offset),
+            )
     bufs, slot_of = [], {}
 
     def slot(storage):

@@ -633,6 +633,17 @@ def empty_like(t: Tensor) -> Tensor:
     return empty(t.sizes(), t.dtype(), t.device())
 
 
+def adopt_flat(flat, shape, dtype: ScalarType, device: int = 0) -> Tensor:
+    """Fresh contiguous tensor ADOPTING `flat` (1-D jax.Array in the
+    storage dtype) as its buffer — the fused-dispatch fresh-output path.
+    Skips empty()+_write(): no parked-buffer recycling (the buffer is
+    handed in), no write-path checks.  Callers guarantee flat.size ==
+    numel(shape) and dtype agreement; Storage.write would assert the
+    same."""
+    storage = Storage(mat.numel_of(shape), dtype, device, buffer=flat)
+    return Tensor(TensorImpl(storage, shape, mat.contiguous_strides(shape), 0, dtype))
+
+
 def empty_strided(shape, strides, dtype: ScalarType, device: int = 0) -> Tensor:
     shape = tuple(int(s) for s in shape)
     strides = tuple(int(s) for s in strides)

@@ -32,7 +32,7 @@ from ..core.dtype import (
     to_jnp,
 )
 from ..core.iterator import plan_loops
-from ..core.tensor import GradFunction, Tensor, empty
+from ..core.tensor import GradFunction, Tensor, adopt_flat, empty
 
 
 def wrap_array(arr, dtype: ScalarType, device: int) -> Tensor:
@@ -102,8 +102,7 @@ def binary_op(name, a: Tensor, b: Tensor, out: Tensor | None = None, track_grad=
     flat = run_op(
         name, [a, b], out_shape=plan.out_shape, acc=to_jnp(acc), common=to_jnp(common)
     )
-    out = empty(plan.out_shape, common, plan.device)
-    out._write(flat)  # pre-flattened: storage adopt, no extra dispatch
+    out = adopt_flat(flat, plan.out_shape, common, plan.device)
     if track_grad and (a.requires_grad() or b.requires_grad()) and is_floating_type(common):
         out.set_requires_grad(True)
         out.set_grad_fn(BinaryGradFunction(name, a, b))
@@ -130,9 +129,7 @@ def binary_scalar_op(name, t: Tensor, scalar, out: Tensor | None = None) -> Tens
         name + "_scalar", [t], out_shape=shape,
         acc=to_jnp(acc), common=to_jnp(common), fill_value=scalar,
     )
-    out = empty(shape, common, t.device())
-    out._write(flat)
-    return out
+    return adopt_flat(flat, shape, common, t.device())
 
 
 def fill_(t: Tensor, value) -> Tensor:
@@ -160,9 +157,7 @@ def convert(t: Tensor, dtype: ScalarType) -> Tensor:
     unary_ops.cpp convert: CopyFunctor over the output dtype)."""
     dt = to_jnp(dtype)
     flat = run_op("copy", [t], out_shape=tuple(t.sizes()), acc=dt, common=dt)
-    out = empty(t.sizes(), dtype, t.device())
-    out._write(flat)
-    return out
+    return adopt_flat(flat, tuple(t.sizes()), dtype, t.device())
 
 
 # -- unary math family (capability extension: the reference's unary layer has
@@ -209,8 +204,7 @@ def unary_op(name, t: Tensor, out: Tensor | None = None, track_grad=True) -> Ten
     flat = run_op(
         name, [t], out_shape=tuple(t.sizes()), acc=to_jnp(acc), common=to_jnp(common)
     )
-    out = empty(t.sizes(), common, t.device())
-    out._write(flat)
+    out = adopt_flat(flat, tuple(t.sizes()), common, t.device())
     if track_grad and t.requires_grad() and is_floating_type(common):
         out.set_requires_grad(True)
         out.set_grad_fn(UnaryGradFunction(name, t, out))

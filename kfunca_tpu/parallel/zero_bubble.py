@@ -34,13 +34,16 @@ therefore re-run the stage forward (activation-memory policy identical to
 `remat=True` on the scan pipelines).  Honest cost accounting, in stage
 forward units (1 fwd ~= 1 matmul set, dx ~= 1, dW ~= 1):
 
-    GPipe + remat (pipeline.py):  per mb/stage 4 units, bubble 2*(S-1)*3
-    ZB-H1 here:                   per mb/stage 5 units, bubble ~2*(S-1)*1
+    GPipe + remat (pipeline.py): per-device wall ~ 4*(M + S - 1) units
+        (fwd tick = 1 unit, bwd tick = recompute+dx+dW = 3)
+    ZB-H1 here:                  per-device busy work = 5M units
+        (F = 1, B = recompute+dx = 2, W = recompute+dW = 2) + a small
+        residual bubble
 
-so the schedule wins when microbatch count M < ~6*(S-1); at large M the
-extra forward recompute dominates and the scan pipeline is preferable.
-`zb_schedule` returns the realized tick count so callers can compare
-schedules analytically (`schedule_cost`).
+so under this unit model the schedule wins when M is smaller than
+roughly 4*(S-1); at large M the extra forward recompute dominates and
+the scan pipeline is preferable.  `schedule_cost` exposes the realized
+tick counts so callers can compare schedules for their (S, M).
 """
 
 from __future__ import annotations

@@ -27,16 +27,21 @@ class TestAllocator:
         alloc.free(blk2)
 
     def test_best_fit(self):
+        # blocks are LOGICAL bookkeeping (no device buffer attached), so
+        # hermeticity comes from sizes in the >256M pool class that no
+        # other test uses — the shared singleton's parked blocks from
+        # earlier tests cannot collide here
         alloc = DeviceAllocator.instance()
-        small = alloc.allocate(2048, 0)
-        large = alloc.allocate(4096, 0)
+        mb = 1 << 20
+        small = alloc.allocate(300 * mb, 0)
+        large = alloc.allocate(600 * mb, 0)
         alloc.free(large)
         alloc.free(small)
-        # a 2000-byte request best-fits the 2048-block, not the 4096 one
-        got = alloc.allocate(2000, 0)
+        # a 299MB request best-fits the 300MB block, not the 600MB one
+        got = alloc.allocate(299 * mb, 0)
         assert got.block_id == small.block_id
         alloc.free(got)
-        got2 = alloc.allocate(4000, 0)
+        got2 = alloc.allocate(599 * mb, 0)
         assert got2.block_id == large.block_id
         alloc.free(got2)
 
