@@ -561,3 +561,212 @@ KF_EXPORT int64_t kf_bwd_live_tables(int64_t nqb, int64_t nkb, int64_t bq,
     }
     return t;
 }
+
+// ---------------------------------------------------------------------------
+// Prefix-cache hash index (serving): LRU-ordered map from a 128-bit chained
+// prompt-page content hash to a KV page id (green-field; the reference has
+// no serving layer).  vLLM-style prefix caching needs, per admitted request,
+// one chained hash per full prompt page and a lookup/touch per page; for
+// long prompts the Python sha1-per-page loop is the hot host path, so both
+// the hashing and the LRU index live here.  128-bit keys keep accidental
+// collisions (which would silently share WRONG KV) out of reach; eviction
+// policy stays in Python (it consults page refcounts), reading LRU-ordered
+// snapshots via kf_pcache_lru.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct PKey {
+    uint64_t a, b;
+    bool operator==(const PKey &o) const { return a == o.a && b == o.b; }
+};
+
+struct PKeyHash {
+    size_t operator()(const PKey &k) const {
+        // a, b are already uniform (splitmix-finalized); fold them
+        return (size_t)(k.a ^ (k.b * 0x9e3779b97f4a7c15ull));
+    }
+};
+
+struct PEntry {
+    PKey key;
+    int64_t page;
+    // intrusive LRU list: indices into PCache::nodes (-1 = none)
+    int64_t prev = -1, next = -1;
+};
+
+struct PCache {
+    std::vector<PEntry> nodes;
+    std::vector<int64_t> free_nodes;
+    std::unordered_map<PKey, int64_t, PKeyHash> map;
+    int64_t head = -1;  // oldest
+    int64_t tail = -1;  // newest
+};
+
+struct PCacheState {
+    std::mutex mu;
+    int64_t next_id = 1;
+    std::unordered_map<int64_t, PCache> caches;
+};
+
+PCacheState &pcache_state() {
+    static PCacheState s;
+    return s;
+}
+
+void pc_unlink(PCache &c, int64_t n) {
+    PEntry &e = c.nodes[n];
+    if (e.prev >= 0) c.nodes[e.prev].next = e.next; else c.head = e.next;
+    if (e.next >= 0) c.nodes[e.next].prev = e.prev; else c.tail = e.prev;
+    e.prev = e.next = -1;
+}
+
+void pc_push_back(PCache &c, int64_t n) {
+    PEntry &e = c.nodes[n];
+    e.prev = c.tail;
+    e.next = -1;
+    if (c.tail >= 0) c.nodes[c.tail].next = n; else c.head = n;
+    c.tail = n;
+}
+
+inline uint64_t splitmix64(uint64_t x) {
+    x += 0x9e3779b97f4a7c15ull;
+    x = (x ^ (x >> 30)) * 0xbf58476d1ce4e5b9ull;
+    x = (x ^ (x >> 27)) * 0x94d049bb133111ebull;
+    return x ^ (x >> 31);
+}
+
+} // namespace
+
+KF_EXPORT int64_t kf_pcache_create() {
+    PCacheState &s = pcache_state();
+    std::lock_guard<std::mutex> lock(s.mu);
+    int64_t id = s.next_id++;
+    s.caches[id];
+    return id;
+}
+
+KF_EXPORT void kf_pcache_destroy(int64_t id) {
+    PCacheState &s = pcache_state();
+    std::lock_guard<std::mutex> lock(s.mu);
+    s.caches.erase(id);
+}
+
+// Chained 128-bit content hash per FULL page of `tokens`: page i's key
+// commits to the whole token prefix [0, (i+1)*page_size) and to `seed`
+// (the LoRA adapter id — identical prompts under different adapters must
+// not share KV).  Writes 2 words per page into out_ab (a, b interleaved);
+// returns the page count.  out_ab may be null to size the buffer.
+KF_EXPORT int64_t kf_pcache_hash_chain(const int32_t *tokens, int64_t n_tokens,
+                                       int64_t page_size, int64_t seed,
+                                       uint64_t *out_ab) {
+    if (page_size <= 0) return 0;
+    int64_t n_pages = n_tokens / page_size;
+    if (!out_ab) return n_pages;
+    uint64_t a = splitmix64((uint64_t)seed ^ 0xa0761d6478bd642full);
+    uint64_t b = splitmix64((uint64_t)seed + 0xe7037ed1a0b428dbull);
+    for (int64_t p = 0; p < n_pages; p++) {
+        for (int64_t i = p * page_size; i < (p + 1) * page_size; i++) {
+            uint64_t t = (uint64_t)(uint32_t)tokens[i];
+            a = splitmix64(a ^ (t + 0x8bb84b93962eacc9ull));
+            b = splitmix64(b + ((a << 29) | (a >> 35)) + t);
+        }
+        out_ab[2 * p] = a;
+        out_ab[2 * p + 1] = b;
+    }
+    return n_pages;
+}
+
+// Lookup WITHOUT touching LRU order; -1 when absent.
+KF_EXPORT int64_t kf_pcache_get(int64_t id, uint64_t a, uint64_t b) {
+    PCacheState &s = pcache_state();
+    std::lock_guard<std::mutex> lock(s.mu);
+    auto it = s.caches.find(id);
+    if (it == s.caches.end()) return -1;
+    auto mit = it->second.map.find(PKey{a, b});
+    return mit == it->second.map.end() ? -1 : it->second.nodes[mit->second].page;
+}
+
+// Move an entry to most-recently-used; returns its page or -1.
+KF_EXPORT int64_t kf_pcache_touch(int64_t id, uint64_t a, uint64_t b) {
+    PCacheState &s = pcache_state();
+    std::lock_guard<std::mutex> lock(s.mu);
+    auto it = s.caches.find(id);
+    if (it == s.caches.end()) return -1;
+    PCache &c = it->second;
+    auto mit = c.map.find(PKey{a, b});
+    if (mit == c.map.end()) return -1;
+    pc_unlink(c, mit->second);
+    pc_push_back(c, mit->second);
+    return c.nodes[mit->second].page;
+}
+
+// Insert at MRU; returns 1 if inserted, 0 if the key was already present
+// (existing mapping is left untouched, matching dict.setdefault semantics
+// the Python publish loop relies on).
+KF_EXPORT int64_t kf_pcache_put(int64_t id, uint64_t a, uint64_t b,
+                                int64_t page) {
+    PCacheState &s = pcache_state();
+    std::lock_guard<std::mutex> lock(s.mu);
+    auto it = s.caches.find(id);
+    if (it == s.caches.end()) return -1;
+    PCache &c = it->second;
+    PKey key{a, b};
+    if (c.map.count(key)) return 0;
+    int64_t n;
+    if (!c.free_nodes.empty()) {
+        n = c.free_nodes.back();
+        c.free_nodes.pop_back();
+    } else {
+        n = (int64_t)c.nodes.size();
+        c.nodes.emplace_back();
+    }
+    c.nodes[n] = PEntry{key, page, -1, -1};
+    pc_push_back(c, n);
+    c.map.emplace(key, n);
+    return 1;
+}
+
+// Erase; returns the page that was mapped, or -1.
+KF_EXPORT int64_t kf_pcache_erase(int64_t id, uint64_t a, uint64_t b) {
+    PCacheState &s = pcache_state();
+    std::lock_guard<std::mutex> lock(s.mu);
+    auto it = s.caches.find(id);
+    if (it == s.caches.end()) return -1;
+    PCache &c = it->second;
+    auto mit = c.map.find(PKey{a, b});
+    if (mit == c.map.end()) return -1;
+    int64_t n = mit->second;
+    int64_t page = c.nodes[n].page;
+    pc_unlink(c, n);
+    c.map.erase(mit);
+    c.free_nodes.push_back(n);
+    return page;
+}
+
+KF_EXPORT int64_t kf_pcache_size(int64_t id) {
+    PCacheState &s = pcache_state();
+    std::lock_guard<std::mutex> lock(s.mu);
+    auto it = s.caches.find(id);
+    if (it == s.caches.end()) return -1;
+    return (int64_t)it->second.map.size();
+}
+
+// Snapshot up to `max` entries in LRU order (oldest first) into out_ab
+// (2 words per entry) and out_pages; returns the count written.  The
+// eviction scan walks this, checking Python-side page refcounts.
+KF_EXPORT int64_t kf_pcache_lru(int64_t id, uint64_t *out_ab,
+                                int64_t *out_pages, int64_t max) {
+    PCacheState &s = pcache_state();
+    std::lock_guard<std::mutex> lock(s.mu);
+    auto it = s.caches.find(id);
+    if (it == s.caches.end()) return -1;
+    PCache &c = it->second;
+    int64_t n = 0;
+    for (int64_t cur = c.head; cur >= 0 && n < max; cur = c.nodes[cur].next, n++) {
+        out_ab[2 * n] = c.nodes[cur].key.a;
+        out_ab[2 * n + 1] = c.nodes[cur].key.b;
+        out_pages[n] = c.nodes[cur].page;
+    }
+    return n;
+}

@@ -130,6 +130,103 @@ class RequestQueue:
         return len(self._items)
 
 
+class PrefixIndex:
+    """LRU-ordered prefix-cache index: chained prompt-page content hash ->
+    KV page id (native kf_pcache_*; OrderedDict-semantics Python fallback).
+
+    Keys are opaque hashables: (u64, u64) pairs from the native 128-bit
+    splitmix chain, or 20-byte sha1 digests from the fallback — both commit
+    to the whole token prefix [0, (i+1)*page_size) and the adapter id."""
+
+    def __init__(self):
+        self._lib = _native.get_lib()
+        if self._lib is not None:
+            self._id = self._lib.kf_pcache_create()
+        else:
+            self._d: dict = {}
+
+    def hash_chain(self, prompt, page_size: int, seed: int) -> list:
+        """One chained content hash per FULL page of `prompt` under `seed`
+        (the LoRA adapter id)."""
+        import numpy as np
+
+        n_pages = len(prompt) // page_size
+        if n_pages == 0:
+            return []
+        if self._lib is not None:
+            import ctypes
+
+            toks = np.ascontiguousarray(prompt, dtype=np.int32)
+            out = (ctypes.c_uint64 * (2 * n_pages))()
+            self._lib.kf_pcache_hash_chain(
+                toks.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                len(toks), page_size, seed, out,
+            )
+            return [(out[2 * i], out[2 * i + 1]) for i in range(n_pages)]
+        import hashlib
+
+        hashes, h = [], np.int32(seed).tobytes()
+        for i in range(n_pages):
+            h = hashlib.sha1(
+                h + np.asarray(prompt[i * page_size : (i + 1) * page_size],
+                               np.int32).tobytes()
+            ).digest()
+            hashes.append(h)
+        return hashes
+
+    def get(self, key):
+        """Mapped page id, or None (does NOT touch LRU order)."""
+        if self._lib is not None:
+            v = int(self._lib.kf_pcache_get(self._id, key[0], key[1]))
+            return None if v < 0 else v
+        return self._d.get(key)
+
+    def touch(self, key) -> None:
+        """Move an entry to most-recently-used."""
+        if self._lib is not None:
+            self._lib.kf_pcache_touch(self._id, key[0], key[1])
+        elif key in self._d:
+            self._d[key] = self._d.pop(key)
+
+    def put(self, key, page: int) -> bool:
+        """Insert at MRU; False (and no change) if the key already exists."""
+        if self._lib is not None:
+            return int(self._lib.kf_pcache_put(self._id, key[0], key[1], page)) == 1
+        if key in self._d:
+            return False
+        self._d[key] = page
+        return True
+
+    def erase(self, key):
+        """Remove; returns the page that was mapped, or None."""
+        if self._lib is not None:
+            v = int(self._lib.kf_pcache_erase(self._id, key[0], key[1]))
+            return None if v < 0 else v
+        return self._d.pop(key, None)
+
+    def lru_items(self) -> list:
+        """(key, page) snapshot in LRU order, oldest first."""
+        if self._lib is not None:
+            import ctypes
+
+            n = int(self._lib.kf_pcache_size(self._id))
+            if n <= 0:
+                return []
+            ab = (ctypes.c_uint64 * (2 * n))()
+            pages = _native.i64_array([0] * n)
+            n = int(self._lib.kf_pcache_lru(self._id, ab, pages, n))
+            return [((ab[2 * i], ab[2 * i + 1]), int(pages[i])) for i in range(n)]
+        return list(self._d.items())
+
+    def __len__(self) -> int:
+        if self._lib is not None:
+            return max(0, int(self._lib.kf_pcache_size(self._id)))
+        return len(self._d)
+
+    def __contains__(self, key) -> bool:
+        return self.get(key) is not None
+
+
 # ---------------------------------------------------------------------------
 # sampling
 # ---------------------------------------------------------------------------
@@ -324,7 +421,7 @@ class InferenceServer:
         params,
         cfg: TransformerConfig,
         batch_slots: int = 4,
-        page_size: int = 16,
+        page_size: int | None = 16,
         n_pages: int = 256,
         max_pages_per_seq: int = 16,
         temperature: float = 0.0,
@@ -343,6 +440,18 @@ class InferenceServer:
         self.params = params
         self.cfg = cfg
         self.B = batch_slots
+        if page_size is None:
+            # consult the per-chip autotune cache (kfunca.autotune
+            # ("decode_page", slots, H*hd, context) records the winner)
+            from ..runtime import autotune as _at
+
+            hd = cfg.d_model // cfg.n_heads
+            hit = _at.lookup(
+                "decode_page",
+                _at.shape_bucket(batch_slots, cfg.kv_heads * hd),
+                jnp.dtype(jnp.bfloat16),
+            )
+            page_size = int(hit["page_size"]) if hit else 16
         self.page_size = page_size
         self.max_pages = max_pages_per_seq
         self.temperature = float(temperature)
@@ -357,7 +466,7 @@ class InferenceServer:
         # cache-only pages are evicted LRU under pool pressure.
         self.prefix_cache = bool(prefix_cache)
         self._page_refs: dict[int, int] = {}
-        self._pcache: dict[bytes, int] = {}  # chained page hash -> page id
+        self._pcache = PrefixIndex()  # chained page hash -> page id (LRU)
         self.prefix_hit_pages = 0
         self.prefix_fresh_pages = 0
         # multi-LoRA: stacked per-layer wqkv adapters, slot 0 = the zero
@@ -483,25 +592,19 @@ class InferenceServer:
         else:
             self._page_refs[page] = r
 
-    def _prefix_hashes(self, prompt: np.ndarray, lora_id: int = 0) -> list[bytes]:
+    def _prefix_hashes(self, prompt: np.ndarray, lora_id: int = 0) -> list:
         """Chained content hash per FULL prompt page: page i's key commits
         to the entire token prefix [0, (i+1)*page_size) AND the adapter —
         LoRA changes the K projection, so identical prompts under different
-        adapters must not share pages."""
-        import hashlib
-
-        ps = self.page_size
-        hashes, h = [], np.int32(lora_id).tobytes()
-        for i in range(len(prompt) // ps):
-            h = hashlib.sha1(h + prompt[i * ps : (i + 1) * ps].tobytes()).digest()
-            hashes.append(h)
-        return hashes
+        adapters must not share pages.  Hashing runs in the native core
+        (kf_pcache_hash_chain, 128-bit splitmix chain) when available."""
+        return self._pcache.hash_chain(prompt, self.page_size, lora_id)
 
     def _evict_one(self) -> bool:
         """Drop the least-recently-used cache entry no sequence is using."""
-        for h, page in self._pcache.items():
+        for h, page in self._pcache.lru_items():
             if self._page_refs.get(page, 0) == 1:  # cache holds the only ref
-                del self._pcache[h]
+                self._pcache.erase(h)
                 self._decref(page)
                 return True
         return False
@@ -531,8 +634,8 @@ class InferenceServer:
                     # spin run() through max_steps doing nothing
                     req.done = True
                     continue
-                reused: list[tuple[bytes, int]] = []
-                hashes: list[bytes] = []
+                reused = []  # (hash key, page) pairs; keys are opaque
+                hashes: list = []
                 if self.prefix_cache:
                     hashes = self._prefix_hashes(req.prompt, req.lora_id)
                     # never reuse the page holding the LAST prompt token:
@@ -554,9 +657,7 @@ class InferenceServer:
                     return
                 for h, page in reused:
                     self._incref(page)
-                    # LRU touch: re-insert at the back of the (ordered) dict
-                    del self._pcache[h]
-                    self._pcache[h] = page
+                    self._pcache.touch(h)  # LRU: move to most-recently-used
                 for page in fresh:
                     self._incref(page)
                 pages = [page for _, page in reused] + fresh
@@ -577,8 +678,7 @@ class InferenceServer:
                 # publish this prompt's full pages (pure prompt KV: decode
                 # writes start at position t, beyond every full page)
                 for i in range(len(reused), t // self.page_size):
-                    if hashes[i] not in self._pcache:
-                        self._pcache[hashes[i]] = pages[i]
+                    if self._pcache.put(hashes[i], pages[i]):
                         self._incref(pages[i])
             self.positions[slot] = t
             self.last_tokens[slot] = first

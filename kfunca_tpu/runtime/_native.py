@@ -95,6 +95,26 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     for fn in (lib.kf_fwd_live_tables, lib.kf_bwd_live_tables):
         fn.restype = i64
         fn.argtypes = [i64, i64, i64, i64, i32p, i32p, i32p]
+    # serving prefix-cache: chained page hashing + LRU hash index
+    u64, u64p = ctypes.c_uint64, ctypes.POINTER(ctypes.c_uint64)
+    lib.kf_pcache_create.restype = i64
+    lib.kf_pcache_create.argtypes = []
+    lib.kf_pcache_destroy.restype = None
+    lib.kf_pcache_destroy.argtypes = [i64]
+    lib.kf_pcache_hash_chain.restype = i64
+    lib.kf_pcache_hash_chain.argtypes = [i32p, i64, i64, i64, u64p]
+    lib.kf_pcache_get.restype = i64
+    lib.kf_pcache_get.argtypes = [i64, u64, u64]
+    lib.kf_pcache_touch.restype = i64
+    lib.kf_pcache_touch.argtypes = [i64, u64, u64]
+    lib.kf_pcache_put.restype = i64
+    lib.kf_pcache_put.argtypes = [i64, u64, u64, i64]
+    lib.kf_pcache_erase.restype = i64
+    lib.kf_pcache_erase.argtypes = [i64, u64, u64]
+    lib.kf_pcache_size.restype = i64
+    lib.kf_pcache_size.argtypes = [i64]
+    lib.kf_pcache_lru.restype = i64
+    lib.kf_pcache_lru.argtypes = [i64, u64p, i64p, i64]
     return lib
 
 

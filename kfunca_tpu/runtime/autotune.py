@@ -231,6 +231,67 @@ def _q8_chains(m, k, n, params):
     return make_chain, 2.0 * m * k * n
 
 
+def _reduce_chains(r, c, dtype, params, welford):
+    from ..ops.pallas_kernels.reduce import reduce_2d
+    from ..ops.pallas_kernels.welford import welford_norm_stat
+
+    interp = jax.default_backend() == "cpu"
+    x0 = jax.random.normal(jax.random.PRNGKey(4), (r, c), jnp.float32)
+
+    def make_chain(K):
+        @jax.jit
+        def f(x):
+            for _ in range(K):
+                if welford:
+                    mean, invstd = welford_norm_stat(x, interpret=interp, **params)
+                    probe = mean[0] + invstd[0]
+                else:
+                    out = reduce_2d(x, op="sum", interpret=interp, **params)
+                    probe = out[0, 0]
+                # collapse-proof: maximum() against an always-smaller
+                # data-dependent scalar (additive bumps reassociate away)
+                x = jnp.maximum(x, probe * jnp.float32(1e-30) - jnp.float32(1e30))
+            return x
+
+        return lambda: f(x0)
+
+    # "flops" here = reduction adds (welford ~3 VPU ops/elem); the
+    # interesting unit is really bytes/s, but the comparison is relative
+    return make_chain, float(r * c) * (3.0 if welford else 1.0)
+
+
+def _decode_page_chains(b, hd_total, context, params):
+    """Paged-decode serving kernel at a candidate page size: fixed context
+    length per sequence, pools sized to cover it, all slots live."""
+    from ..ops.pallas_kernels.paged_attention import paged_decode_attention
+
+    interp = jax.default_backend() == "cpu"
+    page = params["page_size"]
+    h, hd = max(1, hd_total // 128), 128
+    max_pages = -(-context // page)
+    n_pages = b * max_pages + 1
+    key = jax.random.PRNGKey(5)
+    q = jax.random.normal(key, (b, h, hd), jnp.bfloat16)
+    pool_k = jax.random.normal(key, (n_pages, page, h, hd), jnp.bfloat16)
+    pool_v = jax.random.normal(key, (n_pages, page, h, hd), jnp.bfloat16)
+    tables = jnp.arange(b * max_pages, dtype=jnp.int32).reshape(b, max_pages) + 1
+    positions = jnp.full((b,), context - 1, jnp.int32)
+
+    def make_chain(K):
+        @jax.jit
+        def f(x, pk, pv):
+            for _ in range(K):
+                out = paged_decode_attention(x, pk, pv, tables, positions,
+                                             interpret=interp)
+                x = jnp.maximum(x, out[0, 0, 0] * jnp.bfloat16(1e-30)
+                                - jnp.bfloat16(1e30))
+            return x
+
+        return lambda: f(q, pool_k, pool_v)
+
+    return make_chain, 4.0 * b * h * hd * context
+
+
 _SWEEP_DEFAULTS = {
     "gemm": [
         {"bm": 2048, "bn": 512, "bk": 2048},
@@ -254,6 +315,28 @@ _SWEEP_DEFAULTS = {
         {"bq": 256, "bk": 512},
         {"bq": 512, "bk": 1024},
     ],
+    # Pallas reduction substrate (XLA is the measured production default;
+    # these tune the KFUNCA_REDUCE_ENGINE=pallas path)
+    "reduce": [
+        {"br": 512, "bc": 512},
+        {"br": 256, "bc": 1024},
+        {"br": 1024, "bc": 256},
+        {"br": 512, "bc": 1024},
+    ],
+    "welford": [
+        {"br": 512, "bc": 512},
+        {"br": 256, "bc": 1024},
+        {"br": 1024, "bc": 256},
+        {"br": 512, "bc": 1024},
+    ],
+    # serving: KV page size for the paged-decode kernel (InferenceServer
+    # consults the recorded winner when constructed with page_size=None)
+    "decode_page": [
+        {"page_size": 16},
+        {"page_size": 32},
+        {"page_size": 64},
+        {"page_size": 128},
+    ],
 }
 
 
@@ -265,6 +348,9 @@ def autotune(op: str, *shape: int, dtype=None, candidates: list | None = None,
         kfunca.autotune("gemm", 4096, 4096, 4096)          # m, k, n
         kfunca.autotune("attn_fwd", 4, 16, 2048, 128)      # b, h, s, d
         kfunca.autotune("attn_bwd", 4, 16, 2048, 128)
+        kfunca.autotune("reduce", 16384, 16384)            # rows, cols (dim-0)
+        kfunca.autotune("welford", 16387, 16387)
+        kfunca.autotune("decode_page", 8, 2048, 2048)      # slots, H*hd, context
 
     Candidates are interleaved round-robin (relay/thermal drift makes
     sequential comparison meaningless) and per-iteration times come from
@@ -289,6 +375,17 @@ def autotune(op: str, *shape: int, dtype=None, candidates: list | None = None,
         built = [(_attn_chains(b, h, s, d, dtype, c, op == "attn_bwd"))
                  for c in cands]
         bucket = shape_bucket(s, s, d)
+    elif op in ("reduce", "welford"):
+        r, c = shape
+        dtype = jnp.float32  # the Pallas reduction substrate is fp32-acc
+        built = [(_reduce_chains(r, c, dtype, cand, op == "welford"))
+                 for cand in cands]
+        bucket = shape_bucket(r, c)
+    elif op == "decode_page":
+        b, hd_total, context = shape
+        built = [(_decode_page_chains(b, hd_total, context, cand))
+                 for cand in cands]
+        bucket = shape_bucket(b, hd_total)
     else:  # pragma: no cover - guarded above
         raise AssertionError(op)
 

@@ -97,3 +97,54 @@ class TestAutotuneSweep:
         assert autotune.lookup("gemm_q8", autotune.shape_bucket(128, 128, 128),
                                "int8") == cands[0]
         autotune._CACHE = None
+
+    def test_autotune_reduce_and_welford(self, tmp_path, monkeypatch):
+        """Round-3 extension: the Pallas reduction substrate is sweepable."""
+        import jax.numpy as jnp
+
+        import kfunca_tpu as kfunca
+
+        monkeypatch.setenv("KFUNCA_AUTOTUNE_CACHE", str(tmp_path / "atr.json"))
+        autotune._CACHE = None
+        cands = [{"br": 64, "bc": 128}, {"br": 128, "bc": 128}]
+        for op in ("reduce", "welford"):
+            res = kfunca.autotune(op, 128, 128, candidates=cands,
+                                  reps=1, k1=1, k2=2, verbose=False)
+            assert res["params"] in cands
+            assert autotune.lookup(op, autotune.shape_bucket(128, 128),
+                                   jnp.dtype(jnp.float32)) == res["params"]
+        autotune._CACHE = None
+
+    def test_autotune_decode_page_feeds_server_default(self, tmp_path, monkeypatch):
+        """The decode_page winner is consulted by InferenceServer when
+        constructed with page_size=None."""
+        import jax.numpy as jnp
+
+        import kfunca_tpu as kfunca
+        from kfunca_tpu.models.serve import InferenceServer
+        from kfunca_tpu.models.transformer import TransformerConfig, init_params
+
+        monkeypatch.setenv("KFUNCA_AUTOTUNE_CACHE", str(tmp_path / "atd.json"))
+        autotune._CACHE = None
+        cands = [{"page_size": 8}, {"page_size": 16}]
+        res = kfunca.autotune("decode_page", 2, 128, 64, candidates=cands,
+                              reps=1, k1=1, k2=2, verbose=False)
+        assert res["params"] in cands
+        cfg = TransformerConfig(vocab_size=64, d_model=128, n_heads=1,
+                                n_layers=1, d_ff=128, max_seq_len=64)
+        import jax
+
+        params = init_params(jax.random.PRNGKey(0), cfg)
+        srv = InferenceServer(params, cfg, batch_slots=2, page_size=None,
+                              n_pages=32, max_pages_per_seq=8)
+        assert srv.page_size == res["params"]["page_size"]
+        # and without a cache hit the default stays 16
+        autotune._CACHE = {}
+        autotune._DEFAULTS = {}
+        try:
+            srv2 = InferenceServer(params, cfg, batch_slots=2, page_size=None,
+                                   n_pages=32, max_pages_per_seq=8)
+            assert srv2.page_size == 16
+        finally:
+            autotune._CACHE = None
+            autotune._DEFAULTS = None

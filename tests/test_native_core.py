@@ -230,3 +230,98 @@ class TestLiveTables:
                 assert np.array_equal(got, want), (nqb, nkb, bq, bk, "fwd")
             for got, want in zip(nat_b, py_b):
                 assert np.array_equal(got, want), (nqb, nkb, bq, bk, "bwd")
+
+
+class TestPrefixCacheIndex:
+    """Native kf_pcache_*: the serving prefix-cache LRU hash index."""
+
+    def test_put_get_erase(self):
+        h = lib.kf_pcache_create()
+        try:
+            assert lib.kf_pcache_get(h, 1, 2) == -1
+            assert lib.kf_pcache_put(h, 1, 2, 7) == 1
+            assert lib.kf_pcache_put(h, 1, 2, 99) == 0  # setdefault semantics
+            assert lib.kf_pcache_get(h, 1, 2) == 7
+            assert lib.kf_pcache_size(h) == 1
+            assert lib.kf_pcache_erase(h, 1, 2) == 7
+            assert lib.kf_pcache_erase(h, 1, 2) == -1
+            assert lib.kf_pcache_size(h) == 0
+        finally:
+            lib.kf_pcache_destroy(h)
+
+    def test_lru_order_and_touch(self):
+        import ctypes
+
+        h = lib.kf_pcache_create()
+        try:
+            for i in range(4):
+                lib.kf_pcache_put(h, i, i, 10 + i)
+            assert lib.kf_pcache_touch(h, 0, 0) == 10  # 0 becomes newest
+            ab = (ctypes.c_uint64 * 8)()
+            pages = (ctypes.c_int64 * 4)()
+            n = lib.kf_pcache_lru(h, ab, pages, 4)
+            assert n == 4
+            assert [pages[i] for i in range(4)] == [11, 12, 13, 10]
+            # erase the middle, order is preserved and node slot recycled
+            lib.kf_pcache_erase(h, 2, 2)
+            lib.kf_pcache_put(h, 9, 9, 19)
+            n = lib.kf_pcache_lru(h, ab, pages, 4)
+            assert [pages[i] for i in range(n)] == [11, 13, 10, 19]
+        finally:
+            lib.kf_pcache_destroy(h)
+
+    def test_hash_chain_prefix_property(self):
+        """Changing a token in page i changes hashes for pages >= i only,
+        and the chain commits to the seed (adapter id)."""
+        import ctypes
+
+        def chain(toks, ps, seed):
+            toks = np.ascontiguousarray(toks, np.int32)
+            n = len(toks) // ps
+            out = (ctypes.c_uint64 * (2 * n))()
+            got = lib.kf_pcache_hash_chain(
+                toks.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                len(toks), ps, seed, out)
+            assert got == n
+            return [(out[2 * i], out[2 * i + 1]) for i in range(n)]
+
+        base = np.arange(32, dtype=np.int32)
+        a = chain(base, 8, 0)
+        assert len(a) == 4 and len(set(a)) == 4
+        assert chain(base, 8, 0) == a           # deterministic
+        assert chain(base, 8, 1) != a           # seed-sensitive (every page)
+        mutated = base.copy()
+        mutated[17] = -1                        # inside page 2
+        b = chain(mutated, 8, 0)
+        assert b[:2] == a[:2] and b[2] != a[2] and b[3] != a[3]
+        # partial tail page is not hashed
+        assert len(chain(base[:31], 8, 0)) == 3
+
+    def test_prefix_index_wrapper_parity(self):
+        """models.serve.PrefixIndex: native and fallback agree on the
+        observable contract (LRU order, setdefault put, touch, erase)."""
+        import os
+        from unittest import mock
+
+        from kfunca_tpu.models import serve as sv
+
+        def exercise(idx):
+            keys = idx.hash_chain(np.arange(24, dtype=np.int32), 8, 0)
+            assert len(keys) == 3
+            out = []
+            for i, k in enumerate(keys):
+                assert idx.put(k, 100 + i)
+            assert not idx.put(keys[0], 555)
+            assert idx.get(keys[0]) == 100
+            idx.touch(keys[0])
+            out.append([p for _, p in idx.lru_items()])
+            assert idx.erase(keys[1]) == 101
+            assert idx.erase(keys[1]) is None
+            assert keys[1] not in idx and keys[0] in idx
+            out.append(len(idx))
+            return out
+
+        native = exercise(sv.PrefixIndex())
+        with mock.patch.object(sv._native, "get_lib", lambda: None):
+            fallback = exercise(sv.PrefixIndex())
+        assert native == fallback == [[101, 102, 100], 2]
