@@ -44,6 +44,13 @@ so under this unit model the schedule wins when M is smaller than
 roughly 4*(S-1); at large M the extra forward recompute dominates and
 the scan pipeline is preferable.  `schedule_cost` exposes the realized
 tick counts so callers can compare schedules for their (S, M).
+
+This module also provides **ZB-V** (`zbv_schedule` / `make_zbv_train_step`):
+two model chunks per device in a V pattern.  Its greedy schedule realizes
+busy fractions of 6M/(6M + S - 1) — only S-1 idle ticks total, vs ZB-H1's
+~3(S-1) — and balances in-flight activation memory across devices
+(measured: n=8 m=8 busy 0.873 vs H1's 0.774; audit + parity tests in
+tests/test_parallel.py::TestZBVPipeline).
 """
 
 from __future__ import annotations
@@ -154,6 +161,376 @@ def schedule_cost(n_stages: int, n_micro: int) -> dict:
     scan_ticks = 2 * (n_micro + n_stages - 1)  # fwd scan + its AD transpose
     return {"zb_ticks": int(T), "scan_ticks": scan_ticks,
             "zb_busy_frac": 3 * n_micro / T}
+
+
+# ---------------------------------------------------------------------------
+# ZB-V: two model chunks per device in a V pattern (round 3)
+# ---------------------------------------------------------------------------
+#
+# Each device hosts TWO chunks of the 2N-stage model: device d runs stage d
+# (chunk 0) and stage 2N-1-d (chunk 1).  A microbatch flows DOWN the mesh
+# through chunk 0 (device 0 -> N-1), transitions chunks ON device N-1 (no
+# hop), flows back UP through chunk 1 (N-1 -> 0), and the loss lands on
+# device 0 — the "V".  Backward retraces it: B1 hops 0 -> N-1, transitions
+# on N-1, B0 hops N-1 -> 0.  What the V buys over ZB-H1:
+#
+#   * device 0 owns both the FIRST and LAST stages, so the loss is computed
+#     where the input lives and the warmup/cool-down bubbles shrink to the
+#     distance of HALF the mesh;
+#   * in-flight activation memory is BALANCED: chunk-0 lifetime falls with
+#     d while chunk-1 lifetime grows with d, so every device holds ~2N
+#     microbatch activations (the 1F1B bound) instead of ZB-H1's N-d skew.
+#
+# The schedule is greedy (B1/B0 critical path > F1/F0 bounded by per-chunk
+# in-flight caps > deferred W fills bubbles), audited by
+# validate_zbv_schedule, and realized by ONE lax.scan whose tick hops four
+# ring streams (act0/grad1 downward, act1/grad0 upward) and switches over
+# {F0, F1, B1, B0, W1, W0, idle}.
+
+ZV_IDLE, ZV_F0, ZV_F1, ZV_B1, ZV_B0, ZV_W1, ZV_W0 = 0, 1, 2, 3, 4, 5, 6
+
+
+def zbv_schedule(n_stages: int, n_micro: int) -> np.ndarray:
+    """Greedy ZB-V list schedule -> (n_stages, T) int32 op table."""
+    n, m = n_stages, n_micro
+    done = {k: [[-1] * m for _ in range(n)] for k in "f0 f1 b1 b0".split()}
+    cnt = {k: [0] * n for k in "f0 f1 b1 b0 w1 w0".split()}
+    cols: list[list[int]] = []
+    t = 0
+    while not all(cnt["w0"][d] == m and cnt["w1"][d] == m for d in range(n)):
+        assert t < 8 * (m + n) * n + 64, "zbv schedule failed to converge"
+        col = []
+        for d in range(n):
+            i_f0, i_f1 = cnt["f0"][d], cnt["f1"][d]
+            i_b1, i_b0 = cnt["b1"][d], cnt["b0"][d]
+            i_w1, i_w0 = cnt["w1"][d], cnt["w0"][d]
+            # in-flight caps keep per-device activation memory ~2N while
+            # letting the long-lived chunk (0 near the top, 1 near the
+            # bottom) run far enough ahead to hide the V's round trip
+            cap0 = min(m, 2 * n - 1 - d)
+            cap1 = min(m, d + 2)
+            b1_ok = (i_b1 < m and 0 <= done["f1"][d][i_b1] < t
+                     and (d == 0 or 0 <= done["b1"][d - 1][i_b1] < t))
+            b0_ok = (i_b0 < m and 0 <= done["f0"][d][i_b0] < t
+                     and (0 <= (done["b1"][d][i_b0] if d == n - 1
+                                else done["b0"][d + 1][i_b0]) < t))
+            f1_ok = (i_f1 < m and (i_f1 - i_b1) < cap1
+                     and (0 <= (done["f0"][d][i_f1] if d == n - 1
+                                else done["f1"][d + 1][i_f1]) < t))
+            f0_ok = (i_f0 < m and (i_f0 - i_b0) < cap0
+                     and (d == 0 or 0 <= done["f0"][d - 1][i_f0] < t))
+            if b1_ok:
+                op = ZV_B1
+                done["b1"][d][i_b1] = t
+                cnt["b1"][d] += 1
+            elif b0_ok:
+                op = ZV_B0
+                done["b0"][d][i_b0] = t
+                cnt["b0"][d] += 1
+            elif f1_ok:
+                op = ZV_F1
+                done["f1"][d][i_f1] = t
+                cnt["f1"][d] += 1
+            elif f0_ok:
+                op = ZV_F0
+                done["f0"][d][i_f0] = t
+                cnt["f0"][d] += 1
+            elif i_w1 < m and 0 <= done["b1"][d][i_w1] < t:
+                op = ZV_W1
+                cnt["w1"][d] += 1
+            elif i_w0 < m and 0 <= done["b0"][d][i_w0] < t:
+                op = ZV_W0
+                cnt["w0"][d] += 1
+            else:
+                op = ZV_IDLE
+            col.append(op)
+        cols.append(col)
+        t += 1
+    return np.asarray(cols, np.int32).T
+
+
+def validate_zbv_schedule(sched: np.ndarray, n_micro: int) -> None:
+    """Host-side dependency audit of a ZB-V op table (raises AssertionError)."""
+    n, T = sched.shape
+    m = n_micro
+    done = {k: np.full((n, m), -1) for k in ("f0", "f1", "b1", "b0")}
+    cnt = np.zeros((n, 6), int)
+    kinds = {ZV_F0: 0, ZV_F1: 1, ZV_B1: 2, ZV_B0: 3, ZV_W1: 4, ZV_W0: 5}
+    for t in range(T):
+        for d in range(n):
+            op = sched[d, t]
+            if op == ZV_IDLE:
+                continue
+            k = kinds[op]
+            i = cnt[d, k]
+            assert i < m, (d, t, op, "too many ops")
+            if op == ZV_F0:
+                if d > 0:
+                    assert 0 <= done["f0"][d - 1, i] < t, (d, t, i, "F0 needs up F0")
+                done["f0"][d, i] = t
+            elif op == ZV_F1:
+                prev = done["f0"][d, i] if d == n - 1 else done["f1"][d + 1, i]
+                assert 0 <= prev < t, (d, t, i, "F1 needs F0@last / down F1")
+                done["f1"][d, i] = t
+            elif op == ZV_B1:
+                assert 0 <= done["f1"][d, i] < t, (d, t, i, "B1 needs local F1")
+                if d > 0:
+                    assert 0 <= done["b1"][d - 1, i] < t, (d, t, i, "B1 needs up B1")
+                done["b1"][d, i] = t
+            elif op == ZV_B0:
+                assert 0 <= done["f0"][d, i] < t, (d, t, i, "B0 needs local F0")
+                prev = done["b1"][d, i] if d == n - 1 else done["b0"][d + 1, i]
+                assert 0 <= prev < t, (d, t, i, "B0 needs B1@last / down B0")
+                done["b0"][d, i] = t
+            elif op == ZV_W1:
+                assert 0 <= done["b1"][d, i] < t, (d, t, i, "W1 needs local B1")
+            else:
+                assert 0 <= done["b0"][d, i] < t, (d, t, i, "W0 needs local B0")
+            cnt[d, k] += 1
+    assert (cnt == m).all(), f"incomplete zbv schedule: {cnt.tolist()}"
+
+
+def zbv_schedule_cost(n_stages: int, n_micro: int) -> dict:
+    """Realized tick counts: 6 ops per (device, microbatch); busy_frac is
+    the zero-bubble figure of merit (1.0 = no idle ticks)."""
+    T = zbv_schedule(n_stages, n_micro).shape[1]
+    return {"zbv_ticks": int(T), "min_ticks": 6 * n_micro,
+            "zbv_busy_frac": 6 * n_micro / T}
+
+
+def stack_stages_v(block_params: list, n_stages: int):
+    """Stack 2*n_stages stage-param pytrees into the ZB-V (n_stages, 2, ...)
+    layout: device d's chunk 0 = stage d, chunk 1 = stage 2*n_stages-1-d.
+    Axis 0 is sharded over pp."""
+    assert len(block_params) == 2 * n_stages, (len(block_params), n_stages)
+    rows = [
+        jax.tree_util.tree_map(
+            lambda a, b: jnp.stack([a, b]),
+            block_params[d], block_params[2 * n_stages - 1 - d],
+        )
+        for d in range(n_stages)
+    ]
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *rows)
+
+
+def _zbv_spmd(stage_fn, loss_fn, n_stages, op_cols, masks_cols,
+              stacked_params, x_mb, *, axis):
+    """ZB-V runtime inside shard_map over `axis`.
+
+    stacked_params leaves carry a local (1, 2, ...) leading block: [0, 0] is
+    this device's chunk-0 (stage d) params, [0, 1] chunk-1 (stage 2N-1-d).
+    masks_cols: (T, 4, n) bool arrival tables for act0/act1/grad1/grad0.
+    """
+    n = n_stages
+    idx = jax.lax.axis_index(axis)
+    m = x_mb.shape[0]
+    down_perm = [(i, i + 1) for i in range(n - 1)]  # act0, grad1
+    up_perm = [(i + 1, i) for i in range(n - 1)]    # act1, grad0
+
+    theta0 = jax.tree_util.tree_map(lambda p: p[0, 0], stacked_params)
+    theta1 = jax.tree_util.tree_map(lambda p: p[0, 1], stacked_params)
+    is_first = idx == 0
+    is_last = idx == n - 1
+
+    def f0(x):
+        return stage_fn(theta0, x)
+
+    def f1(x):
+        return stage_fn(theta1, x)
+
+    def tick(carry, cols):
+        (x0_buf, x1_buf, dy1_buf, dy0_buf, dw0, dw1,
+         s_act0, s_act1, s_grad1, s_grad0, loss_acc, cnts, rxs) = carry
+        op_row, mask_rows = cols
+        op = jnp.take(op_row, idx)
+        a0_arr, a1_arr, g1_arr, g0_arr = (jnp.take(mask_rows[k], idx)
+                                          for k in range(4))
+
+        r_act0 = jax.lax.ppermute(s_act0, axis, down_perm)
+        r_act1 = jax.lax.ppermute(s_act1, axis, up_perm)
+        r_grad1 = jax.lax.ppermute(s_grad1, axis, down_perm)
+        r_grad0 = jax.lax.ppermute(s_grad0, axis, up_perm)
+
+        a0_rx, a1_rx, g1_rx, g0_rx = rxs
+
+        def buf_write(buf, val, pos, arrives):
+            return jnp.where(
+                arrives, jax.lax.dynamic_update_index_in_dim(buf, val, pos, 0), buf
+            )
+
+        x0_buf = buf_write(x0_buf, r_act0, a0_rx, a0_arr)
+        x1_buf = buf_write(x1_buf, r_act1, a1_rx, a1_arr)
+        dy1_buf = buf_write(dy1_buf, r_grad1, g1_rx, g1_arr)
+        dy0_buf = buf_write(dy0_buf, r_grad0, g0_rx, g0_arr)
+        rxs = (a0_rx + a0_arr.astype(jnp.int32),
+               a1_rx + a1_arr.astype(jnp.int32),
+               g1_rx + g1_arr.astype(jnp.int32),
+               g0_rx + g0_arr.astype(jnp.int32))
+
+        state = (x0_buf, x1_buf, dy1_buf, dy0_buf, dw0, dw1,
+                 s_act0, s_act1, s_grad1, s_grad0, loss_acc, cnts)
+
+        def take(buf, i):
+            return jax.lax.dynamic_index_in_dim(buf, i, 0, keepdims=False)
+
+        def do_idle(s):
+            return s
+
+        def do_f0(s):
+            (x0_buf, x1_buf, dy1_buf, dy0_buf, dw0, dw1,
+             s_act0, s_act1, s_grad1, s_grad0, loss_acc, cnts) = s
+            i = cnts[0]
+            y = f0(take(x0_buf, i))
+            # chunk transition happens ON device N-1: its F0 output is its
+            # own chunk-1 input (never rides the ring)
+            x1_buf = jnp.where(
+                is_last, jax.lax.dynamic_update_index_in_dim(x1_buf, y, i, 0),
+                x1_buf)
+            return (x0_buf, x1_buf, dy1_buf, dy0_buf, dw0, dw1,
+                    y, s_act1, s_grad1, s_grad0, loss_acc,
+                    (i + 1,) + cnts[1:])
+
+        def do_f1(s):
+            (x0_buf, x1_buf, dy1_buf, dy0_buf, dw0, dw1,
+             s_act0, s_act1, s_grad1, s_grad0, loss_acc, cnts) = s
+            i = cnts[1]
+            y = f1(take(x1_buf, i))
+            # device 0's F1 output feeds the loss, recomputed inside B1
+            return (x0_buf, x1_buf, dy1_buf, dy0_buf, dw0, dw1,
+                    s_act0, y, s_grad1, s_grad0, loss_acc,
+                    cnts[:1] + (i + 1,) + cnts[2:])
+
+        def do_b1(s):
+            (x0_buf, x1_buf, dy1_buf, dy0_buf, dw0, dw1,
+             s_act0, s_act1, s_grad1, s_grad0, loss_acc, cnts) = s
+            i = cnts[2]
+            x = take(x1_buf, i)
+            y, pullback = jax.vjp(f1, x)
+
+            def first_dev():
+                ll, dy = jax.value_and_grad(
+                    lambda yy: loss_fn(yy, i).astype(jnp.float32))(y)
+                return ll, dy
+
+            def mid_dev():
+                return jnp.float32(0.0), take(dy1_buf, i)
+
+            ll, dy = jax.lax.cond(is_first, first_dev, mid_dev)
+            dx = pullback(dy)[0]
+            dy1_buf = jax.lax.dynamic_update_index_in_dim(dy1_buf, dy, i, 0)
+            # on device N-1, B1's dx is B0's incoming gradient (local)
+            dy0_buf = jnp.where(
+                is_last, jax.lax.dynamic_update_index_in_dim(dy0_buf, dx, i, 0),
+                dy0_buf)
+            return (x0_buf, x1_buf, dy1_buf, dy0_buf, dw0, dw1,
+                    s_act0, s_act1, dx, s_grad0, loss_acc + ll,
+                    cnts[:2] + (i + 1,) + cnts[3:])
+
+        def do_b0(s):
+            (x0_buf, x1_buf, dy1_buf, dy0_buf, dw0, dw1,
+             s_act0, s_act1, s_grad1, s_grad0, loss_acc, cnts) = s
+            i = cnts[3]
+            x = take(x0_buf, i)
+            _, pullback = jax.vjp(f0, x)
+            dx = pullback(take(dy0_buf, i))[0]
+            return (x0_buf, x1_buf, dy1_buf, dy0_buf, dw0, dw1,
+                    s_act0, s_act1, s_grad1, dx, loss_acc,
+                    cnts[:3] + (i + 1,) + cnts[4:])
+
+        def do_w1(s):
+            (x0_buf, x1_buf, dy1_buf, dy0_buf, dw0, dw1,
+             s_act0, s_act1, s_grad1, s_grad0, loss_acc, cnts) = s
+            i = cnts[4]
+            x = take(x1_buf, i)
+            _, pullback = jax.vjp(lambda th: stage_fn(th, x), theta1)
+            dth = pullback(take(dy1_buf, i))[0]
+            dw1 = jax.tree_util.tree_map(jnp.add, dw1, dth)
+            return (x0_buf, x1_buf, dy1_buf, dy0_buf, dw0, dw1,
+                    s_act0, s_act1, s_grad1, s_grad0, loss_acc,
+                    cnts[:4] + (i + 1,) + cnts[5:])
+
+        def do_w0(s):
+            (x0_buf, x1_buf, dy1_buf, dy0_buf, dw0, dw1,
+             s_act0, s_act1, s_grad1, s_grad0, loss_acc, cnts) = s
+            i = cnts[5]
+            x = take(x0_buf, i)
+            _, pullback = jax.vjp(lambda th: stage_fn(th, x), theta0)
+            dth = pullback(take(dy0_buf, i))[0]
+            dw0 = jax.tree_util.tree_map(jnp.add, dw0, dth)
+            return (x0_buf, x1_buf, dy1_buf, dy0_buf, dw0, dw1,
+                    s_act0, s_act1, s_grad1, s_grad0, loss_acc,
+                    cnts[:5] + (i + 1,))
+
+        state = jax.lax.switch(
+            op, [do_idle, do_f0, do_f1, do_b1, do_b0, do_w1, do_w0], state)
+        (x0_buf, x1_buf, dy1_buf, dy0_buf, dw0, dw1,
+         s_act0, s_act1, s_grad1, s_grad0, loss_acc, cnts) = state
+        return (x0_buf, x1_buf, dy1_buf, dy0_buf, dw0, dw1,
+                s_act0, s_act1, s_grad1, s_grad0, loss_acc, cnts, rxs), None
+
+    mb_shape = x_mb.shape[1:]
+    zero_mb = jnp.zeros(mb_shape, x_mb.dtype)
+    x0_buf0 = jnp.where(is_first, x_mb, jnp.zeros_like(x_mb))
+    zeros_like_theta = partial(jax.tree_util.tree_map,
+                               lambda p: jnp.zeros_like(p, jnp.float32))
+    init = (
+        x0_buf0,
+        jnp.zeros((m,) + mb_shape, x_mb.dtype),
+        jnp.zeros((m,) + mb_shape, x_mb.dtype),
+        jnp.zeros((m,) + mb_shape, x_mb.dtype),
+        zeros_like_theta(theta0),
+        zeros_like_theta(theta1),
+        zero_mb, zero_mb, zero_mb, zero_mb,
+        jnp.float32(0.0),
+        tuple(jnp.int32(0) for _ in range(6)),
+        tuple(jnp.int32(0) for _ in range(4)),
+    )
+    carry, _ = jax.lax.scan(tick, init, (op_cols, masks_cols))
+    dw0, dw1, loss_acc = carry[4], carry[5], carry[10]
+    loss = jax.lax.psum(loss_acc, axis)
+    dw_out = jax.tree_util.tree_map(
+        lambda g0, g1, p: jnp.stack([g0.astype(p.dtype), g1.astype(p.dtype)])[None],
+        dw0, dw1, jax.tree_util.tree_map(lambda p: p[0, 0], stacked_params),
+    )
+    return loss, dw_out
+
+
+def make_zbv_train_step(stage_fn, loss_fn, mesh, *, pp_axis: str = "pp",
+                        n_micro: int | None = None):
+    """Build a ZB-V pipelined loss+grad step:
+
+        fn(stacked_params, x_microbatches) -> (total_loss, stage_grads)
+
+    stacked_params: pytree with leading (n_stages, 2, ...) axes (see
+    `stack_stages_v`: device d = stages d and 2*n_stages-1-d), sharded over
+    `pp_axis`.  x_microbatches: (M, mb, ...) replicated; device 0 consumes
+    AND produces the loss (the V's endpoints both live there).  Gradients
+    are sums over microbatches, shaped/sharded like stacked_params.
+    """
+    n_stages = mesh.shape[pp_axis]
+    if n_micro is None:
+        raise ValueError("pass n_micro (the leading axis of x_microbatches)")
+    sched = zbv_schedule(n_stages, n_micro)
+    validate_zbv_schedule(sched, n_micro)
+    n, T = sched.shape
+    # arrival tables, one per ring stream (see _zbv_spmd docstring)
+    masks = np.zeros((4, n, T), bool)
+    masks[0, 1:, 1:] = sched[:-1, :-1] == ZV_F0   # act0 from d-1
+    masks[1, :-1, 1:] = sched[1:, :-1] == ZV_F1   # act1 from d+1
+    masks[2, 1:, 1:] = sched[:-1, :-1] == ZV_B1   # grad1 from d-1
+    masks[3, :-1, 1:] = sched[1:, :-1] == ZV_B0   # grad0 from d+1
+    op_cols = np.ascontiguousarray(sched.T)             # (T, n)
+    masks_cols = np.ascontiguousarray(masks.transpose(2, 0, 1))  # (T, 4, n)
+
+    return jax.shard_map(
+        partial(_zbv_spmd, stage_fn, loss_fn, n_stages, op_cols, masks_cols,
+                axis=pp_axis),
+        mesh=mesh,
+        in_specs=(P(pp_axis), P()),
+        out_specs=(P(), P(pp_axis)),
+        axis_names=frozenset({pp_axis}),
+        check_vma=False,
+    )
 
 
 def _zb_spmd(stage_fn, loss_fn, n_stages, op_cols, act_cols, grad_cols,

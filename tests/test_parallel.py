@@ -523,3 +523,105 @@ class TestZeroBubblePipeline:
             assert np.allclose(np.asarray(g), np.asarray(w), atol=1e-4), (
                 np.abs(np.asarray(g) - np.asarray(w)).max()
             )
+
+
+class TestZBVPipeline:
+    """ZB-V: two chunks per device in a V pattern — schedule audit, memory-
+    balance property, and loss/grad parity vs the sequential oracle."""
+
+    def test_zbv_schedule_tables_valid(self):
+        from kfunca_tpu.parallel.zero_bubble import (
+            ZV_B0, ZV_B1, ZV_F0, ZV_F1, ZV_W0, ZV_W1,
+            validate_zbv_schedule, zbv_schedule, zbv_schedule_cost,
+        )
+
+        for n, m in [(2, 2), (2, 6), (4, 4), (4, 8), (3, 7), (8, 8)]:
+            sched = zbv_schedule(n, m)
+            validate_zbv_schedule(sched, m)
+            for op in (ZV_F0, ZV_F1, ZV_B1, ZV_B0, ZV_W1, ZV_W0):
+                assert ((sched == op).sum(axis=1) == m).all(), (n, m, op)
+            cost = zbv_schedule_cost(n, m)
+            assert cost["zbv_ticks"] >= 6 * m
+            # the V's warmup is half the mesh: busy fraction at least the
+            # H1-class bound with n-1 replaced by ~2(n-1) tick handoffs
+            assert cost["zbv_busy_frac"] >= (6 * m) / (6 * m + 6 * (n - 1)) - 1e-9
+
+    def test_zbv_memory_balance(self):
+        """Peak in-flight (F done, B pending) activations per device stays
+        within the ~2N 1F1B bound on EVERY device — the property the V
+        layout buys over ZB-H1's N-d skew."""
+        from kfunca_tpu.parallel.zero_bubble import (
+            ZV_B0, ZV_B1, ZV_F0, ZV_F1, zbv_schedule,
+        )
+
+        n, m = 4, 12
+        sched = zbv_schedule(n, m)
+        for d in range(n):
+            live = peak = 0
+            for t in range(sched.shape[1]):
+                op = sched[d, t]
+                live += int(op in (ZV_F0, ZV_F1)) - int(op in (ZV_B0, ZV_B1))
+                peak = max(peak, live)
+            assert peak <= 2 * n + 1, (d, peak)
+
+    def test_zbv_matches_sequential_grads(self):
+        """The V-scheduled F0/F1/B1/B0/W1/W0 pipeline == jax.grad of the
+        sequential 2N-stage stack, for loss AND parameter gradients."""
+        from kfunca_tpu.parallel.zero_bubble import (
+            make_zbv_train_step, stack_stages_v,
+        )
+
+        n_stages, n_micro = 4, 6
+        mb, dim = 4, 32
+        rng = np.random.default_rng(1)
+
+        def stage_init():
+            return {
+                "w": jnp.asarray(rng.standard_normal((dim, dim)) * 0.2, jnp.float32),
+                "b": jnp.asarray(rng.standard_normal((dim,)) * 0.1, jnp.float32),
+            }
+
+        stages = [stage_init() for _ in range(2 * n_stages)]
+        stacked = stack_stages_v(stages, n_stages)  # (n, 2, ...)
+
+        def stage_fn(sp, x):
+            return jnp.tanh(x @ sp["w"] + sp["b"])
+
+        targets = jnp.asarray(rng.standard_normal((n_micro, mb, dim)), jnp.float32)
+
+        def loss_fn(y, i):
+            t = jax.lax.dynamic_index_in_dim(targets, i, 0, keepdims=False)
+            return jnp.sum((y.astype(jnp.float32) - t) ** 2)
+
+        x_mb = jnp.asarray(rng.standard_normal((n_micro, mb, dim)), jnp.float32)
+
+        mesh = Mesh(np.asarray(jax.devices()[:n_stages]), ("pp",))
+        step = make_zbv_train_step(stage_fn, loss_fn, mesh, n_micro=n_micro)
+        with mesh:
+            loss, grads = jax.jit(step)(stacked, x_mb)
+
+        # sequential oracle over the V order: stage s = stages[s] applied
+        # 0..2N-1 (stack_stages_v places stage s at [min(s, 2N-1-s)-ish
+        # device, chunk]; walk the same params via the stacked layout)
+        def seq_loss(stacked_p):
+            total = jnp.float32(0.0)
+            for i in range(n_micro):
+                x = x_mb[i]
+                for s in range(2 * n_stages):
+                    d = s if s < n_stages else 2 * n_stages - 1 - s
+                    c = 0 if s < n_stages else 1
+                    sp = jax.tree_util.tree_map(lambda a: a[d, c], stacked_p)
+                    x = stage_fn(sp, x)
+                total = total + jnp.sum((x - targets[i]) ** 2)
+            return total
+
+        want_loss, want_grads = jax.value_and_grad(seq_loss)(stacked)
+        assert np.allclose(float(loss), float(want_loss), rtol=1e-5), (
+            float(loss), float(want_loss)
+        )
+        flat_g, _ = jax.tree_util.tree_flatten(grads)
+        flat_w, _ = jax.tree_util.tree_flatten(want_grads)
+        for g, w in zip(flat_g, flat_w):
+            assert np.allclose(np.asarray(g), np.asarray(w), atol=1e-4), (
+                np.abs(np.asarray(g) - np.asarray(w)).max()
+            )
