@@ -413,6 +413,61 @@ def bench_serving(L=8, dm=1024, h=16, page=None, ctx=960, capacity=1024):
     return results
 
 
+def bench_train_mfu(dm=1024, L=12, h=16, ff=4096, B=8, S=2048, vocab=32000,
+                    peak=197.0, remat=False):
+    """End-to-end training-step MFU on one chip: full fwd+bwd+AdamW for a
+    ~230M-param LM (SwiGLU blocks, bf16 activations / fp32 master
+    params).  K steps chain inside ONE jit (params/opt-state feed forward,
+    so the chain is inherently non-linear — AdamW's sqrt/divide cannot be
+    reassociated away, and every output is consumed as the next carry).
+    MFU uses the standard PaLM-style accounting: 6*N_matmul FLOPs/token
+    plus 12*S*d_model attention FLOPs/token (no causal discount), over the
+    chip's bf16 peak.  remat defaults OFF: this model's activations fit
+    v5e HBM, and the same-process A/B measured remat at 331 ms/step vs
+    282 without (the ~33% forward recompute -> 35.9% vs 42.2% MFU)."""
+    from jax import lax
+
+    from kfunca_tpu.models.train import OptConfig, init_opt_state, make_train_step
+    from kfunca_tpu.models.transformer import TransformerConfig, init_params
+
+    cfg = TransformerConfig(vocab_size=vocab, d_model=dm, n_heads=h,
+                            n_layers=L, d_ff=ff, max_seq_len=S, remat=remat)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    opt_state = init_opt_state(params)
+    step = make_train_step(cfg, OptConfig(lr=1e-4, weight_decay=0.1))
+    key = jax.random.PRNGKey(1)
+    tokens = jax.random.randint(key, (B, S), 0, vocab, jnp.int32)
+    targets = jnp.roll(tokens, -1, axis=1)
+
+    # exact matmul-weight count (embedding lookup excluded; the tied lm-head
+    # projection IS a matmul and is included via vocab*dm)
+    n_mm = L * (dm * cfg.qkv_out + dm * dm + 3 * dm * ff) + dm * vocab
+    flops_per_step = 6 * n_mm * B * S + 12 * B * S * S * dm
+
+    def mk(K):
+        @jax.jit
+        def f(p, o, t, tg):
+            def body(_, carry):
+                p, o = carry
+                p, o, _loss = step(p, o, t, tg)
+                return (p, o)
+            p, o = lax.fori_loop(0, K, body, (p, o))
+            # consume params + opt state (loop-carry structure already
+            # forces iterations 1..K-1 to be fully computed; any final-
+            # iteration DCE is a constant offset that cancels in the slope)
+            return p["final_norm"][:1] + o["step"].astype(jnp.float32)
+        return lambda: f(params, opt_state, tokens, targets)
+
+    dt = slope_time(mk, k1=1, k2=4, iters=3, label="train-step", reps=3)
+    mfu = flops_per_step / dt / 1e12 / peak
+    return {
+        "step_ms": round(dt * 1e3, 2),
+        "mfu": round(mfu, 4),
+        "tokens_per_s": round(B * S / dt, 1),
+        "model": f"L{L} d{dm} ff{ff} h{h} B{B} S{S} remat={remat} ~{n_mm/1e6:.0f}M matmul params",
+    }
+
+
 def detect_peak_tflops():
     from kfunca_tpu.utils.device_info import _detect_peaks
 
@@ -445,6 +500,7 @@ def main():
     ew_xla_ms, ew_pallas_ms = bench_elementwise_engines()
     reduce_ab = bench_reduce_engines()
     serving = bench_serving()
+    train = bench_train_mfu(peak=peak)
     # kfunca_tpu.gemm dispatches XLA's dot by default (the vendor-library
     # path, mirroring the reference's CUTLASS call); the Pallas kernel is
     # the KFUNCA_GEMM_ENGINE=pallas alternative. Headline = dispatched.
@@ -473,6 +529,7 @@ def main():
                     "eager_dispatch_us": eager,
                     "reduce_engine_ms": reduce_ab,
                     "decode_tokens_per_s": serving,
+                    "train_step": train,
                     "elementwise_chained_ms_per_op": {
                         "xla": round(ew_xla_ms, 4),
                         "pallas": round(ew_pallas_ms, 4),
