@@ -21,11 +21,19 @@ from .transformer import TransformerConfig, loss_fn
 
 @dataclass(frozen=True)
 class OptConfig:
+    # which update rule: "adamw" (default), "sgd" (momentum/nesterov),
+    # "lion" (sign-momentum, half of adam's state), or "adafactor"
+    # (factored second moments — O(r+c) state per (r,c) matrix instead of
+    # O(r*c); the large-model memory saver)
+    algo: str = "adamw"
     lr: float = 3e-4
     beta1: float = 0.9
     beta2: float = 0.95
     eps: float = 1e-8
     weight_decay: float = 0.1
+    # sgd knobs
+    momentum: float = 0.9
+    nesterov: bool = False
     # schedule: linear warmup over `warmup_steps`, then cosine decay to
     # lr * min_lr_frac at `total_steps` (total_steps=None -> constant lr)
     warmup_steps: int = 0
@@ -62,13 +70,37 @@ def global_norm(grads):
     )
 
 
-def init_opt_state(params):
-    zeros = lambda p: jnp.zeros_like(p)
-    return {
-        "step": jnp.zeros((), jnp.int32),
-        "m": jax.tree_util.tree_map(zeros, params),
-        "v": jax.tree_util.tree_map(zeros, params),
-    }
+def init_opt_state(params, oc: OptConfig | None = None):
+    """Optimizer state for oc.algo (default adamw, the historical layout).
+
+    adamw: fp32 m+v per param.  sgd / lion: m only.  adafactor: factored
+    second moments — for ndim>=2 leaves, row means `vr` (shape[:-1]) and
+    column means `vc` (shape[:-2]+(n,)) replace the full v (Shazeer &
+    Stern 2018); ndim<2 leaves keep a full `v1`.  Unused slots hold ()
+    scalars so every field stays a params-shaped pytree (tree_map- and
+    sharding-friendly)."""
+    algo = oc.algo if oc is not None else "adamw"
+    zeros = lambda p: jnp.zeros_like(p, dtype=jnp.float32)
+    state = {"step": jnp.zeros((), jnp.int32)}
+    if algo in ("adamw", "sgd", "lion"):
+        state["m"] = jax.tree_util.tree_map(zeros, params)
+    if algo == "adamw":
+        state["v"] = jax.tree_util.tree_map(zeros, params)
+    if algo == "adafactor":
+        dummy = jnp.zeros((), jnp.float32)
+        state["vr"] = jax.tree_util.tree_map(
+            lambda p: jnp.zeros(p.shape[:-1], jnp.float32) if p.ndim >= 2 else dummy,
+            params,
+        )
+        state["vc"] = jax.tree_util.tree_map(
+            lambda p: jnp.zeros(p.shape[:-2] + p.shape[-1:], jnp.float32)
+            if p.ndim >= 2 else dummy,
+            params,
+        )
+        state["v1"] = jax.tree_util.tree_map(
+            lambda p: zeros(p) if p.ndim < 2 else dummy, params
+        )
+    return state
 
 
 def adamw_update(params, grads, opt_state, oc: OptConfig):
@@ -104,13 +136,120 @@ def adamw_update(params, grads, opt_state, oc: OptConfig):
     return new_params, {"step": step, "m": new_m, "v": new_v}
 
 
+def _clip_and_lr(grads, opt_state, oc: OptConfig):
+    step = opt_state["step"] + 1
+    gscale = jnp.float32(1.0)
+    if oc.clip_norm is not None:
+        gn = global_norm(grads)
+        gscale = jnp.minimum(1.0, jnp.float32(oc.clip_norm) / (gn + 1e-12))
+    return step, schedule_lr(oc, step), gscale
+
+
+def _wd(p, oc: OptConfig):
+    return oc.weight_decay if (p.ndim >= 2 or not oc.decay_mask_1d) else 0.0
+
+
+def _tree_zip_update(params, upd, *trees):
+    """Apply upd(p, *leaves) leafwise; returns (new_params, per-output
+    trees).  upd returns a tuple; output i is unflattened from slot i."""
+    flat_p, treedef = jax.tree_util.tree_flatten(params)
+    flats = [jax.tree_util.tree_leaves(t) for t in trees]
+    out = [upd(p, *ls) for p, *ls in zip(flat_p, *flats)]
+    n = len(out[0])
+    return tuple(
+        jax.tree_util.tree_unflatten(treedef, [o[i] for o in out]) for i in range(n)
+    )
+
+
+def sgd_update(params, grads, opt_state, oc: OptConfig):
+    """SGD with momentum (optionally Nesterov) + decoupled weight decay."""
+    step, lr, gscale = _clip_and_lr(grads, opt_state, oc)
+    mu = jnp.float32(oc.momentum)
+
+    def upd(p, g, m):
+        g = g.astype(jnp.float32) * gscale
+        m = mu * m + g
+        u = g + mu * m if oc.nesterov else m
+        return p - lr * (u + _wd(p, oc) * p), m
+
+    new_params, new_m = _tree_zip_update(params, upd, grads, opt_state["m"])
+    return new_params, {"step": step, "m": new_m}
+
+
+def lion_update(params, grads, opt_state, oc: OptConfig):
+    """Lion (Chen et al. 2023): sign of a beta1-interpolated momentum;
+    half of adam's state (one moment), update magnitude == lr exactly."""
+    step, lr, gscale = _clip_and_lr(grads, opt_state, oc)
+
+    def upd(p, g, m):
+        g = g.astype(jnp.float32) * gscale
+        u = jnp.sign(oc.beta1 * m + (1 - oc.beta1) * g)
+        m = oc.beta2 * m + (1 - oc.beta2) * g
+        return p - lr * (u + _wd(p, oc) * p), m
+
+    new_params, new_m = _tree_zip_update(params, upd, grads, opt_state["m"])
+    return new_params, {"step": step, "m": new_m}
+
+
+def adafactor_update(params, grads, opt_state, oc: OptConfig):
+    """Adafactor (Shazeer & Stern 2018), momentum-free: factored second
+    moments for matrices (row/col mean-square EMAs, O(r+c) state), full v
+    for 1-D leaves; decay 1 - t^-0.8; update RMS-clipped at 1.0."""
+    step, lr, gscale = _clip_and_lr(grads, opt_state, oc)
+    t = step.astype(jnp.float32)
+    b2 = 1.0 - t ** jnp.float32(-0.8)
+    eps = jnp.float32(1e-30)
+
+    def upd(p, g, vr, vc, v1):
+        g = g.astype(jnp.float32) * gscale
+        g2 = g * g + eps
+        if p.ndim >= 2:
+            vr = b2 * vr + (1 - b2) * jnp.mean(g2, axis=-1)
+            vc = b2 * vc + (1 - b2) * jnp.mean(g2, axis=-2)
+            # rank-1 reconstruction, normalized by the shared total mean
+            denom = jnp.mean(vr, axis=-1, keepdims=True)
+            vhat = vr[..., :, None] * vc[..., None, :] / denom[..., None]
+        else:
+            v1 = b2 * v1 + (1 - b2) * g2
+            vhat = v1
+        u = g / jnp.sqrt(vhat)
+        # clip the update's RMS to 1.0 (the paper's d=1 stabilizer)
+        rms_u = jnp.sqrt(jnp.mean(u * u) + eps)
+        u = u / jnp.maximum(1.0, rms_u)
+        return p - lr * (u + _wd(p, oc) * p), vr, vc, v1
+
+    new_params, vr, vc, v1 = _tree_zip_update(
+        params, upd, grads, opt_state["vr"], opt_state["vc"], opt_state["v1"]
+    )
+    return new_params, {"step": step, "vr": vr, "vc": vc, "v1": v1}
+
+
+_UPDATES = {
+    "adamw": adamw_update,
+    "sgd": sgd_update,
+    "lion": lion_update,
+    "adafactor": adafactor_update,
+}
+
+
+def apply_update(params, grads, opt_state, oc: OptConfig):
+    """Dispatch to oc.algo's update rule (state from init_opt_state(p, oc))."""
+    try:
+        fn = _UPDATES[oc.algo]
+    except KeyError:
+        raise ValueError(
+            f"unknown optimizer algo {oc.algo!r}; one of {sorted(_UPDATES)}"
+        ) from None
+    return fn(params, grads, opt_state, oc)
+
+
 def make_train_step(cfg: TransformerConfig, oc: OptConfig = OptConfig()):
     """Returns train_step(params, opt_state, tokens, targets) -> (params,
     opt_state, loss); jit it yourself (optionally with shardings)."""
 
     def train_step(params, opt_state, tokens, targets):
         loss, grads = jax.value_and_grad(loss_fn)(params, tokens, targets, cfg)
-        params, opt_state = adamw_update(params, grads, opt_state, oc)
+        params, opt_state = apply_update(params, grads, opt_state, oc)
         return params, opt_state, loss
 
     return train_step
@@ -125,12 +264,39 @@ def make_sharded_train_step(cfg: TransformerConfig, mesh, oc: OptConfig = OptCon
     step = make_train_step(cfg, oc)
 
     def in_shardings(params):
+        P = jax.sharding.PartitionSpec
         pspecs = meshlib.param_specs(params)
         to_sharding = lambda s: NamedSharding(mesh, s)
-        p_sh = jax.tree_util.tree_map(
-            to_sharding, pspecs, is_leaf=lambda x: not isinstance(x, (dict, list))
-        )
-        opt_sh = {"step": NamedSharding(mesh, jax.sharding.PartitionSpec()), "m": p_sh, "v": p_sh}
+        is_spec = lambda x: not isinstance(x, (dict, list))
+        p_sh = jax.tree_util.tree_map(to_sharding, pspecs, is_leaf=is_spec)
+        repl = NamedSharding(mesh, P())
+        opt_sh = {"step": repl}
+        if oc.algo in ("adamw", "sgd", "lion"):
+            opt_sh["m"] = p_sh  # moments shard exactly like their params
+        if oc.algo == "adamw":
+            opt_sh["v"] = p_sh
+        if oc.algo == "adafactor":
+            # factored moments drop one param axis: vr loses the last
+            # (column) axis, vc the second-to-last (row) axis; ndim<2
+            # leaves carry () dummies / full v1 with the param's spec
+            def axis_drop(keep_last):
+                def f(spec, p):
+                    if p.ndim < 2:
+                        return repl
+                    s = tuple(spec) + (None,) * (p.ndim - len(tuple(spec)))
+                    kept = s[:-2] + ((s[-1],) if keep_last else (s[-2],))
+                    return NamedSharding(mesh, P(*kept))
+                return f
+            opt_sh["vr"] = jax.tree_util.tree_map(
+                axis_drop(False), pspecs, params, is_leaf=is_spec
+            )
+            opt_sh["vc"] = jax.tree_util.tree_map(
+                axis_drop(True), pspecs, params, is_leaf=is_spec
+            )
+            opt_sh["v1"] = jax.tree_util.tree_map(
+                lambda spec, p: to_sharding(spec) if p.ndim < 2 else repl,
+                pspecs, params, is_leaf=is_spec,
+            )
         batch_sh = NamedSharding(mesh, meshlib.batch_spec())
         return (p_sh, opt_sh, batch_sh, batch_sh)
 

@@ -1,0 +1,193 @@
+"""Optimizer-zoo tests: sgd / lion / adafactor update rules against
+hand-computed oracles, state layouts, and the sharded train path.
+
+The reference has no training loop at all; the optimizer family is part of
+this rebuild's production-training surface (models/train.py)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from kfunca_tpu.models.train import (
+    OptConfig,
+    apply_update,
+    init_opt_state,
+    make_train_step,
+)
+from kfunca_tpu.models.transformer import TransformerConfig, init_params
+
+
+def tiny_cfg():
+    return TransformerConfig(
+        vocab_size=64, d_model=64, n_heads=2, n_layers=2, d_ff=128, dtype="float32"
+    )
+
+
+def _toy_params():
+    return {
+        "w": jnp.asarray([[1.0, -2.0], [0.5, 3.0]], jnp.float32),
+        "b": jnp.asarray([0.1, -0.1], jnp.float32),
+    }
+
+
+def _toy_grads():
+    return {
+        "w": jnp.asarray([[0.3, -0.7], [0.2, 0.4]], jnp.float32),
+        "b": jnp.asarray([0.05, -0.02], jnp.float32),
+    }
+
+
+class TestStateLayouts:
+    def test_adamw_default_layout_unchanged(self):
+        p = _toy_params()
+        s = init_opt_state(p)  # no oc: historical adamw layout
+        assert set(s) == {"step", "m", "v"}
+        assert s["m"]["w"].shape == p["w"].shape
+
+    def test_sgd_lion_single_moment(self):
+        p = _toy_params()
+        for algo in ("sgd", "lion"):
+            s = init_opt_state(p, OptConfig(algo=algo))
+            assert set(s) == {"step", "m"}
+
+    def test_adafactor_factored_shapes(self):
+        p = _toy_params()
+        s = init_opt_state(p, OptConfig(algo="adafactor"))
+        assert set(s) == {"step", "vr", "vc", "v1"}
+        # 2-D leaf (r, c): vr is (r,) row means, vc is (c,) col means,
+        # v1 a () dummy; 1-D leaf keeps full v1 and () factored dummies
+        assert s["vr"]["w"].shape == (2,) and s["vc"]["w"].shape == (2,)
+        assert s["v1"]["w"].shape == ()
+        assert s["v1"]["b"].shape == (2,)
+        assert s["vr"]["b"].shape == () and s["vc"]["b"].shape == ()
+
+    def test_unknown_algo_raises(self):
+        p = _toy_params()
+        with pytest.raises(ValueError, match="unknown optimizer"):
+            apply_update(p, _toy_grads(), init_opt_state(p), OptConfig(algo="adagrad"))
+
+
+class TestSGD:
+    def test_matches_numpy_momentum(self):
+        oc = OptConfig(algo="sgd", lr=0.1, momentum=0.9, weight_decay=0.0)
+        p, g = _toy_params(), _toy_grads()
+        s = init_opt_state(p, oc)
+        np_m = {k: np.zeros_like(np.asarray(v)) for k, v in p.items()}
+        np_p = {k: np.asarray(v).copy() for k, v in p.items()}
+        for _ in range(3):
+            p, s = apply_update(p, g, s, oc)
+            for k in np_p:
+                np_m[k] = 0.9 * np_m[k] + np.asarray(g[k])
+                np_p[k] = np_p[k] - 0.1 * np_m[k]
+        for k in np_p:
+            assert np.allclose(np.asarray(p[k]), np_p[k], atol=1e-6), k
+
+    def test_nesterov_lookahead(self):
+        # single step from zero momentum: u = g + mu*(mu*0 + g) = (1+mu)*g
+        oc = OptConfig(algo="sgd", lr=0.1, momentum=0.5, nesterov=True,
+                       weight_decay=0.0)
+        p, g = _toy_params(), _toy_grads()
+        p2, _ = apply_update(p, g, init_opt_state(p, oc), oc)
+        expect = np.asarray(p["w"]) - 0.1 * 1.5 * np.asarray(g["w"])
+        assert np.allclose(np.asarray(p2["w"]), expect, atol=1e-6)
+
+    def test_decay_mask_skips_1d(self):
+        oc = OptConfig(algo="sgd", lr=0.1, momentum=0.0, weight_decay=0.5)
+        p = _toy_params()
+        zero_g = jax.tree_util.tree_map(jnp.zeros_like, p)
+        p2, _ = apply_update(p, zero_g, init_opt_state(p, oc), oc)
+        # 2-D decays, 1-D (bias) untouched
+        assert np.allclose(np.asarray(p2["w"]), np.asarray(p["w"]) * (1 - 0.05))
+        assert np.allclose(np.asarray(p2["b"]), np.asarray(p["b"]))
+
+
+class TestLion:
+    def test_update_magnitude_is_lr(self):
+        """Lion's update is sign(...) -> every element moves by exactly lr."""
+        oc = OptConfig(algo="lion", lr=0.01, beta1=0.9, beta2=0.99,
+                       weight_decay=0.0)
+        p, g = _toy_params(), _toy_grads()
+        p2, _ = apply_update(p, g, init_opt_state(p, oc), oc)
+        delta = np.abs(np.asarray(p2["w"]) - np.asarray(p["w"]))
+        assert np.allclose(delta, 0.01, atol=1e-7)
+
+    def test_direction_is_sign_of_interp(self):
+        oc = OptConfig(algo="lion", lr=0.01, beta1=0.9, beta2=0.99,
+                       weight_decay=0.0)
+        p, g = _toy_params(), _toy_grads()
+        p2, s = apply_update(p, g, init_opt_state(p, oc), oc)
+        # first step: m=0 -> direction = sign((1-b1) g) = sign(g)
+        assert np.allclose(
+            np.asarray(p2["w"]),
+            np.asarray(p["w"]) - 0.01 * np.sign(np.asarray(g["w"])),
+            atol=1e-7,
+        )
+        # moment EMA: m1 = (1-b2) g
+        assert np.allclose(
+            np.asarray(s["m"]["w"]), 0.01 * np.asarray(g["w"]), atol=1e-7
+        )
+
+
+class TestAdafactor:
+    def test_factored_second_moment_first_step(self):
+        """Step 1: decay b2 = 1 - 1^-0.8 = 0 -> vr/vc = row/col means of g^2,
+        update = g / sqrt(rank-1 reconstruction), RMS-clipped at 1."""
+        oc = OptConfig(algo="adafactor", lr=0.1, weight_decay=0.0)
+        p, g = _toy_params(), _toy_grads()
+        p2, s = apply_update(p, g, init_opt_state(p, oc), oc)
+        g2 = np.asarray(g["w"]) ** 2 + 1e-30
+        vr, vc = g2.mean(axis=1), g2.mean(axis=0)
+        assert np.allclose(np.asarray(s["vr"]["w"]), vr, atol=1e-7)
+        assert np.allclose(np.asarray(s["vc"]["w"]), vc, atol=1e-7)
+        vhat = np.outer(vr, vc) / vr.mean()
+        u = np.asarray(g["w"]) / np.sqrt(vhat)
+        u = u / max(1.0, float(np.sqrt((u * u).mean() + 1e-30)))
+        assert np.allclose(np.asarray(p2["w"]), np.asarray(p["w"]) - 0.1 * u,
+                           atol=1e-5)
+
+    def test_memory_is_factored(self):
+        """For a (256, 512) matrix the second-moment state is 256+512
+        elements, not 256*512 — the whole point of adafactor."""
+        p = {"w": jnp.zeros((256, 512), jnp.float32)}
+        s = init_opt_state(p, OptConfig(algo="adafactor"))
+        n_state = sum(x.size for x in jax.tree_util.tree_leaves(s))
+        assert n_state <= 256 + 512 + 3  # + step and () dummies
+
+
+class TestTraining:
+    @pytest.mark.parametrize("algo,lr", [("sgd", 3e-2), ("lion", 3e-3),
+                                         ("adafactor", 5e-3)])
+    def test_loss_decreases(self, algo, lr):
+        cfg = tiny_cfg()
+        params = init_params(jax.random.PRNGKey(0), cfg)
+        oc = OptConfig(algo=algo, lr=lr, clip_norm=1.0)
+        opt = init_opt_state(params, oc)
+        step = jax.jit(make_train_step(cfg, oc))
+        tokens = (jnp.arange(2 * 16, dtype=jnp.int32).reshape(2, 16) * 3) % cfg.vocab_size
+        targets = (tokens + 1) % cfg.vocab_size
+        losses = []
+        for _ in range(6):
+            params, opt, loss = step(params, opt, tokens, targets)
+            losses.append(float(loss))
+        assert losses[-1] < losses[0], f"{algo}: {losses}"
+
+    @pytest.mark.slow
+    @pytest.mark.parametrize("algo", ["lion", "adafactor"])
+    def test_sharded_step_runs(self, algo):
+        from kfunca_tpu.models.train import make_sharded_train_step
+        from kfunca_tpu.parallel.mesh import make_mesh, shard_params
+
+        cfg = tiny_cfg()
+        mesh = make_mesh(8)
+        params = shard_params(init_params(jax.random.PRNGKey(0), cfg), mesh)
+        oc = OptConfig(algo=algo, lr=1e-2)
+        opt = init_opt_state(params, oc)
+        tokens = jnp.zeros((4, 16), jnp.int32)
+        targets = jnp.ones((4, 16), jnp.int32)
+        step = make_sharded_train_step(cfg, mesh, oc)(params)
+        with mesh:
+            params, opt, l1 = step(params, opt, tokens, targets)
+            params, opt, l2 = step(params, opt, tokens, targets)
+        assert float(l2) < float(l1)
