@@ -1,12 +1,15 @@
-"""Training step: loss -> grad -> AdamW, single-chip or mesh-sharded.
+"""Training step: loss -> grad -> optimizer update, single-chip or sharded.
 
 Green-field capability (the reference has no training loop).  The optimizer
-is hand-rolled AdamW over the params pytree — fp32 master params + moments,
+zoo is hand-rolled over the params pytree — adamw (default), sgd w/ nesterov,
+lion, and adafactor (factored second moments) — fp32 master params + moments,
 fully jit-compatible, shardable by the same NamedShardings as the params
 (optimizer state inherits the param sharding, so dp replicates and tp shards
-moments exactly like weights).  Production recipe knobs: linear-warmup +
-cosine-decay LR schedule, global-norm gradient clipping, and the standard
-no-decay mask for 1-D params (norm gains / biases).
+moments exactly like weights; fsdp=True shards both over dp as well, ZeRO-3).
+Production recipe knobs: linear-warmup + cosine-decay LR schedule, global-norm
+gradient clipping, the standard no-decay mask for 1-D params (norm gains /
+biases), and in-step gradient accumulation (grad_accum microbatches under one
+lax.scan).
 """
 
 from __future__ import annotations
@@ -243,29 +246,74 @@ def apply_update(params, grads, opt_state, oc: OptConfig):
     return fn(params, grads, opt_state, oc)
 
 
-def make_train_step(cfg: TransformerConfig, oc: OptConfig = OptConfig()):
+def make_train_step(cfg: TransformerConfig, oc: OptConfig = OptConfig(),
+                    grad_accum: int = 1):
     """Returns train_step(params, opt_state, tokens, targets) -> (params,
-    opt_state, loss); jit it yourself (optionally with shardings)."""
+    opt_state, loss); jit it yourself (optionally with shardings).
 
-    def train_step(params, opt_state, tokens, targets):
+    grad_accum > 1 splits the batch into that many microbatches and runs
+    them through a lax.scan, accumulating fp32 gradient sums before ONE
+    optimizer update — the standard way to train with an effective batch
+    larger than fits in HBM.  Equivalent to the single full-batch step up
+    to summation order (loss_fn means over the batch, so the mean of
+    microbatch grads == the full-batch grad).  Activations live for one
+    microbatch at a time; the fp32 grad accumulator is the extra memory."""
+
+    def full_batch_step(params, opt_state, tokens, targets):
         loss, grads = jax.value_and_grad(loss_fn)(params, tokens, targets, cfg)
         params, opt_state = apply_update(params, grads, opt_state, oc)
         return params, opt_state, loss
 
-    return train_step
+    if grad_accum <= 1:
+        return full_batch_step
+
+    def accum_step(params, opt_state, tokens, targets):
+        b = tokens.shape[0]
+        if b % grad_accum:
+            raise ValueError(f"batch {b} not divisible by grad_accum={grad_accum}")
+        mb = b // grad_accum
+        tok_mb = tokens.reshape(grad_accum, mb, *tokens.shape[1:])
+        tgt_mb = targets.reshape(grad_accum, mb, *targets.shape[1:])
+
+        def body(carry, xt):
+            g_acc, l_acc = carry
+            t, tg = xt
+            loss, g = jax.value_and_grad(loss_fn)(params, t, tg, cfg)
+            g_acc = jax.tree_util.tree_map(
+                lambda a, x: a + x.astype(jnp.float32), g_acc, g
+            )
+            return (g_acc, l_acc + loss), None
+
+        g0 = jax.tree_util.tree_map(
+            lambda p: jnp.zeros(p.shape, jnp.float32), params
+        )
+        (g_sum, l_sum), _ = jax.lax.scan(body, (g0, jnp.float32(0.0)), (tok_mb, tgt_mb))
+        inv = jnp.float32(1.0 / grad_accum)
+        grads = jax.tree_util.tree_map(lambda g: g * inv, g_sum)
+        params, opt_state = apply_update(params, grads, opt_state, oc)
+        return params, opt_state, l_sum * inv
+
+    return accum_step
 
 
-def make_sharded_train_step(cfg: TransformerConfig, mesh, oc: OptConfig = OptConfig()):
+def make_sharded_train_step(cfg: TransformerConfig, mesh, oc: OptConfig = OptConfig(),
+                            fsdp: bool = False, grad_accum: int = 1):
     """jit the train step over a (dp, tp) mesh: params/opt-state tp-sharded,
     batch dp-sharded; XLA GSPMD inserts the gradient psum over dp and the
-    tp collectives (scaling-book recipe)."""
+    tp collectives (scaling-book recipe).
+
+    fsdp=True turns on ZeRO-3: params AND optimizer state shard their
+    tp-free matrix axis over dp too (see parallel.mesh.param_specs), so
+    per-chip state memory drops by the dp factor; XLA all-gathers weights
+    per layer and reduce-scatters grads.  grad_accum microbatches the
+    batch inside the step (see make_train_step)."""
     from jax.sharding import NamedSharding
 
-    step = make_train_step(cfg, oc)
+    step = make_train_step(cfg, oc, grad_accum=grad_accum)
 
     def in_shardings(params):
         P = jax.sharding.PartitionSpec
-        pspecs = meshlib.param_specs(params)
+        pspecs = meshlib.param_specs(params, fsdp=fsdp)
         to_sharding = lambda s: NamedSharding(mesh, s)
         is_spec = lambda x: not isinstance(x, (dict, list))
         p_sh = jax.tree_util.tree_map(to_sharding, pspecs, is_leaf=is_spec)

@@ -53,31 +53,48 @@ def make_mesh(n_devices: int | None = None, dp: int | None = None, tp: int | Non
 # -- sharding rules for the transformer param pytree ---------------------------
 
 
-def param_specs(params) -> dict:
+def param_specs(params, fsdp: bool = False) -> dict:
     """Megatron-style TP sharding: qkv/gate/up column-parallel (shard the
     output dim), wo/down row-parallel (shard the input dim), embeddings
-    sharded over d_model, norms replicated."""
+    sharded over d_model, norms replicated.
+
+    fsdp=True additionally shards every matrix's tp-free axis over "dp"
+    (ZeRO-3 / fully-sharded data parallel, the GSPMD way): each chip holds
+    1/(dp*tp) of every weight AND of its optimizer state (the state
+    inherits the param spec in make_sharded_train_step).  XLA inserts the
+    all-gather before each matmul and reduce-scatters the grads — no
+    hand-written collectives.  Norms/biases stay replicated (tiny)."""
+
+    def _with_dp(spec: P) -> P:
+        s = list(spec)
+        for i, ax in enumerate(s):
+            if ax is None:
+                s[i] = "dp"
+                return P(*s)
+        return spec
+
+    maybe_dp = _with_dp if fsdp else (lambda s: s)
 
     def block_spec(_):
         return {
             "attn_norm": P(),
-            "wqkv": P(None, "tp"),
-            "wo": P("tp", None),
+            "wqkv": maybe_dp(P(None, "tp")),
+            "wo": maybe_dp(P("tp", None)),
             "mlp_norm": P(),
-            "w_gate": P(None, "tp"),
-            "w_up": P(None, "tp"),
-            "w_down": P("tp", None),
+            "w_gate": maybe_dp(P(None, "tp")),
+            "w_up": maybe_dp(P(None, "tp")),
+            "w_down": maybe_dp(P("tp", None)),
         }
 
     return {
-        "embed": P(None, "tp"),
+        "embed": maybe_dp(P(None, "tp")),
         "final_norm": P(),
         "blocks": [block_spec(b) for b in params["blocks"]],
     }
 
 
-def shard_params(params, mesh: Mesh):
-    specs = param_specs(params)
+def shard_params(params, mesh: Mesh, fsdp: bool = False):
+    specs = param_specs(params, fsdp=fsdp)
     return jax.tree_util.tree_map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs,
         is_leaf=lambda x: not isinstance(x, (dict, list)),

@@ -173,6 +173,73 @@ class TestTraining:
             losses.append(float(loss))
         assert losses[-1] < losses[0], f"{algo}: {losses}"
 
+    def test_grad_accum_matches_full_batch(self):
+        """grad_accum=4 over batch 8 == one full-batch step: loss_fn means
+        over the batch, so the mean of microbatch grads is the batch grad."""
+        cfg = tiny_cfg()
+        oc = OptConfig(lr=1e-3, clip_norm=None)
+        tokens = (jnp.arange(8 * 16, dtype=jnp.int32).reshape(8, 16) * 5) % cfg.vocab_size
+        targets = (tokens + 1) % cfg.vocab_size
+
+        outs = {}
+        for accum in (1, 4):
+            params = init_params(jax.random.PRNGKey(0), cfg)
+            opt = init_opt_state(params, oc)
+            step = jax.jit(make_train_step(cfg, oc, grad_accum=accum))
+            params, opt, loss = step(params, opt, tokens, targets)
+            outs[accum] = (params, float(loss))
+        assert abs(outs[1][1] - outs[4][1]) < 1e-5
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=3e-5
+            ),
+            outs[1][0], outs[4][0],
+        )
+
+    def test_grad_accum_rejects_indivisible(self):
+        cfg = tiny_cfg()
+        oc = OptConfig()
+        params = init_params(jax.random.PRNGKey(0), cfg)
+        step = make_train_step(cfg, oc, grad_accum=3)
+        tokens = jnp.zeros((8, 16), jnp.int32)
+        with pytest.raises(ValueError, match="not divisible"):
+            step(params, init_opt_state(params, oc), tokens, tokens)
+
+    @pytest.mark.slow
+    def test_fsdp_parity_and_state_sharding(self):
+        """ZeRO-3 (fsdp=True) trains to the same losses as plain dp x tp,
+        and each chip holds 1/(dp*tp) of every matrix param + moment."""
+        from kfunca_tpu.models.train import make_sharded_train_step
+        from kfunca_tpu.parallel.mesh import make_mesh, shard_params
+
+        cfg = tiny_cfg()
+        mesh = make_mesh(8)  # dp x tp
+        dp, tp = mesh.shape["dp"], mesh.shape["tp"]
+        tokens = (jnp.arange(8 * 16, dtype=jnp.int32).reshape(8, 16) * 5) % cfg.vocab_size
+        targets = (tokens + 1) % cfg.vocab_size
+        oc = OptConfig(lr=1e-2)
+
+        losses = {}
+        for fsdp in (False, True):
+            params = shard_params(
+                init_params(jax.random.PRNGKey(0), cfg), mesh, fsdp=fsdp
+            )
+            opt = init_opt_state(params, oc)
+            step = make_sharded_train_step(cfg, mesh, oc, fsdp=fsdp)(params)
+            ls = []
+            with mesh:
+                for _ in range(3):
+                    params, opt, loss = step(params, opt, tokens, targets)
+                    ls.append(float(loss))
+            losses[fsdp] = ls
+            if fsdp:
+                w = params["blocks"][0]["wqkv"]
+                shard = w.addressable_shards[0].data
+                assert shard.size * dp * tp == w.size, (shard.shape, w.shape)
+                m = opt["m"]["blocks"][0]["wqkv"]
+                assert m.addressable_shards[0].data.size * dp * tp == m.size
+        assert np.allclose(losses[False], losses[True], atol=1e-4), losses
+
     @pytest.mark.slow
     @pytest.mark.parametrize("algo", ["lion", "adafactor"])
     def test_sharded_step_runs(self, algo):
