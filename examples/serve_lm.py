@@ -52,10 +52,17 @@ def main():
         top_p=args.top_p,
     )
     rng = np.random.default_rng(0)
+    # mixed batch: every 3rd request overrides the server sampling params
+    # (greedy / top-k / min-p) — one compiled step serves them all
+    overrides = [
+        {},
+        {"temperature": 0.0},
+        {"temperature": 1.0, "top_k": 40, "min_p": 0.02},
+    ]
     ids = [
         srv.submit(rng.integers(1, cfg.vocab_size, rng.integers(4, 24)).tolist(),
-                   max_new=args.max_new)
-        for _ in range(args.requests)
+                   max_new=args.max_new, **overrides[i % len(overrides)])
+        for i in range(args.requests)
     ]
 
     t0 = time.perf_counter()

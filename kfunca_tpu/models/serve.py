@@ -16,9 +16,12 @@ framework's production story).  TPU-first construction:
     table, attend with a position mask, then sample.  Gathers/scatters are
     batched advanced indexing, which XLA lowers to efficient dynamic
     gather/scatter on TPU.
-  * **Sampling** — greedy, temperature, and nucleus (top-p) over the full
-    sorted vocab (lax.top_k is avoided: k >= ~2049 crashes the TPU
-    compiler — see ROADMAP known hazards).
+  * **Sampling** — greedy, temperature, nucleus (top-p), top-k, and min-p
+    over the full sorted vocab (lax.top_k is avoided: k >= ~2049 crashes
+    the TPU compiler — see ROADMAP known hazards).  Params are PER
+    REQUEST: overrides become traced (B,) vectors so one compiled step
+    serves a mixed greedy/sampled batch; per-request EOS overrides and
+    multi-token stop sequences end requests host-side.
   * **Continuous batching scheduler** — fixed decode slots; a native FIFO
     queue (csrc kf_queue_*) holds waiting requests; when a sequence
     finishes (EOS or max_new), its pages are freed and the next request is
@@ -253,6 +256,37 @@ def sample_tokens(logits, key, temperature=0.0, top_p=1.0):
     return jnp.take_along_axis(sorted_idx, choice[:, None], axis=-1)[:, 0].astype(jnp.int32)
 
 
+@jax.jit
+def sample_tokens_per_slot(logits, key, temperature, top_p, top_k, min_p):
+    """Per-slot sampling: every parameter is a TRACED (B,) vector so one
+    compiled program serves a batch mixing greedy and differently-tuned
+    sampled requests (continuous batching must not recompile on admission).
+
+    temperature <= 0 -> greedy for that slot.  Filters compose on the
+    sorted distribution: nucleus (top_p), top_k rank cut (top_k <= 0 = off),
+    and min_p (keep tokens with prob >= min_p * max_prob); the argmax token
+    always survives.  Full-vocab sort, not lax.top_k (which crashes the
+    TPU compiler for k >= ~2049)."""
+    logits = logits.astype(jnp.float32)
+    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    t = jnp.maximum(temperature.astype(jnp.float32), 1e-6)[:, None]
+    scaled = logits / t
+    sorted_logits = jnp.sort(scaled, axis=-1)[:, ::-1]
+    sorted_idx = jnp.argsort(scaled, axis=-1)[:, ::-1]
+    probs = jax.nn.softmax(sorted_logits, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    keep = (cum - probs) < top_p.astype(jnp.float32)[:, None]
+    ranks = jnp.arange(logits.shape[-1], dtype=jnp.int32)[None, :]
+    k = top_k.astype(jnp.int32)[:, None]
+    keep &= jnp.where(k > 0, ranks < k, True)
+    keep &= probs >= min_p.astype(jnp.float32)[:, None] * probs[:, :1]
+    keep = keep.at[:, 0].set(True)
+    filtered = jnp.where(keep, sorted_logits, jnp.float32(-1e30))
+    choice = jax.random.categorical(key, filtered, axis=-1)
+    sampled = jnp.take_along_axis(sorted_idx, choice[:, None], axis=-1)[:, 0]
+    return jnp.where(temperature > 0.0, sampled.astype(jnp.int32), greedy)
+
+
 # ---------------------------------------------------------------------------
 # batched paged decode step (one compiled program)
 # ---------------------------------------------------------------------------
@@ -357,9 +391,13 @@ def _paged_block(x, p, pool_k, pool_v, page_tables, positions, cfg, page_size, e
 def paged_decode_step(
     params, pools_k, pools_v, page_tables, positions, last_tokens, key,
     cfg: TransformerConfig, page_size: int, temperature=0.0, top_p=1.0,
-    engine="xla", lora=None,
+    engine="xla", lora=None, sampling=None,
 ):
     """One batched decode step over paged KV.
+
+    `sampling`, when given, is a dict of TRACED (B,) vectors
+    {temperature, top_p, top_k, min_p} enabling per-slot sampling params
+    (sample_tokens_per_slot); it overrides the static temperature/top_p.
 
     pools_k/v: (L, n_pages, page, H, hd) stacked per-layer pools (donated —
     XLA updates the pool in place in HBM).
@@ -381,7 +419,13 @@ def paged_decode_step(
     logits = jnp.dot(
         x[:, 0], params["embed"].T.astype(x.dtype), preferred_element_type=jnp.float32
     )
-    tokens = sample_tokens(logits, key, temperature=temperature, top_p=top_p)
+    if sampling is not None:
+        tokens = sample_tokens_per_slot(
+            logits, key, sampling["temperature"], sampling["top_p"],
+            sampling["top_k"], sampling["min_p"],
+        )
+    else:
+        tokens = sample_tokens(logits, key, temperature=temperature, top_p=top_p)
     return tokens, pools_k, pools_v
 
 
@@ -405,6 +449,15 @@ class Request:
     tokens: list = field(default_factory=list)  # generated
     done: bool = False
     lora_id: int = 0
+    # per-request sampling overrides (None -> the server-wide default)
+    temperature: float | None = None
+    top_p: float | None = None
+    top_k: int = 0  # 0 = off
+    min_p: float = 0.0
+    eos: int | None = None  # overrides the server eos_token
+    # stop sequences: generation ends when the tail of the output matches
+    # any of these token tuples (the stop tokens stay in the output)
+    stop: tuple = ()
 
 
 class InferenceServer:
@@ -508,6 +561,13 @@ class InferenceServer:
         self.page_tables = np.full((self.B, self.max_pages), self.trash_page, np.int32)
         self.positions = np.zeros((self.B,), np.int32)  # index of next token
         self.last_tokens = np.zeros((self.B,), np.int32)
+        # per-slot sampling params (used once any request overrides the
+        # server defaults; idle slots keep the defaults)
+        self._per_slot_sampling = False
+        self.slot_temp = np.full((self.B,), self.temperature, np.float32)
+        self.slot_top_p = np.full((self.B,), self.top_p, np.float32)
+        self.slot_top_k = np.zeros((self.B,), np.int32)
+        self.slot_min_p = np.zeros((self.B,), np.float32)
 
     # -- API ---------------------------------------------------------------
 
@@ -547,13 +607,29 @@ class InferenceServer:
             self._merged_params[lora_id] = merged
         return merged
 
-    def submit(self, prompt, max_new: int = 16, lora_id: int = 0) -> int:
+    def submit(self, prompt, max_new: int = 16, lora_id: int = 0, *,
+               temperature: float | None = None, top_p: float | None = None,
+               top_k: int = 0, min_p: float = 0.0, eos: int | None = None,
+               stop=()) -> int:
+        """Queue a request.  Sampling kwargs override the server defaults
+        for this request only (one compiled step still serves the mixed
+        batch — params become traced per-slot vectors).  `stop` is an
+        iterable of token sequences; matching the output tail ends the
+        request (stop tokens are kept in the output)."""
         if lora_id and not (self.max_loras and lora_id <= self._n_loras):
             raise ValueError(f"unknown lora_id {lora_id}")
         rid = self._next_id
         self._next_id += 1
-        self.requests[rid] = Request(rid, np.asarray(prompt, np.int32), max_new,
-                                     lora_id=int(lora_id))
+        stop = tuple(tuple(int(t) for t in s) for s in stop)
+        req = Request(rid, np.asarray(prompt, np.int32), max_new,
+                      lora_id=int(lora_id), temperature=temperature,
+                      top_p=top_p, top_k=int(top_k), min_p=float(min_p),
+                      eos=eos, stop=stop)
+        if (temperature is not None or top_p is not None or top_k or min_p):
+            # switch the decode step to per-slot sampling from now on (one
+            # extra compile, then stable — never per-admission recompiles)
+            self._per_slot_sampling = True
+        self.requests[rid] = req
         self.queue.push(rid)
         return rid
 
@@ -669,6 +745,12 @@ class InferenceServer:
             # below-window pages a windowed config never allocates
             self.slot_pages[slot] = [self.trash_page] * first_page + pages
             self.slot_lora[slot] = req.lora_id
+            self.slot_temp[slot] = (
+                self.temperature if req.temperature is None else req.temperature
+            )
+            self.slot_top_p[slot] = self.top_p if req.top_p is None else req.top_p
+            self.slot_top_k[slot] = req.top_k
+            self.slot_min_p[slot] = req.min_p
             self.page_tables[slot] = self.trash_page
             self.page_tables[slot, first_page : first_page + len(pages)] = pages
             first = self._prefill(
@@ -741,9 +823,20 @@ class InferenceServer:
                 pv = pv.at[li, page, :n].set(v[lo : lo + n].astype(pv.dtype))
         self.pools_k, self.pools_v = pk, pv
         self._key, sub = jax.random.split(self._key)
-        first = sample_tokens(
-            logits[:, st - 1], sub, temperature=self.temperature, top_p=self.top_p
-        )
+        if (req.temperature is not None or req.top_p is not None
+                or req.top_k or req.min_p):
+            one = lambda v, d: jnp.asarray([d if v is None else v], jnp.float32)
+            first = sample_tokens_per_slot(
+                logits[:, st - 1], sub,
+                one(req.temperature, self.temperature),
+                one(req.top_p, self.top_p),
+                jnp.asarray([req.top_k], jnp.int32),
+                jnp.asarray([req.min_p], jnp.float32),
+            )
+        else:
+            first = sample_tokens(
+                logits[:, st - 1], sub, temperature=self.temperature, top_p=self.top_p
+            )
         return int(first[0])
 
     def _step(self):
@@ -751,12 +844,20 @@ class InferenceServer:
         lora = None
         if self.max_loras:
             lora = (self.lora_A, self.lora_B, jnp.asarray(self.slot_lora))
+        sampling = None
+        if self._per_slot_sampling:
+            sampling = {
+                "temperature": jnp.asarray(self.slot_temp),
+                "top_p": jnp.asarray(self.slot_top_p),
+                "top_k": jnp.asarray(self.slot_top_k),
+                "min_p": jnp.asarray(self.slot_min_p),
+            }
         tokens, self.pools_k, self.pools_v = paged_decode_step(
             self.params, self.pools_k, self.pools_v,
             jnp.asarray(self.page_tables), jnp.asarray(self.positions),
             jnp.asarray(self.last_tokens), sub,
             self.cfg, self.page_size, self.temperature, self.top_p,
-            engine=_decode_engine(), lora=lora,
+            engine=_decode_engine(), lora=lora, sampling=sampling,
         )
         tokens = np.asarray(tokens)
         for slot in range(self.B):
@@ -793,7 +894,15 @@ class InferenceServer:
         self.slot_watermark[slot] = pi
 
     def _finished(self, req: Request, tok: int) -> bool:
-        return len(req.tokens) >= req.max_new or (self.eos is not None and tok == self.eos)
+        if len(req.tokens) >= req.max_new:
+            return True
+        eos = self.eos if req.eos is None else req.eos
+        if eos is not None and tok == eos:
+            return True
+        for s in req.stop:
+            if len(req.tokens) >= len(s) and tuple(req.tokens[-len(s):]) == s:
+                return True
+        return False
 
     def _release(self, slot: int):
         rid = self.slot_req[slot]

@@ -509,3 +509,98 @@ class TestSlidingWindowServing:
         assert np.allclose(np.asarray(got), want, atol=1e-5), (
             np.abs(np.asarray(got) - want).max()
         )
+
+
+class TestPerRequestSampling:
+    """Per-request sampling params, EOS overrides, and stop sequences."""
+
+    def test_per_slot_greedy_matches_argmax(self):
+        from kfunca_tpu.models.serve import sample_tokens_per_slot
+
+        logits = jax.random.normal(jax.random.PRNGKey(3), (4, 64))
+        out = sample_tokens_per_slot(
+            logits, jax.random.PRNGKey(0),
+            jnp.zeros((4,)), jnp.ones((4,)), jnp.zeros((4,), jnp.int32),
+            jnp.zeros((4,)),
+        )
+        assert np.array_equal(np.asarray(out), np.asarray(jnp.argmax(logits, -1)))
+
+    def test_top_k1_and_min_p1_force_argmax(self):
+        from kfunca_tpu.models.serve import sample_tokens_per_slot
+
+        logits = jax.random.normal(jax.random.PRNGKey(5), (3, 64))
+        amax = np.asarray(jnp.argmax(logits, -1))
+        for kw in (
+            dict(top_k=jnp.full((3,), 1, jnp.int32), min_p=jnp.zeros((3,))),
+            dict(top_k=jnp.zeros((3,), jnp.int32), min_p=jnp.ones((3,))),
+        ):
+            for seed in range(4):
+                out = sample_tokens_per_slot(
+                    logits, jax.random.PRNGKey(seed),
+                    jnp.full((3,), 0.9), jnp.ones((3,)), kw["top_k"], kw["min_p"],
+                )
+                assert np.array_equal(np.asarray(out), amax)
+
+    def test_mixed_batch_keeps_greedy_slot_deterministic(self, model):
+        """A sampled request joining the batch must not perturb a greedy
+        request's tokens (per-slot vectors, one compiled step)."""
+        params, cfg = model
+        base = InferenceServer(params, cfg, batch_slots=2, page_size=4,
+                               n_pages=32, max_pages_per_seq=4)
+        r0 = base.submit([3, 4, 5], max_new=6)
+        want = base.run()[r0]
+
+        srv = InferenceServer(params, cfg, batch_slots=2, page_size=4,
+                              n_pages=32, max_pages_per_seq=4)
+        g = srv.submit([3, 4, 5], max_new=6)
+        s = srv.submit([9, 10], max_new=6, temperature=0.8, top_k=8, min_p=0.05)
+        out = srv.run()
+        assert out[g] == want
+        assert len(out[s]) == 6
+
+    def test_per_request_temperature_zero_override(self, model):
+        """Server-wide sampling on, but a temperature=0.0 request decodes
+        greedily."""
+        params, cfg = model
+        base = InferenceServer(params, cfg, batch_slots=1, page_size=4,
+                               n_pages=32, max_pages_per_seq=4)
+        r0 = base.submit([7, 8], max_new=5)
+        want = base.run()[r0]
+
+        srv = InferenceServer(params, cfg, batch_slots=1, page_size=4,
+                              n_pages=32, max_pages_per_seq=4, temperature=1.0,
+                              top_p=0.9)
+        rid = srv.submit([7, 8], max_new=5, temperature=0.0)
+        assert srv.run()[rid] == want
+
+    def test_per_request_eos_override(self, model):
+        params, cfg = model
+        probe = InferenceServer(params, cfg, batch_slots=1, page_size=4,
+                                n_pages=16, max_pages_per_seq=4)
+        rid = probe.submit([5, 6], max_new=6)
+        toks = probe.run()[rid]
+        eos = toks[2]
+        srv = InferenceServer(params, cfg, batch_slots=1, page_size=4,
+                              n_pages=16, max_pages_per_seq=4)
+        rid = srv.submit([5, 6], max_new=6, eos=eos)
+        out = srv.run()[rid]
+        # greedy is deterministic: ends at the FIRST occurrence of eos
+        want = toks[: toks.index(eos) + 1]
+        assert out == want
+
+    def test_stop_sequence_ends_request(self, model):
+        params, cfg = model
+        probe = InferenceServer(params, cfg, batch_slots=1, page_size=4,
+                                n_pages=16, max_pages_per_seq=4)
+        rid = probe.submit([5, 6], max_new=6)
+        toks = probe.run()[rid]
+        stop = tuple(toks[1:3])  # 2-token stop sequence
+        srv = InferenceServer(params, cfg, batch_slots=1, page_size=4,
+                              n_pages=16, max_pages_per_seq=4)
+        rid = srv.submit([5, 6], max_new=6, stop=[stop])
+        out = srv.run()[rid]
+        # ends at the FIRST tail match of the stop sequence
+        want_len = next(
+            i for i in range(2, len(toks) + 1) if tuple(toks[i - 2 : i]) == stop
+        )
+        assert tuple(out[-2:]) == stop and out == toks[:want_len]
