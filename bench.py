@@ -239,11 +239,19 @@ def bench_reduce_engines():
     A = jax.random.normal(key, (4096, 4096), jnp.float32)
     B = jax.random.normal(key, (16387, 16387), jnp.float32)
 
-    # NB the iteration dependency must be NON-LINEAR in x: `x = x + bump`
+    # NB the iteration dependency must be NON-LINEAR in x (`x = x + bump`
     # lets XLA rewrite sum(x + c) = sum(x) + n*c and collapse the whole
-    # chain to one reduce + scalar updates (measured: slope ~= 0).  The
-    # maximum() against a data-dependent always-smaller scalar is a no-op
-    # numerically but blocks the reassociation.
+    # chain) AND the bump must consume the FULL intermediate output: a
+    # scalar bump from r[0, 0] lets XLA slice intermediate reductions down
+    # to column 0 (round-3 session 3: the int8 probe's "1970 TFLOP/s bf16"
+    # was exactly the cost of reading one operand — every intermediate dot
+    # had been narrowed to one output element).  The fix folds the FULL
+    # (1, n) result into a maximum() over x's row 0 ONLY: every element of
+    # the result is consumed (unsliceable), each iteration's input differs
+    # (un-CSE-able), and the in-place row write is cheap — a broadcast
+    # maximum over all of x would cost a 2x-footprint VPU pass per
+    # iteration and mask the engine difference being measured.  Pallas
+    # kernels are opaque custom calls, so the dependency stays symmetric.
     def chain_sum(engine, K):
         @jax.jit
         def f(x):
@@ -253,7 +261,7 @@ def bench_reduce_engines():
                     r = reduce_2d(x, op="sum", out_dt=jnp.float32)
                 else:
                     r = jnp.sum(x, axis=0, keepdims=True)
-                x = jnp.maximum(x, r[0, 0] - jnp.float32(3e38))
+                x = x.at[0:1, :].set(jnp.maximum(x[0:1, :], r - jnp.float32(3e38)))
             return r
         return lambda: f(A)
 
@@ -268,7 +276,7 @@ def bench_reduce_engines():
                     m_ = jnp.mean(x, axis=0, keepdims=True)
                     var = jnp.mean((x - m_) * (x - m_), axis=0, keepdims=True)
                     inv = 1.0 / jnp.sqrt(var + 1e-12)
-                x = jnp.maximum(x, inv[0, 0] - jnp.float32(3e38))
+                x = x.at[0:1, :].set(jnp.maximum(x[0:1, :], inv - jnp.float32(3e38)))
             return inv
         return lambda: f(B)
 
@@ -314,13 +322,15 @@ def bench_int8_gemm(m=4096, k=4096, n=4096):
                         out = matmul_q8_xla(x, y, sa, sb, out_dtype=jnp.bfloat16)
                     else:
                         out = matmul_q8(x, y, sa, sb, out_dtype=jnp.bfloat16, **blocks)
-                    # collapse-proof dependency: with `x = x + bump` XLA can
-                    # distribute dot(x+c, y) = dot(x,y) + c*colsum(y) and
-                    # fold the whole chain (measured 435 "TFLOP/s" > the
-                    # 394 roofline); maximum() against an always-smaller
-                    # data-dependent value is a no-op it cannot reassociate
-                    bump = (out[0, 0] > jnp.bfloat16(3e4)).astype(jnp.int8)
-                    x = jnp.maximum(x, bump + jnp.int8(-128))
+                    # collapse-proof dependency: consume out ELEMENTWISE
+                    # as the next operand (m=k=n).  A scalar out[0, 0]
+                    # bump lets XLA slice intermediate XLA dots to one
+                    # element (the Pallas custom call is opaque, so only
+                    # the XLA arm was inflated); a full max-reduce bump is
+                    # honest but pays a serialized VPU pass per iteration
+                    # (MXU and VPU serialize).  The re-quantize clip fuses
+                    # into the dot epilogue and is symmetric across arms.
+                    x = jnp.clip(out, -127, 127).astype(jnp.int8)
                 return out
             return lambda: f(aq, bq, asc, bsc)
         return mk

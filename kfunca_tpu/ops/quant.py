@@ -66,14 +66,15 @@ def matmul_q8(a_q8, b_q8, a_scale, b_scale, out_dtype=jnp.bfloat16, bm=512, bn=5
     """int8 (m,k) @ int8 (k,n) with i32 accumulation and fused per-row x
     per-column dequantization: out[i,j] = acc[i,j] * a_scale[i] * b_scale[j].
 
-    Measured on v5e 4096^3 (round-3 interleaved 5-round medians with
-    collapse-proofed chains, tools_q8bench.py): this kernel holds 285-300
-    TFLOP/s (median ~288) across every swept block shape, with or without
-    the dequant epilogue — the plateau is the MXU int8 feed, not the
-    epilogue or tiling.  XLA's own int8 dot measures median 307 (258-346)
-    in the same harness, which is why matmul_q8_auto dispatches XLA by
-    default and keeps this kernel as the KFUNCA_GEMM_ENGINE=pallas
-    substrate (same split as the bf16 GEMM, ops/gemm.py)."""
+    Measured on v5e 4096^3 (round-3 interleaved medians; chains feed the
+    output back ELEMENTWISE — earlier harnesses consumed out[0,0] or a
+    max-reduce and understated both arms, see bench.py bench_int8_gemm):
+    this kernel holds ~329 TFLOP/s; XLA's int8 dot + fused rank-1 dequant
+    epilogue reaches ~372 TFLOP/s = 94% of the 394 2x roofline (the bare
+    XLA int8 dot probes 369-373 at every shape, tools_q8ceiling.py).
+    matmul_q8_auto therefore dispatches XLA by default and keeps this
+    kernel as the KFUNCA_GEMM_ENGINE=pallas substrate (same split as the
+    bf16 GEMM, ops/gemm.py)."""
     m, k = a_q8.shape
     k2, n = b_q8.shape
     assert k == k2, (a_q8.shape, b_q8.shape)
@@ -149,9 +150,9 @@ def matmul_q8_xla(a_q8, b_q8, a_scale, b_scale, out_dtype=jnp.bfloat16):
 
 
 def matmul_q8_auto(a_q8, b_q8, a_scale, b_scale, out_dtype=jnp.bfloat16, **kw):
-    """Dispatched int8 GEMM.  Default engine is XLA's dot (measured median
-    307 TFLOP/s on v5e 4096^3 vs ~288 for the Pallas kernel, collapse-
-    proofed chains — the same vendor-path-wins split as bf16 gemm);
+    """Dispatched int8 GEMM.  Default engine is XLA's dot (measured ~372
+    TFLOP/s on v5e 4096^3 vs ~329 for the Pallas kernel with elementwise-
+    feed chains — the same vendor-path-wins split as bf16 gemm);
     KFUNCA_GEMM_ENGINE=pallas routes
     to matmul_q8 with per-chip autotuned blocks (runtime/autotune.py),
     explicit kwargs winning."""

@@ -18,7 +18,7 @@ below for the numbers).  KFUNCA_REDUCE_ENGINE=pallas dispatches the
 single-pass Pallas kernels (ops/pallas_kernels/{reduce,welford}.py) — the
 grid is sequential per core, so the reference's staging-buffer + semaphore
 dance (welford_norm.h:122-177) collapses into a VMEM accumulator loop;
-they remain the tuning substrate, 3.4x behind XLA on the welford shape.
+they remain the tuning substrate, 1.7x behind XLA on the welford shape.
 """
 
 from __future__ import annotations
@@ -71,12 +71,14 @@ def _pallas_reduce_jit(A, dim, out_dt, mean: bool):
 
 def _reduce_engine() -> str:
     """Reduction engine, read at DISPATCH time.  XLA is the default: the
-    round-3 interleaved A/B (bench.py bench_reduce_engines, v5e) measured
-    XLA never slower — 4096^2 fp32 column-sum chains are RTT-noise-bounded
-    for both engines (<0.2 ms/iter), and on the 16387^2 norm_stat shape
-    XLA's two-pass reduction runs 2.4 ms vs 8.1 ms for the Pallas Welford
-    kernel (3.4x).  KFUNCA_REDUCE_ENGINE=pallas keeps the Pallas kernels
-    dispatchable as the tuning substrate."""
+    round-3 interleaved A/B (bench.py bench_reduce_engines, v5e, with
+    full-result row-update chains — the earlier inv[0,0] consumer let XLA
+    slice its own arm to one column) measured XLA never slower — 4096^2
+    fp32 column-sum chains are RTT-noise-bounded for both engines, and on
+    the 16387^2 norm_stat shape XLA's two-pass reduction runs 3.0 ms vs
+    5.0 ms for the Pallas Welford kernel (1.7x).
+    KFUNCA_REDUCE_ENGINE=pallas keeps the Pallas kernels dispatchable as
+    the tuning substrate."""
     import os
 
     return os.environ.get("KFUNCA_REDUCE_ENGINE", "xla")

@@ -6,7 +6,15 @@ separation — the first cut used K2-K1=8 iterations, far below the relay
 noise floor, and produced garbage).  Chains use the maximum()-bump
 dependency and consume every output (see BENCH discipline in
 .claude/skills/verify/SKILL.md).  bf16 variant included as a sanity
-anchor (expect ~190-200 TFLOP/s)."""
+anchor (expect ~190-200 TFLOP/s).
+
+Post-mortem of two broken cuts: (1) K2-K1=8 iterations is below the relay
+noise floor; (2) a scalar bump from out[0,0] lets XLA SLICE every
+intermediate dot to one output element — the "1970 TFLOP/s bf16" artifact
+was exactly the HBM read cost of one operand.  The fix: consume out
+ELEMENTWISE as the next operand (fused into the dot epilogue); a full
+max-reduce bump is honest but pays a serialized VPU pass per iteration
+(bf16 anchor measured 138 vs ~190 TFLOP/s)."""
 import jax
 import jax.numpy as jnp
 
@@ -26,8 +34,12 @@ def mk_int8(m, k, n):
             out = None
             for _ in range(K):
                 out = jax.lax.dot(x, y, preferred_element_type=jnp.int32)
-                bump = (out[0, 0] > jnp.int32(2**30)).astype(jnp.int8)
-                x = jnp.maximum(x, bump + jnp.int8(-128))
+                # consume out ELEMENTWISE as the next operand: full
+                # dependence (unsliceable) fused into the dot epilogue —
+                # a max-reduce bump costs a serialized VPU pass (MXU and
+                # VPU serialize on this chip; the bf16 anchor read 138
+                # instead of ~190 TFLOP/s with the reduce epilogue)
+                x = (jnp.bitwise_and(out, 127) - 64).astype(jnp.int8)
             return out
         return lambda: f(a, b)
 
@@ -45,19 +57,19 @@ def mk_bf16(m, k, n):
             out = None
             for _ in range(K):
                 out = jax.lax.dot(x, y, preferred_element_type=jnp.float32)
-                bump = (out[0, 0] > jnp.float32(3e38)).astype(jnp.bfloat16)
-                x = jnp.maximum(x, bump + jnp.bfloat16(-3e38))
+                x = jnp.clip(out * jnp.float32(1e-3), -3.0, 3.0).astype(jnp.bfloat16)
             return out
         return lambda: f(a, b)
 
     return chain
 
 
+# elementwise feeding needs k == n (out (m,n) becomes the next x (m,k))
 VARIANTS = [
     ("i8_4k^3", mk_int8, (4096, 4096, 4096)),
-    ("i8_8k_4k_8k", mk_int8, (8192, 4096, 8192)),
+    ("i8_16k_4k_4k", mk_int8, (16384, 4096, 4096)),
+    ("i8_4k_8k_8k", mk_int8, (4096, 8192, 8192)),
     ("i8_8k^3", mk_int8, (8192, 8192, 8192)),
-    ("i8_4k_16k_4k", mk_int8, (4096, 16384, 4096)),
     ("bf16_4k^3", mk_bf16, (4096, 4096, 4096)),
 ]
 
