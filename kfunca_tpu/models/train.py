@@ -25,9 +25,11 @@ from .transformer import TransformerConfig, loss_fn
 @dataclass(frozen=True)
 class OptConfig:
     # which update rule: "adamw" (default), "sgd" (momentum/nesterov),
-    # "lion" (sign-momentum, half of adam's state), or "adafactor"
+    # "lion" (sign-momentum, half of adam's state), "adafactor"
     # (factored second moments — O(r+c) state per (r,c) matrix instead of
-    # O(r*c); the large-model memory saver)
+    # O(r*c); the large-model memory saver), or "muon" (Newton-Schulz
+    # orthogonalized momentum for matrices — 5 matmul-only iterations, a
+    # natural MXU fit; 1-D leaves fall back to adamw per the paper)
     algo: str = "adamw"
     lr: float = 3e-4
     beta1: float = 0.9
@@ -47,6 +49,13 @@ class OptConfig:
     # skip weight decay on 1-D params (norm gains, biases) — the standard
     # transformer recipe; False decays everything (legacy behavior)
     decay_mask_1d: bool = True
+    # exponential moving average of params (None -> off): opt_state gains
+    # an fp32 "ema" tree updated after every step; read it back with
+    # ema_params(opt_state).  The standard eval/serving smoother.
+    ema_decay: float | None = None
+    # muon knob: momentum coefficient (paper default 0.95); muon's 1-D
+    # fallback uses the adamw beta1/beta2/eps above
+    muon_beta: float = 0.95
 
 
 def schedule_lr(oc: OptConfig, step):
@@ -85,10 +94,20 @@ def init_opt_state(params, oc: OptConfig | None = None):
     algo = oc.algo if oc is not None else "adamw"
     zeros = lambda p: jnp.zeros_like(p, dtype=jnp.float32)
     state = {"step": jnp.zeros((), jnp.int32)}
-    if algo in ("adamw", "sgd", "lion"):
+    if algo in ("adamw", "sgd", "lion", "muon"):
         state["m"] = jax.tree_util.tree_map(zeros, params)
     if algo == "adamw":
         state["v"] = jax.tree_util.tree_map(zeros, params)
+    if algo == "muon":
+        # second moment only for the 1-D adamw fallback leaves
+        dummy = jnp.zeros((), jnp.float32)
+        state["v1"] = jax.tree_util.tree_map(
+            lambda p: zeros(p) if p.ndim < 2 else dummy, params
+        )
+    if oc is not None and oc.ema_decay is not None:
+        state["ema"] = jax.tree_util.tree_map(
+            lambda p: p.astype(jnp.float32), params
+        )
     if algo == "adafactor":
         dummy = jnp.zeros((), jnp.float32)
         state["vr"] = jax.tree_util.tree_map(
@@ -227,23 +246,88 @@ def adafactor_update(params, grads, opt_state, oc: OptConfig):
     return new_params, {"step": step, "vr": vr, "vc": vc, "v1": v1}
 
 
+def _newton_schulz5(g, steps: int = 5):
+    """Approximate orthogonalization of a (..., r, c) matrix: 5 iterations
+    of the quintic Newton-Schulz polynomial (Jordan et al. 2024's Muon
+    coefficients) on the Frobenius-normalized input.  Pure matmuls — runs
+    on the MXU; computed in fp32 (bf16 also works per the paper but the
+    master params here are fp32 anyway)."""
+    a, b, c = 3.4445, -4.7750, 2.0315
+    x = g / (jnp.linalg.norm(g, axis=(-2, -1), keepdims=True) + 1e-7)
+    transposed = x.shape[-2] > x.shape[-1]
+    if transposed:  # iterate on the wide orientation: A is (r, r) minimal
+        x = jnp.swapaxes(x, -2, -1)
+    for _ in range(steps):
+        A = x @ jnp.swapaxes(x, -2, -1)
+        B = b * A + c * (A @ A)
+        x = a * x + B @ x
+    return jnp.swapaxes(x, -2, -1) if transposed else x
+
+
+def muon_update(params, grads, opt_state, oc: OptConfig):
+    """Muon (Jordan et al. 2024): nesterov momentum orthogonalized by
+    Newton-Schulz for every >=2-D param, scaled by sqrt(max(1, r/c)) to
+    keep per-row update RMS ~1 like adam; ndim<2 leaves (norm gains,
+    biases) run the standard adamw rule, as the paper prescribes."""
+    step, lr, gscale = _clip_and_lr(grads, opt_state, oc)
+    mu = jnp.float32(oc.muon_beta)
+    t = step.astype(jnp.float32)
+    bc1 = 1.0 - oc.beta1**t
+    bc2 = 1.0 - oc.beta2**t
+
+    def upd(p, g, m, v1):
+        g = g.astype(jnp.float32) * gscale
+        if p.ndim >= 2:
+            m = mu * m + g
+            o = _newton_schulz5(g + mu * m)  # nesterov-style lookahead
+            scale = jnp.sqrt(jnp.maximum(1.0, p.shape[-2] / p.shape[-1]))
+            return p - lr * (scale * o + _wd(p, oc) * p), m, v1
+        m = oc.beta1 * m + (1 - oc.beta1) * g
+        v1 = oc.beta2 * v1 + (1 - oc.beta2) * g * g
+        u = (m / bc1) / (jnp.sqrt(v1 / bc2) + oc.eps)
+        return p - lr * (u + _wd(p, oc) * p), m, v1
+
+    new_params, new_m, new_v1 = _tree_zip_update(
+        params, upd, grads, opt_state["m"], opt_state["v1"]
+    )
+    return new_params, {"step": step, "m": new_m, "v1": new_v1}
+
+
 _UPDATES = {
     "adamw": adamw_update,
     "sgd": sgd_update,
     "lion": lion_update,
     "adafactor": adafactor_update,
+    "muon": muon_update,
 }
 
 
 def apply_update(params, grads, opt_state, oc: OptConfig):
-    """Dispatch to oc.algo's update rule (state from init_opt_state(p, oc))."""
+    """Dispatch to oc.algo's update rule (state from init_opt_state(p, oc));
+    maintains the params EMA afterwards when oc.ema_decay is set."""
     try:
         fn = _UPDATES[oc.algo]
     except KeyError:
         raise ValueError(
             f"unknown optimizer algo {oc.algo!r}; one of {sorted(_UPDATES)}"
         ) from None
-    return fn(params, grads, opt_state, oc)
+    new_params, new_state = fn(params, grads, opt_state, oc)
+    if oc.ema_decay is not None:
+        d = jnp.float32(oc.ema_decay)
+        new_state["ema"] = jax.tree_util.tree_map(
+            lambda e, p: d * e + (1 - d) * p.astype(jnp.float32),
+            opt_state["ema"], new_params,
+        )
+    return new_params, new_state
+
+
+def ema_params(opt_state, dtype=None):
+    """The EMA params tree (requires OptConfig(ema_decay=...)); cast to
+    `dtype` if given — the smoothed weights for eval/serving."""
+    ema = opt_state["ema"]
+    if dtype is not None:
+        ema = jax.tree_util.tree_map(lambda e: e.astype(dtype), ema)
+    return ema
 
 
 def make_train_step(cfg: TransformerConfig, oc: OptConfig = OptConfig(),
@@ -319,10 +403,17 @@ def make_sharded_train_step(cfg: TransformerConfig, mesh, oc: OptConfig = OptCon
         p_sh = jax.tree_util.tree_map(to_sharding, pspecs, is_leaf=is_spec)
         repl = NamedSharding(mesh, P())
         opt_sh = {"step": repl}
-        if oc.algo in ("adamw", "sgd", "lion"):
+        if oc.algo in ("adamw", "sgd", "lion", "muon"):
             opt_sh["m"] = p_sh  # moments shard exactly like their params
         if oc.algo == "adamw":
             opt_sh["v"] = p_sh
+        if oc.algo == "muon":
+            opt_sh["v1"] = jax.tree_util.tree_map(
+                lambda spec, p: to_sharding(spec) if p.ndim < 2 else repl,
+                pspecs, params, is_leaf=is_spec,
+            )
+        if oc.ema_decay is not None:
+            opt_sh["ema"] = p_sh
         if oc.algo == "adafactor":
             # factored moments drop one param axis: vr loses the last
             # (column) axis, vc the second-to-last (row) axis; ndim<2

@@ -258,3 +258,79 @@ class TestTraining:
             params, opt, l1 = step(params, opt, tokens, targets)
             params, opt, l2 = step(params, opt, tokens, targets)
         assert float(l2) < float(l1)
+
+
+class TestMuon:
+    def test_newton_schulz_orthogonalizes(self):
+        """NS5 output of a well-conditioned matrix is near-orthogonal:
+        O @ O.T ~ I (the singular values are driven toward 1)."""
+        from kfunca_tpu.models.train import _newton_schulz5
+
+        g = np.asarray(jax.random.normal(jax.random.PRNGKey(0), (16, 64)))
+        o = np.asarray(_newton_schulz5(jnp.asarray(g, jnp.float32)))
+        gram = o @ o.T
+        # quintic NS converges loosely (the paper accepts ~[0.7, 1.3])
+        sv = np.linalg.svd(o, compute_uv=False)
+        assert sv.max() < 1.35 and sv.min() > 0.55, (sv.min(), sv.max())
+        assert np.abs(np.diag(gram) - 1.0).max() < 0.5
+
+    def test_tall_matrix_transpose_path(self):
+        from kfunca_tpu.models.train import _newton_schulz5
+
+        g = jax.random.normal(jax.random.PRNGKey(1), (64, 16), jnp.float32)
+        o = np.asarray(_newton_schulz5(g))
+        assert o.shape == (64, 16)
+        sv = np.linalg.svd(o, compute_uv=False)
+        assert sv.max() < 1.35 and sv.min() > 0.55
+
+    def test_state_layout_and_1d_fallback(self):
+        p = _toy_params()
+        s = init_opt_state(p, OptConfig(algo="muon"))
+        assert set(s) == {"step", "m", "v1"}
+        assert s["v1"]["w"].shape == ()  # 2-D leaf: no second moment
+        assert s["v1"]["b"].shape == (2,)  # 1-D leaf: adamw fallback state
+
+    def test_loss_decreases(self):
+        cfg = tiny_cfg()
+        params = init_params(jax.random.PRNGKey(0), cfg)
+        oc = OptConfig(algo="muon", lr=3e-3, clip_norm=1.0)
+        opt = init_opt_state(params, oc)
+        step = jax.jit(make_train_step(cfg, oc))
+        tokens = (jnp.arange(2 * 16, dtype=jnp.int32).reshape(2, 16) * 3) % cfg.vocab_size
+        targets = (tokens + 1) % cfg.vocab_size
+        losses = []
+        for _ in range(6):
+            params, opt, loss = step(params, opt, tokens, targets)
+            losses.append(float(loss))
+        assert losses[-1] < losses[0], losses
+
+
+class TestEMA:
+    def test_ema_tracks_params(self):
+        from kfunca_tpu.models.train import ema_params
+
+        oc = OptConfig(algo="sgd", lr=0.1, momentum=0.0, weight_decay=0.0,
+                       ema_decay=0.5)
+        p, g = _toy_params(), _toy_grads()
+        s = init_opt_state(p, oc)
+        # ema starts AT the params
+        assert np.allclose(np.asarray(s["ema"]["w"]), np.asarray(p["w"]))
+        p1, s = apply_update(p, g, s, oc)
+        want = 0.5 * np.asarray(p["w"]) + 0.5 * np.asarray(p1["w"])
+        assert np.allclose(np.asarray(ema_params(s)["w"]), want, atol=1e-6)
+        p2, s = apply_update(p1, g, s, oc)
+        want = 0.5 * want + 0.5 * np.asarray(p2["w"])
+        assert np.allclose(np.asarray(ema_params(s)["w"]), want, atol=1e-6)
+        # dtype cast accessor
+        assert ema_params(s, jnp.bfloat16)["w"].dtype == jnp.bfloat16
+
+    def test_ema_composes_with_any_algo(self):
+        cfg = tiny_cfg()
+        params = init_params(jax.random.PRNGKey(0), cfg)
+        oc = OptConfig(algo="lion", lr=1e-3, ema_decay=0.9)
+        opt = init_opt_state(params, oc)
+        step = jax.jit(make_train_step(cfg, oc))
+        tokens = jnp.zeros((2, 16), jnp.int32)
+        targets = jnp.ones((2, 16), jnp.int32)
+        params, opt, _ = step(params, opt, tokens, targets)
+        assert "ema" in opt and opt["ema"]["final_norm"].dtype == jnp.float32
