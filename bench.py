@@ -52,17 +52,25 @@ def _log(msg):
 
 
 def slope_time(make_chain, k1=8, k2=32, iters=5, label="", reps=3):
-    """Per-iteration time: median of `reps` slope estimates between two
-    chain lengths (single estimates wobble with relay/thermal noise)."""
+    """Per-iteration time from two chain lengths, robust to relay
+    congestion: the slope is computed from the GLOBAL MINIMUM time of each
+    endpoint across all reps.  Per-rep slopes mislead when one endpoint's
+    best-of-iters lands in a congested stretch (observed: a K=8 gemm
+    endpoint drifting 39->52 ms across reps while K=40 held 63 ms, giving
+    an impossible 274 TFLOP/s "median" slope); the minima both approximate
+    the uncongested relay floor + compute, so the floor cancels."""
     f1, f2 = make_chain(k1), make_chain(k2)
-    slopes = []
+    t1s, t2s = [], []
     for r in range(reps):
         t1 = _timed(f1, iters=iters)
         t2 = _timed(f2, iters=iters)
-        slopes.append(max((t2 - t1) / (k2 - k1), 1e-9))
-        _log(f"{label}[{r}]: K={k1} {t1*1e3:.1f} ms, K={k2} {t2*1e3:.1f} ms -> {slopes[-1]*1e3:.3f} ms/iter")
-    slopes.sort()
-    return slopes[len(slopes) // 2]
+        t1s.append(t1)
+        t2s.append(t2)
+        _log(f"{label}[{r}]: K={k1} {t1*1e3:.1f} ms, K={k2} {t2*1e3:.1f} ms -> "
+             f"{(t2-t1)/(k2-k1)*1e3:.3f} ms/iter")
+    slope = max((min(t2s) - min(t1s)) / (k2 - k1), 1e-9)
+    _log(f"{label}: min-based slope {slope*1e3:.3f} ms/iter")
+    return slope
 
 
 def bench_gemm(m=4096, k=4096, n=4096, dtype=jnp.bfloat16):
@@ -91,8 +99,8 @@ def bench_gemm(m=4096, k=4096, n=4096, dtype=jnp.bfloat16):
             return x
         return lambda: f(a, b)
 
-    dt_p = slope_time(chain_pallas, k1=8, k2=40, label='gemm-pallas')
-    dt_x = slope_time(chain_xla, k1=8, k2=40, label='gemm-xla')
+    dt_p = slope_time(chain_pallas, k1=8, k2=104, label='gemm-pallas')
+    dt_x = slope_time(chain_xla, k1=8, k2=104, label='gemm-xla')
     # seed the per-chip autotune cache with the blocks this run measured
     # (runtime/autotune.py; matmul_2d consults it before the swept defaults)
     from kfunca_tpu.runtime.autotune import record, shape_bucket
@@ -133,8 +141,8 @@ def bench_attention(b=4, h=16, s=2048, d=128, dtype=jnp.bfloat16):
             return x
         return lambda: f(q, k, v, g)
 
-    dt_fwd = slope_time(chain_fwd, k1=8, k2=40, label='attn-fwd')
-    dt_fb = slope_time(chain_fwd_bwd, k1=2, k2=8, label='attn-fwd-bwd')
+    dt_fwd = slope_time(chain_fwd, k1=8, k2=72, label='attn-fwd')
+    dt_fb = slope_time(chain_fwd_bwd, k1=2, k2=14, label='attn-fwd-bwd')
     # seed the autotune cache with the measured production tile choices
     from kfunca_tpu.runtime.autotune import record, shape_bucket
     record("attn_fwd", shape_bucket(s, s, d), jnp.dtype(dtype), {"bq": 512, "bk": 512})
@@ -345,18 +353,19 @@ def bench_int8_gemm(m=4096, k=4096, n=4096):
     sbucket = shape_bucket(m, k, n)
     pallas_blocks = lookup("gemm_q8", sbucket, "int8") or {"bm": 512, "bn": 512, "bk": 4096}
     mk_x, mk_p = chain(None), chain(pallas_blocks)
-    fx = (mk_x(8), mk_x(40))
-    fp = (mk_p(8), mk_p(40))
-    xs, ps = [], []
+    k1, k2 = 8, 104
+    fx = (mk_x(k1), mk_x(k2))
+    fp = (mk_p(k1), mk_p(k2))
+    ts = {"xla": ([], []), "pallas": ([], [])}
     for r in range(3):
-        for name, (f1, f2), acc in (("xla", fx, xs), ("pallas", fp, ps)):
+        for name, (f1, f2) in (("xla", fx), ("pallas", fp)):
             t1, t2 = _timed(f1, iters=5), _timed(f2, iters=5)
-            dt = max((t2 - t1) / 32, 1e-9)
-            acc.append(dt)
-            _log(f"gemm-int8-{name}[{r}]: {dt*1e3:.3f} ms/iter")
-    xs.sort()
-    ps.sort()
-    dt_xla, dt_pl = xs[len(xs) // 2], ps[len(ps) // 2]
+            ts[name][0].append(t1)
+            ts[name][1].append(t2)
+            _log(f"gemm-int8-{name}[{r}]: {(t2-t1)/(k2-k1)*1e3:.3f} ms/iter")
+    # min-based endpoints (same congestion-robust estimator as slope_time)
+    dt_xla = max((min(ts["xla"][1]) - min(ts["xla"][0])) / (k2 - k1), 1e-9)
+    dt_pl = max((min(ts["pallas"][1]) - min(ts["pallas"][0])) / (k2 - k1), 1e-9)
     record("gemm_q8", sbucket, "int8", pallas_blocks)
     flops = 2 * m * k * n
     return flops / dt_xla / 1e12, flops / dt_pl / 1e12
@@ -407,7 +416,7 @@ def bench_serving(L=8, dm=1024, h=16, page=None, ctx=960, capacity=1024):
                 def f(prm, pk, pv, pos, toks):
                     def body(_, carry):
                         pk, pv, pos, toks = carry
-                        toks, pk, pv = paged_decode_step(
+                        toks, _lp, pk, pv = paged_decode_step(
                             prm, pk, pv, tables, pos, toks, key, cfg, page,
                             0.0, 1.0, engine,
                         )

@@ -257,6 +257,16 @@ def sample_tokens(logits, key, temperature=0.0, top_p=1.0):
 
 
 @jax.jit
+def token_logprobs(logits, tokens):
+    """(B, V) raw logits + (B,) chosen tokens -> (B,) fp32 log-probs under
+    the model's (untempered) distribution."""
+    logits = logits.astype(jnp.float32)
+    lse = jax.scipy.special.logsumexp(logits, axis=-1)
+    picked = jnp.take_along_axis(logits, tokens[:, None].astype(jnp.int32), axis=-1)
+    return picked[:, 0] - lse
+
+
+@jax.jit
 def sample_tokens_per_slot(logits, key, temperature, top_p, top_k, min_p):
     """Per-slot sampling: every parameter is a TRACED (B,) vector so one
     compiled program serves a batch mixing greedy and differently-tuned
@@ -426,7 +436,10 @@ def paged_decode_step(
         )
     else:
         tokens = sample_tokens(logits, key, temperature=temperature, top_p=top_p)
-    return tokens, pools_k, pools_v
+    # logprob of each chosen token under the model's raw distribution
+    # (untempered log-softmax — the vLLM/OpenAI-API convention)
+    lp = token_logprobs(logits, tokens)
+    return tokens, lp, pools_k, pools_v
 
 
 def _decode_engine() -> str:
@@ -458,6 +471,9 @@ class Request:
     # stop sequences: generation ends when the tail of the output matches
     # any of these token tuples (the stop tokens stay in the output)
     stop: tuple = ()
+    # per-token log-prob of each generated token under the model's raw
+    # (untempered) distribution — parallel to `tokens`
+    logprobs: list = field(default_factory=list)
 
 
 class InferenceServer:
@@ -837,6 +853,7 @@ class InferenceServer:
             first = sample_tokens(
                 logits[:, st - 1], sub, temperature=self.temperature, top_p=self.top_p
             )
+        req.logprobs.append(float(token_logprobs(logits[:, st - 1], first)[0]))
         return int(first[0])
 
     def _step(self):
@@ -852,7 +869,7 @@ class InferenceServer:
                 "top_k": jnp.asarray(self.slot_top_k),
                 "min_p": jnp.asarray(self.slot_min_p),
             }
-        tokens, self.pools_k, self.pools_v = paged_decode_step(
+        tokens, lps, self.pools_k, self.pools_v = paged_decode_step(
             self.params, self.pools_k, self.pools_v,
             jnp.asarray(self.page_tables), jnp.asarray(self.positions),
             jnp.asarray(self.last_tokens), sub,
@@ -860,6 +877,7 @@ class InferenceServer:
             engine=_decode_engine(), lora=lora, sampling=sampling,
         )
         tokens = np.asarray(tokens)
+        lps = np.asarray(lps)
         for slot in range(self.B):
             rid = self.slot_req[slot]
             if rid is None:
@@ -867,6 +885,7 @@ class InferenceServer:
             req = self.requests[rid]
             tok = int(tokens[slot])
             req.tokens.append(tok)
+            req.logprobs.append(float(lps[slot]))
             self.positions[slot] += 1
             self.last_tokens[slot] = tok
             if self.cfg.attention_window is not None:

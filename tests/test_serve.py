@@ -604,3 +604,27 @@ class TestPerRequestSampling:
             i for i in range(2, len(toks) + 1) if tuple(toks[i - 2 : i]) == stop
         )
         assert tuple(out[-2:]) == stop and out == toks[:want_len]
+
+
+class TestLogprobs:
+    def test_greedy_logprob_matches_log_softmax(self, model):
+        """Every generated token carries its raw-distribution logprob;
+        greedy tokens must carry the max log-softmax value."""
+        import jax.scipy.special as jsp
+        from kfunca_tpu.models.serve import token_logprobs
+
+        logits = jax.random.normal(jax.random.PRNGKey(2), (3, 64))
+        toks = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        lp = np.asarray(token_logprobs(logits, toks))
+        want = np.asarray(jsp.logsumexp(logits, axis=-1))
+        assert np.allclose(lp, np.asarray(jnp.max(logits, -1)) - want, atol=1e-5)
+
+        params, cfg = model
+        srv = InferenceServer(params, cfg, batch_slots=2, page_size=4,
+                              n_pages=32, max_pages_per_seq=4)
+        rid = srv.submit([3, 4, 5], max_new=5)
+        out = srv.run()[rid]
+        req = srv.requests[rid]
+        assert len(req.logprobs) == len(out) == 5
+        # log-probs are valid (<= 0) and greedy picks are likeliest tokens
+        assert all(p <= 1e-6 for p in req.logprobs), req.logprobs
