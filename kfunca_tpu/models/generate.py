@@ -157,3 +157,92 @@ def generate(params, prompt, cfg: TransformerConfig, max_new: int, temperature=0
         step, (cache, last, key), jnp.arange(max_new)
     )
     return toks.T  # (B, max_new)
+
+
+@partial(jax.jit, static_argnames=("cfg", "max_new", "beam", "length_penalty", "eos"))
+def beam_search(params, prompt, cfg: TransformerConfig, max_new: int, beam: int = 4,
+                length_penalty: float = 0.0, eos: int | None = None):
+    """Beam-search decoding: ONE compiled program (prefill + lax.scan),
+    beams as batch lanes.
+
+    prompt (B, T) int32 -> (tokens (B, beam, max_new), scores (B, beam)),
+    beams sorted best-first.  Scores are summed raw log-probs; with
+    length_penalty a > 0, final ranking divides by the GNMT penalty
+    ((5 + len) / 6) ** a.  `eos` (static) freezes finished beams: they
+    emit eos forever at unchanged score, so shorter finished hypotheses
+    compete with live ones.
+
+    TPU notes: the beam dim rides the batch dim (B*beam lanes) so every
+    matmul stays a single large MXU program; per-step cache reordering is
+    one gather per layer along the lane dim.  lax.top_k is safe here —
+    k = beam is tiny (the compiler crash is for k >= ~2049, see serve.py).
+    """
+    b, t_prompt = prompt.shape
+    w = beam
+    max_len = t_prompt + max_new
+    neg = jnp.float32(-1e30)
+
+    # prefill once at (B, T), then tile cache/state to B*w lanes
+    cache = init_kv_cache(cfg, b, max_len)
+    logits, cache = forward_with_cache(params, prompt, cache, jnp.int32(0), cfg)
+    cache = [
+        {k: jnp.repeat(v, w, axis=0) for k, v in lc.items()} for lc in cache
+    ]
+    last_lp = jax.nn.log_softmax(logits[:, -1].astype(jnp.float32), axis=-1)
+    last_lp = jnp.repeat(last_lp, w, axis=0)  # (B*w, V)
+
+    # beam 0 starts at 0, the rest at -inf so step 1 picks w DISTINCT
+    # continuations of the single prompt hypothesis
+    scores = jnp.tile(jnp.asarray([0.0] + [-1e30] * (w - 1), jnp.float32), (b, 1))
+    seqs = jnp.zeros((b, w, max_new), jnp.int32)
+    done = jnp.zeros((b, w), bool)
+    lengths = jnp.zeros((b, w), jnp.int32)
+
+    v_size = cfg.vocab_size
+
+    def step(carry, i):
+        cache, lp, scores, seqs, done, lengths = carry
+        lp = lp.reshape(b, w, v_size)
+        if eos is not None:
+            # finished beams: only eos continues, at zero added cost
+            frozen = jnp.full((v_size,), neg).at[eos].set(0.0)
+            lp = jnp.where(done[:, :, None], frozen[None, None, :], lp)
+        total = scores[:, :, None] + lp  # (B, w, V)
+        top_val, top_idx = jax.lax.top_k(total.reshape(b, w * v_size), w)
+        parent = (top_idx // v_size).astype(jnp.int32)  # (B, w)
+        tok = (top_idx % v_size).astype(jnp.int32)
+
+        # reorder histories and per-beam state by parent
+        seqs = jnp.take_along_axis(seqs, parent[:, :, None], axis=1)
+        seqs = jax.lax.dynamic_update_index_in_dim(
+            seqs.transpose(2, 0, 1), tok, i, axis=0
+        ).transpose(1, 2, 0)
+        done = jnp.take_along_axis(done, parent, axis=1)
+        lengths = jnp.take_along_axis(lengths, parent, axis=1)
+        lengths = jnp.where(done, lengths, lengths + 1)
+        if eos is not None:
+            done = done | (tok == eos)
+        # reorder the KV cache: lane index = b_idx * w + parent
+        lane = (jnp.arange(b, dtype=jnp.int32)[:, None] * w + parent).reshape(-1)
+        cache = [{k: v[lane] for k, v in lc.items()} for lc in cache]
+
+        lg, cache = forward_with_cache(
+            params, tok.reshape(b * w, 1), cache,
+            (t_prompt + i).astype(jnp.int32), cfg,
+        )
+        lp_next = jax.nn.log_softmax(lg[:, -1].astype(jnp.float32), axis=-1)
+        return (cache, lp_next, top_val, seqs, done, lengths), None
+
+    init = (cache, last_lp, scores, seqs, done, lengths)
+    (cache, _, scores, seqs, done, lengths), _ = jax.lax.scan(
+        step, init, jnp.arange(max_new)
+    )
+
+    ranked = scores
+    if length_penalty > 0.0:
+        pen = ((5.0 + lengths.astype(jnp.float32)) / 6.0) ** jnp.float32(length_penalty)
+        ranked = scores / pen
+    order = jnp.argsort(-ranked, axis=1)
+    seqs = jnp.take_along_axis(seqs, order[:, :, None], axis=1)
+    scores = jnp.take_along_axis(ranked, order, axis=1)
+    return seqs, scores

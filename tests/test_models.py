@@ -427,3 +427,68 @@ class TestOptimizerRecipe:
             OptConfig(lr=1e-2, weight_decay=0.5, decay_mask_1d=False),
         )
         assert float(legacy["g"][0]) < 1.0
+
+
+class TestBeamSearch:
+    def _model(self):
+        cfg = TransformerConfig(vocab_size=64, d_model=64, n_heads=2,
+                                n_layers=2, d_ff=128, max_seq_len=64,
+                                dtype="float32")
+        return init_params(jax.random.PRNGKey(0), cfg), cfg
+
+    def test_beam1_matches_greedy(self):
+        from kfunca_tpu.models.generate import beam_search, generate
+
+        params, cfg = self._model()
+        prompt = jnp.asarray([[3, 5, 7], [9, 2, 4]], jnp.int32)
+        want = np.asarray(generate(params, prompt, cfg, max_new=6))
+        seqs, _ = beam_search(params, prompt, cfg, max_new=6, beam=1)
+        assert np.array_equal(np.asarray(seqs)[:, 0, :], want)
+
+    def test_scores_are_teacher_forced_logprobs(self):
+        """The returned score must equal the sum of log-softmax probs of
+        the returned tokens under the model — exact bookkeeping check."""
+        from kfunca_tpu.models.generate import beam_search
+        from kfunca_tpu.models.transformer import forward
+
+        params, cfg = self._model()
+        prompt = jnp.asarray([[3, 5, 7]], jnp.int32)
+        seqs, scores = beam_search(params, prompt, cfg, max_new=5, beam=3)
+        seqs, scores = np.asarray(seqs), np.asarray(scores)
+        for wi in range(3):
+            full = jnp.concatenate(
+                [prompt, jnp.asarray(seqs[:, wi, :], jnp.int32)], axis=1
+            )
+            logits = np.asarray(forward(params, full, cfg), np.float32)
+            lp = logits - np.log(np.exp(logits).sum(-1, keepdims=True))
+            got = sum(
+                lp[0, prompt.shape[1] - 1 + t, seqs[0, wi, t]] for t in range(5)
+            )
+            assert abs(got - scores[0, wi]) < 2e-3, (wi, got, scores[0, wi])
+        # sorted best-first
+        assert np.all(np.diff(scores[0]) <= 1e-6)
+
+    def test_beam_beats_or_ties_greedy_logprob(self):
+        from kfunca_tpu.models.generate import beam_search
+
+        params, cfg = self._model()
+        prompt = jnp.asarray([[11, 2]], jnp.int32)
+        _, s1 = beam_search(params, prompt, cfg, max_new=6, beam=1)
+        _, s4 = beam_search(params, prompt, cfg, max_new=6, beam=4)
+        assert float(s4[0, 0]) >= float(s1[0, 0]) - 1e-4
+
+    def test_eos_freezes_beam(self):
+        from kfunca_tpu.models.generate import beam_search, generate
+
+        params, cfg = self._model()
+        prompt = jnp.asarray([[5, 6]], jnp.int32)
+        toks = np.asarray(generate(params, prompt, cfg, max_new=6))[0]
+        eos = int(toks[2])  # force an early finish on the greedy path
+        seqs, scores = beam_search(params, prompt, cfg, max_new=6, beam=3,
+                                   eos=eos, length_penalty=0.6)
+        seqs = np.asarray(seqs)
+        for wi in range(3):
+            row = seqs[0, wi].tolist()
+            if eos in row:
+                after = row[row.index(eos):]
+                assert all(t == eos for t in after), row
