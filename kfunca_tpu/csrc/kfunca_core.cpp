@@ -20,6 +20,7 @@
 #include <mutex>
 #include <queue>
 #include <set>
+#include <string>
 #include <unordered_map>
 #include <vector>
 
@@ -769,4 +770,154 @@ KF_EXPORT int64_t kf_pcache_lru(int64_t id, uint64_t *out_ab,
         out_pages[n] = c.nodes[cur].page;
     }
     return n;
+}
+
+// ---------------------------------------------------------------------------
+// Byte-level BPE tokenizer (data path): encode/decode are the per-request
+// host hot path when serving raw text, so they live in the native core
+// (green-field; the reference has no data/tokenizer layer).  The model is
+// fully defined by its merge list: token ids 0..255 are the raw bytes and
+// every merge (left, right -> result) concatenates two existing tokens, so
+// the decoder table is built incrementally from the merges alone.  The
+// Python trainer (models/tokenizer.py) produces the merges; this side only
+// applies them.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct BpeModel {
+    // (left, right) -> (rank, result); rank = application priority
+    std::unordered_map<uint64_t, std::pair<int32_t, int32_t>> merges;
+    std::vector<std::string> token_bytes;  // id -> bytes (0..255 seeded)
+    BpeModel() {
+        token_bytes.resize(256);
+        for (int i = 0; i < 256; i++) token_bytes[i] = std::string(1, (char)i);
+    }
+};
+
+struct BpeState {
+    std::mutex mu;
+    int64_t next_id = 1;
+    std::unordered_map<int64_t, BpeModel> models;
+};
+
+BpeState &bpe_state() {
+    static BpeState s;
+    return s;
+}
+
+inline uint64_t bpe_key(int32_t l, int32_t r) {
+    return ((uint64_t)(uint32_t)l << 32) | (uint64_t)(uint32_t)r;
+}
+
+} // namespace
+
+KF_EXPORT int64_t kf_bpe_create() {
+    BpeState &s = bpe_state();
+    std::lock_guard<std::mutex> lock(s.mu);
+    int64_t id = s.next_id++;
+    s.models[id];
+    return id;
+}
+
+KF_EXPORT void kf_bpe_destroy(int64_t id) {
+    BpeState &s = bpe_state();
+    std::lock_guard<std::mutex> lock(s.mu);
+    s.models.erase(id);
+}
+
+// Register the next merge (ranks are assigned in call order).  `result`
+// must be a fresh id >= 256; left/right must already exist.  Returns the
+// rank, or -1 on an invalid argument.
+KF_EXPORT int64_t kf_bpe_add_merge(int64_t id, int32_t left, int32_t right,
+                                   int32_t result) {
+    BpeState &s = bpe_state();
+    std::lock_guard<std::mutex> lock(s.mu);
+    auto it = s.models.find(id);
+    if (it == s.models.end()) return -1;
+    BpeModel &m = it->second;
+    if (left < 0 || right < 0 || (size_t)left >= m.token_bytes.size() ||
+        (size_t)right >= m.token_bytes.size() || result < 256)
+        return -1;
+    int32_t rank = (int32_t)m.merges.size();
+    if (!m.merges.emplace(bpe_key(left, right),
+                          std::make_pair(rank, result)).second)
+        return -1;  // duplicate pair
+    if ((size_t)result >= m.token_bytes.size())
+        m.token_bytes.resize((size_t)result + 1);
+    m.token_bytes[result] = m.token_bytes[left] + m.token_bytes[right];
+    return rank;
+}
+
+// Encode UTF-8/raw bytes -> token ids.  out must hold n ids (encoding
+// never grows).  Returns the token count, or -1 on an unknown model.
+// Classic greedy BPE: repeatedly merge the lowest-rank adjacent pair.
+KF_EXPORT int64_t kf_bpe_encode(int64_t id, const uint8_t *text, int64_t n,
+                                int32_t *out) {
+    BpeState &s = bpe_state();
+    std::lock_guard<std::mutex> lock(s.mu);
+    auto it = s.models.find(id);
+    if (it == s.models.end()) return -1;
+    BpeModel &m = it->second;
+    std::vector<int32_t> ids(n);
+    for (int64_t i = 0; i < n; i++) ids[i] = (int32_t)text[i];
+    while (ids.size() >= 2) {
+        int32_t best_rank = INT32_MAX;
+        for (size_t i = 0; i + 1 < ids.size(); i++) {
+            auto f = m.merges.find(bpe_key(ids[i], ids[i + 1]));
+            if (f != m.merges.end() && f->second.first < best_rank)
+                best_rank = f->second.first;
+        }
+        if (best_rank == INT32_MAX) break;
+        // merge every occurrence of the best pair, left to right
+        std::vector<int32_t> next;
+        next.reserve(ids.size());
+        for (size_t i = 0; i < ids.size();) {
+            if (i + 1 < ids.size()) {
+                auto f = m.merges.find(bpe_key(ids[i], ids[i + 1]));
+                if (f != m.merges.end() && f->second.first == best_rank) {
+                    next.push_back(f->second.second);
+                    i += 2;
+                    continue;
+                }
+            }
+            next.push_back(ids[i]);
+            i += 1;
+        }
+        ids.swap(next);
+    }
+    for (size_t i = 0; i < ids.size(); i++) out[i] = ids[i];
+    return (int64_t)ids.size();
+}
+
+// Decode token ids -> bytes.  With out == null returns the required byte
+// count; otherwise writes up to `cap` bytes and returns the byte count.
+// Returns -1 on an unknown model or out-of-range token.
+KF_EXPORT int64_t kf_bpe_decode(int64_t id, const int32_t *ids, int64_t n,
+                                uint8_t *out, int64_t cap) {
+    BpeState &s = bpe_state();
+    std::lock_guard<std::mutex> lock(s.mu);
+    auto it = s.models.find(id);
+    if (it == s.models.end()) return -1;
+    BpeModel &m = it->second;
+    int64_t total = 0;
+    for (int64_t i = 0; i < n; i++) {
+        if (ids[i] < 0 || (size_t)ids[i] >= m.token_bytes.size()) return -1;
+        const std::string &b = m.token_bytes[ids[i]];
+        if (b.empty() && ids[i] >= 256) return -1;  // unregistered id
+        if (out) {
+            if (total + (int64_t)b.size() > cap) return -1;
+            memcpy(out + total, b.data(), b.size());
+        }
+        total += (int64_t)b.size();
+    }
+    return total;
+}
+
+KF_EXPORT int64_t kf_bpe_vocab_size(int64_t id) {
+    BpeState &s = bpe_state();
+    std::lock_guard<std::mutex> lock(s.mu);
+    auto it = s.models.find(id);
+    if (it == s.models.end()) return -1;
+    return (int64_t)it->second.token_bytes.size();
 }

@@ -115,6 +115,19 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.kf_pcache_size.argtypes = [i64]
     lib.kf_pcache_lru.restype = i64
     lib.kf_pcache_lru.argtypes = [i64, u64p, i64p, i64]
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i32 = ctypes.c_int32
+    i32p_ = ctypes.POINTER(ctypes.c_int32)
+    lib.kf_bpe_create.restype = i64
+    lib.kf_bpe_destroy.argtypes = [i64]
+    lib.kf_bpe_add_merge.restype = i64
+    lib.kf_bpe_add_merge.argtypes = [i64, i32, i32, i32]
+    lib.kf_bpe_encode.restype = i64
+    lib.kf_bpe_encode.argtypes = [i64, u8p, i64, i32p_]
+    lib.kf_bpe_decode.restype = i64
+    lib.kf_bpe_decode.argtypes = [i64, i32p_, i64, u8p, i64]
+    lib.kf_bpe_vocab_size.restype = i64
+    lib.kf_bpe_vocab_size.argtypes = [i64]
     return lib
 
 
