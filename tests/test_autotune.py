@@ -4,6 +4,7 @@ import json
 import os
 
 import numpy as np  # noqa: F401
+import pytest
 
 from kfunca_tpu.runtime import autotune
 
@@ -115,6 +116,7 @@ class TestAutotuneSweep:
                                    jnp.dtype(jnp.float32)) == res["params"]
         autotune._CACHE = None
 
+    @pytest.mark.slow
     def test_autotune_decode_page_feeds_server_default(self, tmp_path, monkeypatch):
         """The decode_page winner is consulted by InferenceServer when
         constructed with page_size=None."""

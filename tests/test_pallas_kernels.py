@@ -150,7 +150,14 @@ class TestElementwise:
 
 
 class TestBitonicSort:
-    @pytest.mark.parametrize("rows,n,dtype", [(4, 23, np.float32), (13, 1049, np.float32), (8, 128, np.int32), (3, 500, np.int32)])
+    # one fast representative per dtype; the bigger shapes are slow-tier
+    # (each interpret-mode compile costs ~8-10 s)
+    @pytest.mark.parametrize("rows,n,dtype", [
+        (4, 23, np.float32),
+        pytest.param(13, 1049, np.float32, marks=pytest.mark.slow),
+        (8, 128, np.int32),
+        pytest.param(3, 500, np.int32, marks=pytest.mark.slow),
+    ])
     def test_stable_ascending(self, rows, n, dtype):
         from kfunca_tpu.ops.pallas_kernels.bitonic_sort import bitonic_sort_pairs
 

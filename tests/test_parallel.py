@@ -64,6 +64,7 @@ class TestMoE:
         assert out.shape == x.shape
         assert float(aux) > 0.0
 
+    @pytest.mark.slow
     def test_moe_capacity_drops_overflow(self):
         """With capacity << tokens/expert, output norm shrinks (tokens drop)
         but shapes stay static."""
@@ -93,6 +94,7 @@ class TestMoE:
         want = jnp.einsum("te,ted->td", probs, expert_out).reshape(x.shape)
         assert np.allclose(np.asarray(out), np.asarray(want), atol=1e-5)
 
+    @pytest.mark.slow
     def test_top2_rank_order_seating(self):
         """First choices are seated before second choices compete: with
         capacity exactly T/E, every token's FIRST choice must survive even
@@ -240,6 +242,7 @@ class TestExplicitAllToAllMoE:
             np.abs(np.asarray(got) - np.asarray(want)).max()
         )
 
+    @pytest.mark.slow
     def test_ep_alltoall_differentiable(self):
         from kfunca_tpu.models.moe import make_moe_ffn_ep
 
@@ -368,6 +371,7 @@ class TestMoERescue:
         same = jnp.where(base_tokens[:, None, None], d2 - d0, 0.0)
         assert float(jnp.abs(same).max()) == 0.0
 
+    @pytest.mark.slow
     def test_rescue_moe_ffn_differentiable(self):
         from kfunca_tpu.models.moe import MoEConfig, init_moe_params, moe_ffn
 
@@ -463,6 +467,7 @@ class TestZeroBubblePipeline:
             # WHOLE table at least matches 3m/(3m + 3(n-1)) (H1-class)
             assert cost["zb_busy_frac"] >= (3 * m) / (3 * m + 3 * (n - 1)) - 1e-9
 
+    @pytest.mark.slow
     def test_zb_matches_sequential_grads(self):
         """Hand-scheduled F/B/W pipeline == jax.grad of the sequential
         stack, for loss AND parameter gradients."""
