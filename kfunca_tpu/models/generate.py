@@ -37,12 +37,13 @@ def init_kv_cache(cfg: TransformerConfig, batch: int, max_len: int):
     ]
 
 
-def _rope_at(x, positions, theta: float):
-    """RoPE with explicit absolute positions; x: (B, H, T, D), positions (T,)."""
+def _rope_at(x, positions, theta: float, pos_scale: float = 1.0):
+    """RoPE with explicit absolute positions; x: (B, H, T, D), positions (T,).
+    pos_scale < 1 is linear position interpolation (rope_scaling)."""
     b, h, t, d = x.shape
     half = d // 2
     freqs = jnp.exp(-math.log(theta) * jnp.arange(0, half, dtype=jnp.float32) / half)
-    ang = positions.astype(jnp.float32)[:, None] * freqs[None, :]
+    ang = (positions.astype(jnp.float32) * jnp.float32(pos_scale))[:, None] * freqs[None, :]
     cos, sin = jnp.cos(ang), jnp.sin(ang)
     x1, x2 = x[..., :half].astype(jnp.float32), x[..., half:].astype(jnp.float32)
     r1 = x1 * cos - x2 * sin
@@ -63,8 +64,9 @@ def _block_with_cache(x, p, layer_cache, start_pos, cfg: TransformerConfig):
 
     q, k, v = split_qkv(qkv.astype(y.dtype), cfg)  # q (B,H,..), k/v (B,Hkv,..)
     positions = start_pos + jnp.arange(t)
-    q = _rope_at(q, positions, cfg.rope_theta)
-    k = _rope_at(k, positions, cfg.rope_theta)
+    theta, pscale = cfg.rope_params()
+    q = _rope_at(q, positions, theta, pscale)
+    k = _rope_at(k, positions, theta, pscale)
 
     zero = jnp.int32(0)  # all indices same dtype (x64 would promote raw 0s)
     idx = (zero, zero, start_pos.astype(jnp.int32), zero)

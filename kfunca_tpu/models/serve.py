@@ -329,7 +329,8 @@ def _paged_block(x, p, pool_k, pool_v, page_tables, positions, cfg, page_size, e
     hkv = cfg.kv_heads
 
     # RoPE at each sequence's own absolute position (vmap over the batch)
-    rope = jax.vmap(lambda xx, pos: _rope_at(xx[None], pos[None], cfg.rope_theta)[0])
+    _theta, _pscale = cfg.rope_params()
+    rope = jax.vmap(lambda xx, pos: _rope_at(xx[None], pos[None], _theta, _pscale)[0])
     q = rope(q, positions)
     k = rope(k, positions)
 

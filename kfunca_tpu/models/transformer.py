@@ -36,6 +36,15 @@ class TransformerConfig:
     max_seq_len: int = 1024
     dtype: str = "bfloat16"  # activation/compute dtype; params stay fp32
     rope_theta: float = 10000.0
+    # context extension beyond the trained window (factor > 1):
+    #   "linear" — position interpolation (Chen et al. 2023): positions
+    #     are divided by the factor, squeezing the extended range into the
+    #     trained rotary band;
+    #   "ntk" — NTK-aware base scaling: theta *= factor**(d/(d-2)), which
+    #     stretches low frequencies while keeping high ones (often usable
+    #     without finetuning).
+    rope_scaling: float = 1.0
+    rope_scaling_type: str = "linear"
     remat: bool = False  # jax.checkpoint each block (HBM <-> FLOPs trade)
     # GQA: number of K/V heads (None = n_heads, i.e. full MHA).  The KV
     # cache and wqkv shrink accordingly; the flash kernels read the shared
@@ -64,6 +73,17 @@ class TransformerConfig:
     @property
     def act_dtype(self):
         return jnp.dtype(self.dtype)
+
+    def rope_params(self) -> tuple[float, float]:
+        """Effective (theta, position_scale) under rope_scaling."""
+        if self.rope_scaling == 1.0:
+            return self.rope_theta, 1.0
+        if self.rope_scaling_type == "linear":
+            return self.rope_theta, 1.0 / self.rope_scaling
+        if self.rope_scaling_type == "ntk":
+            d = self.head_dim
+            return self.rope_theta * self.rope_scaling ** (d / (d - 2)), 1.0
+        raise ValueError(f"unknown rope_scaling_type {self.rope_scaling_type!r}")
 
 
 def _init_linear(key, fan_in, fan_out):
@@ -102,14 +122,15 @@ def rms_norm(x, gamma, eps=1e-6):
     return (xf * inv).astype(x.dtype) * gamma.astype(x.dtype)
 
 
-def _rope(x, theta: float):
-    """Rotary embeddings over the head dim; x: (B, H, S, D)."""
+def _rope(x, theta: float, pos_scale: float = 1.0):
+    """Rotary embeddings over the head dim; x: (B, H, S, D).  pos_scale < 1
+    is linear position interpolation (see TransformerConfig.rope_scaling)."""
     b, h, s, d = x.shape
     half = d // 2
     freqs = jnp.exp(
         -math.log(theta) * jnp.arange(0, half, dtype=jnp.float32) / half
     )
-    pos = jnp.arange(s, dtype=jnp.float32)
+    pos = jnp.arange(s, dtype=jnp.float32) * jnp.float32(pos_scale)
     ang = pos[:, None] * freqs[None, :]  # (S, half)
     cos, sin = jnp.cos(ang), jnp.sin(ang)
     x1, x2 = x[..., :half], x[..., half:]
@@ -136,8 +157,9 @@ def _block(x, p, cfg: TransformerConfig):
     y = rms_norm(x, p["attn_norm"])
     qkv = jnp.dot(y, p["wqkv"].astype(y.dtype), preferred_element_type=jnp.float32)
     q, k, v = split_qkv(qkv.astype(y.dtype), cfg)
-    q = _rope(q, cfg.rope_theta)
-    k = _rope(k, cfg.rope_theta)
+    theta, pscale = cfg.rope_params()
+    q = _rope(q, theta, pscale)
+    k = _rope(k, theta, pscale)
     if cfg.kv_heads == cfg.n_heads and cfg.attention_window is None:
         attn = causal_attention_fn(q, k, v)  # Pallas flash kernel on TPU
     else:

@@ -492,3 +492,54 @@ class TestBeamSearch:
             if eos in row:
                 after = row[row.index(eos):]
                 assert all(t == eos for t in after), row
+
+
+class TestRopeScaling:
+    def test_linear_interpolation_identity(self):
+        """Linear scaling by f maps position f*p to the angle of p: rope at
+        doubled positions with pos_scale=0.5 == rope at base positions."""
+        from kfunca_tpu.models.generate import _rope_at
+
+        x = jax.random.normal(jax.random.PRNGKey(0), (1, 2, 8, 64), jnp.float32)
+        pos = jnp.arange(8, dtype=jnp.int32) * 7
+        a = _rope_at(x, pos * 2, 10000.0, 0.5)
+        b = _rope_at(x, pos, 10000.0, 1.0)
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+    def test_config_rope_params(self):
+        base = TransformerConfig(vocab_size=64, d_model=64, n_heads=2,
+                                 n_layers=1, d_ff=64)
+        assert base.rope_params() == (10000.0, 1.0)
+        lin = TransformerConfig(vocab_size=64, d_model=64, n_heads=2,
+                                n_layers=1, d_ff=64, rope_scaling=4.0)
+        assert lin.rope_params() == (10000.0, 0.25)
+        d = 32  # head_dim of this config
+        ntk = TransformerConfig(vocab_size=64, d_model=64, n_heads=2,
+                                n_layers=1, d_ff=64, rope_scaling=4.0,
+                                rope_scaling_type="ntk")
+        theta, ps = ntk.rope_params()
+        assert ps == 1.0 and abs(theta - 10000.0 * 4.0 ** (d / (d - 2))) < 1e-6
+        bad = TransformerConfig(vocab_size=64, d_model=64, n_heads=2,
+                                n_layers=1, d_ff=64, rope_scaling=2.0,
+                                rope_scaling_type="yarn")
+        with pytest.raises(ValueError, match="rope_scaling_type"):
+            bad.rope_params()
+
+    def test_scaled_paths_agree_dense_cache_paged(self):
+        """With rope_scaling on, the dense forward, KV-cache generate, and
+        paged serving engine must still agree token-for-token."""
+        from kfunca_tpu.models.generate import generate
+        from kfunca_tpu.models.serve import InferenceServer
+
+        cfg = TransformerConfig(vocab_size=128, d_model=64, n_heads=2,
+                                n_layers=2, d_ff=128, max_seq_len=64,
+                                dtype="float32", rope_scaling=2.0)
+        params = init_params(jax.random.PRNGKey(0), cfg)
+        prompt = [3, 5, 7, 11]
+        want = np.asarray(
+            generate(params, jnp.asarray([prompt], jnp.int32), cfg, max_new=6)
+        )[0].tolist()
+        srv = InferenceServer(params, cfg, batch_slots=1, page_size=4,
+                              n_pages=32, max_pages_per_seq=8)
+        rid = srv.submit(prompt, max_new=6)
+        assert srv.run()[rid] == want
