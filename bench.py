@@ -381,7 +381,7 @@ def bench_serving(L=8, dm=1024, h=16, page=None, ctx=960, capacity=1024):
     None) does (v5e winner: 128 — 15x over 16 at context 2048)."""
     from jax import lax
 
-    from kfunca_tpu.models.serve import paged_decode_step
+    from kfunca_tpu.models.serve import paged_decode_step, quantize_decode_params
     from kfunca_tpu.models.transformer import TransformerConfig, init_params
     from kfunca_tpu.runtime import autotune as _at
 
@@ -394,6 +394,7 @@ def bench_serving(L=8, dm=1024, h=16, page=None, ctx=960, capacity=1024):
         _log(f"serving: page_size={page} ({'autotuned' if hit else 'default'})")
     max_pages = -(-capacity // page)
     params = init_params(jax.random.PRNGKey(7), cfg)
+    qparams = quantize_decode_params(params)
     key = jax.random.PRNGKey(8)
     results = {}
     results["page_size"] = page
@@ -408,7 +409,16 @@ def bench_serving(L=8, dm=1024, h=16, page=None, ctx=960, capacity=1024):
         positions0 = jnp.full((B,), ctx, jnp.int32)
         tokens0 = jnp.full((B,), 17, jnp.int32)
 
-        def chain(engine):
+        from kfunca_tpu.ops.quant import quantize_vecs
+
+        qpools_k = quantize_vecs(pools_k)  # (int8 pool, fp32 scales)
+        qpools_v = quantize_vecs(pools_v)
+
+        def chain(engine, q8=False, kv8=False):
+            prm_in = qparams if q8 else params
+            pk_in = qpools_k if kv8 else pools_k
+            pv_in = qpools_v if kv8 else pools_v
+
             def mk(K):
                 # params must be ARGUMENTS: closure-captured weights become
                 # program constants and the serialized HLO blows past the
@@ -424,12 +434,14 @@ def bench_serving(L=8, dm=1024, h=16, page=None, ctx=960, capacity=1024):
                         return (pk, pv, pos + 1, toks)
                     pk, pv, pos, toks = lax.fori_loop(0, K, body, (pk, pv, pos, toks))
                     return toks
-                return lambda: f(params, pools_k, pools_v, positions0, tokens0)
+                return lambda: f(prm_in, pk_in, pv_in, positions0, tokens0)
             return mk
 
-        for engine in ("pallas", "xla"):
-            dt = slope_time(chain(engine), k1=4, k2=16, label=f"decode-{engine}-B{B}", reps=2)
-            results[f"{engine}_B{B}_tokens_per_s"] = round(B / dt, 1)
+        for label, ch in (("pallas", chain("pallas")), ("xla", chain("xla")),
+                          ("pallas_w8", chain("pallas", q8=True)),
+                          ("pallas_w8kv8", chain("pallas", q8=True, kv8=True))):
+            dt = slope_time(ch, k1=4, k2=16, label=f"decode-{label}-B{B}", reps=2)
+            results[f"{label}_B{B}_tokens_per_s"] = round(B / dt, 1)
     return results
 
 

@@ -302,6 +302,43 @@ def sample_tokens_per_slot(logits, key, temperature, top_p, top_k, min_p):
 # ---------------------------------------------------------------------------
 
 
+def _mm(y, w):
+    """Decode-path matmul: fp weight, or (int8, col-scale) pair from
+    quantize_decode_params — the w8a8 path halves weight HBM traffic and
+    runs the int8 MXU rate (gemm_w8: dynamic per-row activation quant,
+    dequant fused in the epilogue).  The isinstance check is trace-time
+    static (the params pytree structure is fixed per compile)."""
+    if isinstance(w, tuple):
+        from ..ops.quant import gemm_w8
+
+        y2 = y.reshape(-1, y.shape[-1]).astype(jnp.float32)
+        out = gemm_w8(y2, w[0], w[1], out_dtype=jnp.float32)
+        return out.reshape(y.shape[:-1] + (w[0].shape[1],))
+    return jnp.dot(y, w.astype(y.dtype), preferred_element_type=jnp.float32)
+
+
+def quantize_decode_params(params):
+    """Per-output-column symmetric int8 quantization of every decode-path
+    matrix: block weights become (int8, scale) pairs and the tied LM head
+    is materialized quantized as "lm_head" (embed.T) — the paged decode
+    step dispatches on the pair structure (_mm).  The embedding gather and
+    norm gains stay fp32.  Returns a NEW params pytree for the decode
+    step; keep the fp params for prefill (accuracy + LoRA merging)."""
+    from ..ops.quant import quantize_cols
+
+    out = dict(params)
+    out["blocks"] = [
+        {
+            k: (quantize_cols(v) if k in
+                ("wqkv", "wo", "w_gate", "w_up", "w_down") else v)
+            for k, v in blk.items()
+        }
+        for blk in params["blocks"]
+    ]
+    out["lm_head"] = quantize_cols(jnp.transpose(params["embed"]))
+    return out
+
+
 def _paged_block(x, p, pool_k, pool_v, page_tables, positions, cfg, page_size, engine,
                  lora=None):
     """One transformer block over B single tokens against paged KV.
@@ -318,7 +355,7 @@ def _paged_block(x, p, pool_k, pool_v, page_tables, positions, cfg, page_size, e
     max_pages = page_tables.shape[1]
 
     y = rms_norm(x, p["attn_norm"])
-    qkv = jnp.dot(y, p["wqkv"].astype(y.dtype), preferred_element_type=jnp.float32)
+    qkv = _mm(y, p["wqkv"])
     if lora is not None:
         A, B_, ids = lora
         ya = jnp.einsum("btd,bdr->btr", y.astype(jnp.float32), A[ids])
@@ -337,10 +374,21 @@ def _paged_block(x, p, pool_k, pool_v, page_tables, positions, cfg, page_size, e
     # scatter the new K/V into the pools at (page_of(pos), pos % page)
     page_slot = page_tables[jnp.arange(b), positions // page_size]  # (B,)
     offset = positions % page_size
-    newk = k[:, :, 0].astype(pool_k.dtype)  # (B, H, hd)
-    newv = v[:, :, 0].astype(pool_v.dtype)
-    pool_k = pool_k.at[page_slot, offset].set(newk)
-    pool_v = pool_v.at[page_slot, offset].set(newv)
+    kv_quant = isinstance(pool_k, tuple)  # int8 KV: (pool_q8, scales) pairs
+    if kv_quant:
+        from ..ops.quant import quantize_vecs
+
+        qk, sk_new = quantize_vecs(k[:, :, 0])  # (B, Hkv, hd), (B, Hkv)
+        qv, sv_new = quantize_vecs(v[:, :, 0])
+        pool_k = (pool_k[0].at[page_slot, offset].set(qk),
+                  pool_k[1].at[page_slot, offset].set(sk_new))
+        pool_v = (pool_v[0].at[page_slot, offset].set(qv),
+                  pool_v[1].at[page_slot, offset].set(sv_new))
+    else:
+        newk = k[:, :, 0].astype(pool_k.dtype)  # (B, H, hd)
+        newv = v[:, :, 0].astype(pool_v.dtype)
+        pool_k = pool_k.at[page_slot, offset].set(newk)
+        pool_v = pool_v.at[page_slot, offset].set(newv)
 
     scale = 1.0 / math.sqrt(hd)
     # engine is a STATIC argument resolved at dispatch time by the caller
@@ -354,17 +402,31 @@ def _paged_block(x, p, pool_k, pool_v, page_tables, positions, cfg, page_size, e
         from ..ops.pallas_kernels.paged_attention import paged_decode_attention
 
         qs = (q[:, :, 0] * jnp.asarray(scale, q.dtype))  # (B, H, hd)
-        attn = paged_decode_attention(
-            qs, pool_k, pool_v, page_tables, positions, window=cfg.attention_window
-        )
+        if kv_quant:
+            attn = paged_decode_attention(
+                qs, pool_k[0], pool_v[0], page_tables, positions,
+                window=cfg.attention_window, scales=(pool_k[1], pool_v[1]),
+            )
+        else:
+            attn = paged_decode_attention(
+                qs, pool_k, pool_v, page_tables, positions,
+                window=cfg.attention_window,
+            )
         attn = attn.astype(x.dtype).reshape(b, 1, h * hd)
     else:
         # XLA gather path (oracle + CPU tier): reads the full table width.
         # GQA: grouped queries (B, Hkv, G, 1, hd) against the shared kv head
         group = h // hkv
         L = max_pages * page_size
-        kc = pool_k[page_tables].reshape(b, L, hkv, hd).transpose(0, 2, 1, 3)
-        vc = pool_v[page_tables].reshape(b, L, hkv, hd).transpose(0, 2, 1, 3)
+        if kv_quant:
+            kc = (pool_k[0][page_tables].astype(jnp.float32)
+                  * pool_k[1][page_tables][..., None])
+            vc = (pool_v[0][page_tables].astype(jnp.float32)
+                  * pool_v[1][page_tables][..., None])
+        else:
+            kc, vc = pool_k[page_tables], pool_v[page_tables]
+        kc = kc.reshape(b, L, hkv, hd).transpose(0, 2, 1, 3)
+        vc = vc.reshape(b, L, hkv, hd).transpose(0, 2, 1, 3)
         qg = q.reshape(b, hkv, group, 1, hd)
         s = jnp.einsum(
             "bkgtd,bkld->bkgtl", qg.astype(jnp.float32), kc.astype(jnp.float32)
@@ -380,17 +442,13 @@ def _paged_block(x, p, pool_k, pool_v, page_tables, positions, cfg, page_size, e
             "bkgtl,bkld->bkgtd", prob, vc.astype(jnp.float32)
         ).astype(x.dtype)
         attn = attn.reshape(b, h, 1, hd).transpose(0, 2, 1, 3).reshape(b, 1, h * hd)
-    x = x + jnp.dot(
-        attn, p["wo"].astype(attn.dtype), preferred_element_type=jnp.float32
-    ).astype(x.dtype)
+    x = x + _mm(attn, p["wo"]).astype(x.dtype)
 
     y = rms_norm(x, p["mlp_norm"])
-    gate = jnp.dot(y, p["w_gate"].astype(y.dtype), preferred_element_type=jnp.float32)
-    up = jnp.dot(y, p["w_up"].astype(y.dtype), preferred_element_type=jnp.float32)
+    gate = _mm(y, p["w_gate"])
+    up = _mm(y, p["w_up"])
     act = (jax.nn.silu(gate) * up).astype(y.dtype)
-    x = x + jnp.dot(
-        act, p["w_down"].astype(act.dtype), preferred_element_type=jnp.float32
-    ).astype(x.dtype)
+    x = x + _mm(act, p["w_down"]).astype(x.dtype)
     return x, pool_k, pool_v
 
 
@@ -411,25 +469,38 @@ def paged_decode_step(
     (sample_tokens_per_slot); it overrides the static temperature/top_p.
 
     pools_k/v: (L, n_pages, page, H, hd) stacked per-layer pools (donated —
-    XLA updates the pool in place in HBM).
+    XLA updates the pool in place in HBM); with quantize_kv they are
+    (int8 pool, fp32 (L, n_pages, page, H) scale pool) pairs and the
+    donation covers both leaves.
     Returns (new_tokens (B,), pools_k, pools_v).  Inactive slots decode
     garbage harmlessly (their pages are reserved); callers ignore them.
     """
     x = params["embed"][last_tokens[:, None]].astype(cfg.act_dtype)  # (B,1,dm)
+    # int8 KV pools travel as (q8 pool, scale pool) pairs; slice/stack
+    # componentwise (the structure is trace-time static)
+    _layer = (lambda pool, li: (pool[0][li], pool[1][li])
+              if isinstance(pool, tuple) else pool[li])
+    _stack = (lambda ps: (jnp.stack([t[0] for t in ps]), jnp.stack([t[1] for t in ps]))
+              if isinstance(ps[0], tuple) else jnp.stack(ps))
     new_k, new_v = [], []
     for li, p in enumerate(params["blocks"]):
         x, pk, pv = _paged_block(
-            x, p, pools_k[li], pools_v[li], page_tables, positions, cfg, page_size,
+            x, p, _layer(pools_k, li), _layer(pools_v, li), page_tables, positions,
+            cfg, page_size,
             engine, lora=None if lora is None else (lora[0][li], lora[1][li], lora[2]),
         )
         new_k.append(pk)
         new_v.append(pv)
-    pools_k = jnp.stack(new_k)
-    pools_v = jnp.stack(new_v)
+    pools_k = _stack(new_k)
+    pools_v = _stack(new_v)
     x = rms_norm(x, params["final_norm"])
-    logits = jnp.dot(
-        x[:, 0], params["embed"].T.astype(x.dtype), preferred_element_type=jnp.float32
-    )
+    if "lm_head" in params:  # quantized decode: int8 tied head
+        logits = _mm(x[:, 0], params["lm_head"])
+    else:
+        logits = jnp.dot(
+            x[:, 0], params["embed"].T.astype(x.dtype),
+            preferred_element_type=jnp.float32,
+        )
     if sampling is not None:
         tokens = sample_tokens_per_slot(
             logits, key, sampling["temperature"], sampling["top_p"],
@@ -501,6 +572,8 @@ class InferenceServer:
         prefix_cache: bool = False,
         max_loras: int = 0,
         lora_rank: int = 8,
+        quantize_weights: bool = False,
+        quantize_kv: bool = False,
     ):
         if cfg.attention_window is not None and prefix_cache:
             raise NotImplementedError(
@@ -510,6 +583,13 @@ class InferenceServer:
         self.params = params
         self.cfg = cfg
         self.B = batch_slots
+        # weight-quantized decode (w8a8): block matrices + the tied LM head
+        # become (int8, scale) pairs — halves decode weight HBM traffic and
+        # runs the 2x int8 MXU rate.  Prefill keeps the fp params (compute-
+        # bound, and LoRA merges need them), so both copies are resident.
+        self._decode_params = (
+            quantize_decode_params(params) if quantize_weights else params
+        )
         if page_size is None:
             # consult the per-chip autotune cache (kfunca.autotune
             # ("decode_page", slots, H*hd, context) records the winner)
@@ -569,8 +649,20 @@ class InferenceServer:
         # the group factor, the big serving-memory win
         h, hd = cfg.kv_heads, cfg.head_dim
         shape = (cfg.n_layers, n_pages, page_size, h, hd)
-        self.pools_k = jnp.zeros(shape, cfg.act_dtype)
-        self.pools_v = jnp.zeros(shape, cfg.act_dtype)
+        # int8 KV cache: pools become (int8 pool, per-(slot, kv-head) fp32
+        # scale pool) pairs — decode KV HBM traffic halves vs bf16 pools
+        # (quarters vs fp32) and the pool footprint shrinks the same way,
+        # so the same HBM holds ~2-4x the context.  Dequant is fused into
+        # the paged kernel (VMEM, post-DMA) / the XLA gather.
+        self.quantize_kv = bool(quantize_kv)
+        if quantize_kv:
+            self.pools_k = (jnp.zeros(shape, jnp.int8),
+                            jnp.ones(shape[:-1], jnp.float32))
+            self.pools_v = (jnp.zeros(shape, jnp.int8),
+                            jnp.ones(shape[:-1], jnp.float32))
+        else:
+            self.pools_k = jnp.zeros(shape, cfg.act_dtype)
+            self.pools_v = jnp.zeros(shape, cfg.act_dtype)
         # slot state (host-side)
         self.slot_req = [None] * self.B  # req_id or None
         self.slot_pages = [[] for _ in range(self.B)]
@@ -815,10 +907,19 @@ class InferenceServer:
         if prefix_len:
             npre = prefix_len // ps
             pre_pages = jnp.asarray(self.slot_pages[slot][:npre], jnp.int32)
+
+            def _read(pool, li):
+                # (npre, ps, H, hd) -> (prefix, H, hd); int8 pools dequant
+                if self.quantize_kv:
+                    x = (pool[0][li, pre_pages].astype(jnp.float32)
+                         * pool[1][li, pre_pages][..., None]).astype(cfg.act_dtype)
+                else:
+                    x = pool[li, pre_pages]
+                return x.reshape(prefix_len, cfg.kv_heads, -1)
+
             for li, lc in enumerate(cache):
-                # (npre, ps, H, hd) -> (1, H, prefix, hd)
-                k = self.pools_k[li, pre_pages].reshape(prefix_len, cfg.kv_heads, -1)
-                v = self.pools_v[li, pre_pages].reshape(prefix_len, cfg.kv_heads, -1)
+                k = _read(self.pools_k, li)
+                v = _read(self.pools_v, li)
                 lc["k"] = lc["k"].at[:, :, :prefix_len].set(k.transpose(1, 0, 2)[None])
                 lc["v"] = lc["v"].at[:, :, :prefix_len].set(v.transpose(1, 0, 2)[None])
         logits, cache = forward_with_cache(
@@ -829,6 +930,16 @@ class InferenceServer:
         rem = t % ps
         start_page = max(prefix_len // ps, skip_len // ps)
         pk, pv = self.pools_k, self.pools_v
+
+        def _write(pool, li, page, n, x):
+            if self.quantize_kv:
+                from ..ops.quant import quantize_vecs
+
+                q8, s = quantize_vecs(x)
+                return (pool[0].at[li, page, :n].set(q8),
+                        pool[1].at[li, page, :n].set(s))
+            return pool.at[li, page, :n].set(x.astype(pool.dtype))
+
         for li, lc in enumerate(cache):
             k = lc["k"][0].transpose(1, 0, 2)  # (prefix+stp, H, hd), absolute
             v = lc["v"][0].transpose(1, 0, 2)
@@ -836,8 +947,8 @@ class InferenceServer:
                 page = self.slot_pages[slot][pi]
                 lo = pi * ps
                 n = ps if pi < n_full else rem
-                pk = pk.at[li, page, :n].set(k[lo : lo + n].astype(pk.dtype))
-                pv = pv.at[li, page, :n].set(v[lo : lo + n].astype(pv.dtype))
+                pk = _write(pk, li, page, n, k[lo : lo + n])
+                pv = _write(pv, li, page, n, v[lo : lo + n])
         self.pools_k, self.pools_v = pk, pv
         self._key, sub = jax.random.split(self._key)
         if (req.temperature is not None or req.top_p is not None
@@ -871,7 +982,7 @@ class InferenceServer:
                 "min_p": jnp.asarray(self.slot_min_p),
             }
         tokens, lps, self.pools_k, self.pools_v = paged_decode_step(
-            self.params, self.pools_k, self.pools_v,
+            self._decode_params, self.pools_k, self.pools_v,
             jnp.asarray(self.page_tables), jnp.asarray(self.positions),
             jnp.asarray(self.last_tokens), sub,
             self.cfg, self.page_size, self.temperature, self.top_p,

@@ -34,9 +34,16 @@ NEG_INF = _np.float32(-1e30)
 
 
 def _decode_kernel(
-    tables_ref, positions_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
-    *, page, h, hkv, hd, max_pages, window=None
+    tables_ref, positions_ref, q_ref, k_ref, v_ref, *rest,
+    page, h, hkv, hd, max_pages, window=None, quantized=False
 ):
+    if quantized:
+        # int8 KV pools travel with per-(slot, kv-head) fp32 scales
+        # (models/serve.quantize_kv); dequant happens here in VMEM so the
+        # HBM page reads stay int8 — the point of the feature
+        sk_ref, sv_ref, o_ref, m_ref, l_ref, acc_ref = rest
+    else:
+        o_ref, m_ref, l_ref, acc_ref = rest
     b = pl.program_id(0)
     j = pl.program_id(1)
 
@@ -63,6 +70,9 @@ def _decode_kernel(
         q = q_ref[0].astype(jnp.float32)  # (H, hd)
         k = k_ref[0].astype(jnp.float32)  # (page, Hkv, hd)
         v = v_ref[0].astype(jnp.float32)
+        if quantized:
+            k = k * sk_ref[0][:, :, None]  # (page, Hkv, 1) per-vector scales
+            v = v * sv_ref[0][:, :, None]
         if hkv == h:
             # s[h, p] = sum_d q[h, d] * k[p, h, d]
             s = jnp.sum(q[None, :, :] * k, axis=-1).T  # (H, page)
@@ -114,17 +124,22 @@ def _decode_kernel(
 
 @functools.partial(jax.jit, static_argnames=("window", "interpret"))
 def paged_decode_attention(q, pool_k, pool_v, page_tables, positions, window=None,
-                           interpret=False):
+                           scales=None, interpret=False):
     """q: (B, H, hd) PRE-SCALED by 1/sqrt(hd); pool_k/v: (n_pages, page, H, hd);
     page_tables: (B, max_pages) int32; positions: (B,) int32 (query's slot).
     Returns (B, H, hd) attention outputs over slots <= position per sequence.
+
+    scales: optional (scale_k, scale_v) pair of (n_pages, page, Hkv) fp32
+    arrays for int8-quantized pools (models/serve.quantize_kv) — each KV
+    vector is stored as int8 * scale; dequantization runs in VMEM after the
+    page DMA, so HBM decode traffic drops ~2x vs bf16 (~4x vs fp32) pools.
     """
     bsz, h, hd = q.shape
     n_pages, page, hkv, hd2 = pool_k.shape
     assert hd == hd2 and h % hkv == 0, (q.shape, pool_k.shape)
     max_pages = page_tables.shape[1]
 
-    def page_idx(b, j, tables, positions):
+    def live_page(b, j, tables, positions):
         # clamp dead steps into the live page range (refetch elided)
         pos = positions[b]
         n_live = jax.lax.div(pos, _np.int32(page)) + _np.int32(1)
@@ -135,19 +150,35 @@ def paged_decode_attention(q, pool_k, pool_v, page_tables, positions, window=Non
                 jax.lax.div(pos - _np.int32(window) + _np.int32(1), _np.int32(page)),
             )
             live_j = jnp.maximum(live_j, first_live)
-        return (tables[b, live_j], _np.int32(0), _np.int32(0), _np.int32(0))
+        return tables[b, live_j]
+
+    def page_idx(b, j, tables, positions):
+        return (live_page(b, j, tables, positions),
+                _np.int32(0), _np.int32(0), _np.int32(0))
+
+    def page_idx3(b, j, tables, positions):  # rank-3 scale pools
+        return (live_page(b, j, tables, positions), _np.int32(0), _np.int32(0))
+
+    in_specs = [
+        # Mosaic constrains only the LAST TWO block dims ((8,128)-divisible
+        # or equal to the array dims): (h, hd) trailing dims satisfy that
+        # for any head count, so no reshapes are needed anywhere
+        pl.BlockSpec((1, h, hd), lambda b, j, t, p: (b, _np.int32(0), _np.int32(0))),
+        pl.BlockSpec((1, page, hkv, hd), page_idx),
+        pl.BlockSpec((1, page, hkv, hd), page_idx),
+    ]
+    operands = [q, pool_k, pool_v]
+    if scales is not None:
+        in_specs += [
+            pl.BlockSpec((1, page, hkv), page_idx3),
+            pl.BlockSpec((1, page, hkv), page_idx3),
+        ]
+        operands += [scales[0].astype(jnp.float32), scales[1].astype(jnp.float32)]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(bsz, max_pages),
-        in_specs=[
-            # Mosaic constrains only the LAST TWO block dims ((8,128)-divisible
-            # or equal to the array dims): (h, hd) trailing dims satisfy that
-            # for any head count, so no reshapes are needed anywhere
-            pl.BlockSpec((1, h, hd), lambda b, j, t, p: (b, _np.int32(0), _np.int32(0))),
-            pl.BlockSpec((1, page, hkv, hd), page_idx),
-            pl.BlockSpec((1, page, hkv, hd), page_idx),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (1, h, hd), lambda b, j, t, p: (b, _np.int32(0), _np.int32(0))
         ),
@@ -160,7 +191,7 @@ def paged_decode_attention(q, pool_k, pool_v, page_tables, positions, window=Non
     out = pl.pallas_call(
         functools.partial(
             _decode_kernel, page=page, h=h, hkv=hkv, hd=hd, max_pages=max_pages,
-            window=window,
+            window=window, quantized=scales is not None,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((bsz, h, hd), q.dtype),
@@ -168,5 +199,5 @@ def paged_decode_attention(q, pool_k, pool_v, page_tables, positions, window=Non
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=interpret,
-    )(page_tables.astype(jnp.int32), positions.astype(jnp.int32), q, pool_k, pool_v)
+    )(page_tables.astype(jnp.int32), positions.astype(jnp.int32), *operands)
     return out

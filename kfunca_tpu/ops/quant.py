@@ -44,6 +44,18 @@ def quantize_rows(a):
     return q, scale
 
 
+def quantize_vecs(x):
+    """float (..., d) -> (int8 (..., d), fp32 scales (...)): symmetric
+    absmax over the trailing axis.  The KV-cache quantizer: one scale per
+    stored (token, kv-head) vector (models/serve.py quantize_kv)."""
+    absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+    scale = jnp.where(absmax == 0, 1.0, absmax / 127.0)
+    q = jnp.clip(
+        jnp.round(x.astype(jnp.float32) / scale[..., None]), -127, 127
+    ).astype(jnp.int8)
+    return q, scale
+
+
 def _q8_kernel(a_ref, b_ref, sa_ref, sb_ref, o_ref, acc_ref):
     @pl.when(pl.program_id(2) == 0)
     def _init():
@@ -130,10 +142,13 @@ def gemm_w8(a, w_q8, w_scale, out_dtype=None):
     Activations are dynamically quantized per row (absmax), the matmul runs
     on the int8 MXU path, and dequantization is fused into the epilogue.
     End-to-end error vs the float matmul is bounded by the two int8
-    roundings (~1% relative for well-scaled inputs)."""
+    roundings (~1% relative for well-scaled inputs).  Dispatches through
+    matmul_q8_auto (XLA int8 dot by default — also the right choice for
+    skinny decode activations, where the Pallas kernel's MXU tiles would
+    be mostly padding)."""
     out_dtype = out_dtype or a.dtype
     a_q8, a_scale = quantize_rows(a)
-    return matmul_q8(a_q8, w_q8, a_scale, w_scale, out_dtype=out_dtype)
+    return matmul_q8_auto(a_q8, w_q8, a_scale, w_scale, out_dtype=out_dtype)
 
 
 def matmul_q8_xla(a_q8, b_q8, a_scale, b_scale, out_dtype=jnp.bfloat16):

@@ -628,3 +628,178 @@ class TestLogprobs:
         assert len(req.logprobs) == len(out) == 5
         # log-probs are valid (<= 0) and greedy picks are likeliest tokens
         assert all(p <= 1e-6 for p in req.logprobs), req.logprobs
+
+
+class TestQuantizedDecode:
+    def test_quantized_param_structure(self, model):
+        from kfunca_tpu.models.serve import quantize_decode_params
+
+        params, cfg = model
+        qp = quantize_decode_params(params)
+        blk = qp["blocks"][0]
+        for name in ("wqkv", "wo", "w_gate", "w_up", "w_down"):
+            q8, scale = blk[name]
+            assert q8.dtype == jnp.int8 and q8.shape == params["blocks"][0][name].shape
+            assert scale.shape == (q8.shape[1],)
+        assert qp["lm_head"][0].shape == (cfg.d_model, cfg.vocab_size)
+        assert qp["embed"].dtype == params["embed"].dtype  # gather stays fp
+        assert blk["attn_norm"] is params["blocks"][0]["attn_norm"]
+
+    def test_one_step_logits_close_to_fp(self, model):
+        """int8 weight quantization error on one decode step stays small
+        (per-channel symmetric, ~1% relative)."""
+        import jax.scipy.special as jsp
+        from kfunca_tpu.models.serve import (
+            paged_decode_step, quantize_decode_params, token_logprobs,
+        )
+
+        params, cfg = model
+        qp = quantize_decode_params(params)
+        B, n_pages, page = 2, 8, 4
+        shape = (cfg.n_layers, n_pages, page, cfg.kv_heads, cfg.head_dim)
+        pk = jnp.zeros(shape, jnp.float32)
+        pv = jnp.zeros(shape, jnp.float32)
+        tables = jnp.asarray([[1, 2], [3, 4]], jnp.int32)
+        pos = jnp.asarray([0, 0], jnp.int32)
+        toks = jnp.asarray([5, 9], jnp.int32)
+        key = jax.random.PRNGKey(0)
+        args = (tables, pos, toks, key, cfg, page)
+        t_fp, lp_fp, _, _ = paged_decode_step(params, pk, pv, *args)
+        t_q8, lp_q8, _, _ = paged_decode_step(qp, jnp.zeros(shape), jnp.zeros(shape), *args)
+        # greedy tokens agree on this margin-comfortable tiny model, and
+        # the chosen-token logprobs are close
+        assert np.array_equal(np.asarray(t_fp), np.asarray(t_q8))
+        assert np.allclose(np.asarray(lp_fp), np.asarray(lp_q8), atol=0.05)
+
+    def test_engine_end_to_end_matches_fp_greedy(self, model):
+        params, cfg = model
+        base = InferenceServer(params, cfg, batch_slots=2, page_size=4,
+                               n_pages=32, max_pages_per_seq=4)
+        ids0 = [base.submit([3, 5, 7], max_new=5), base.submit([9, 2], max_new=5)]
+        want = base.run()
+
+        srv = InferenceServer(params, cfg, batch_slots=2, page_size=4,
+                              n_pages=32, max_pages_per_seq=4,
+                              quantize_weights=True)
+        ids1 = [srv.submit([3, 5, 7], max_new=5), srv.submit([9, 2], max_new=5)]
+        out = srv.run()
+        for r0, r1 in zip(ids0, ids1):
+            assert out[r1] == want[r0], (out[r1], want[r0])
+
+
+class TestQuantizedKV:
+    def test_kernel_dequant_matches_fp_pools(self):
+        """Quantized-pool paged kernel (interpret) == the same kernel run on
+        pre-dequantized fp pools: dequant placement is exact, only the int8
+        rounding (already in the pools) differs."""
+        from kfunca_tpu.ops.pallas_kernels.paged_attention import paged_decode_attention
+        from kfunca_tpu.ops.quant import quantize_vecs
+
+        rng = np.random.default_rng(1)
+        n_pages, page, h, hd = 16, 4, 2, 128
+        bsz, max_pages = 3, 4
+        kq, ks = quantize_vecs(jnp.asarray(
+            rng.standard_normal((n_pages, page, h, hd)), jnp.float32))
+        vq, vs = quantize_vecs(jnp.asarray(
+            rng.standard_normal((n_pages, page, h, hd)), jnp.float32))
+        tables = jnp.asarray([[1, 2, 3, 15], [4, 5, 15, 15], [6, 15, 15, 15]], jnp.int32)
+        positions = jnp.asarray([9, 6, 2], jnp.int32)
+        q = jnp.asarray(rng.standard_normal((bsz, h, hd)), jnp.float32) / (hd ** 0.5)
+
+        got = paged_decode_attention(q, kq, vq, tables, positions,
+                                     scales=(ks, vs), interpret=True)
+        pool_k = kq.astype(jnp.float32) * ks[..., None]
+        pool_v = vq.astype(jnp.float32) * vs[..., None]
+        want = paged_decode_attention(q, pool_k, pool_v, tables, positions,
+                                      interpret=True)
+        assert np.allclose(np.asarray(got), np.asarray(want), atol=2e-5), (
+            np.abs(np.asarray(got) - np.asarray(want)).max()
+        )
+
+    def test_pool_structure(self, model):
+        params, cfg = model
+        srv = InferenceServer(params, cfg, batch_slots=2, page_size=4,
+                              n_pages=16, max_pages_per_seq=4, quantize_kv=True)
+        (kq, ks), (vq, vs) = srv.pools_k, srv.pools_v
+        assert kq.dtype == jnp.int8 and vq.dtype == jnp.int8
+        assert ks.shape == kq.shape[:-1] and ks.dtype == jnp.float32
+
+    def test_one_step_matches_dequantized_pools(self, model):
+        """paged_decode_step on (int8, scale) pools vs the fp path run on
+        the SAME dequantized values: the read path is exact; the only diff
+        is the current token's own KV write (quantized before the attention
+        read), so logits agree to the one-vector rounding."""
+        from kfunca_tpu.models.serve import paged_decode_step
+        from kfunca_tpu.ops.quant import quantize_vecs
+
+        params, cfg = model
+        rng = np.random.default_rng(2)
+        B, n_pages, page = 2, 8, 4
+        shape = (cfg.n_layers, n_pages, page, cfg.kv_heads, cfg.head_dim)
+        kq, ks = quantize_vecs(jnp.asarray(rng.standard_normal(shape), jnp.float32))
+        vq, vs = quantize_vecs(jnp.asarray(rng.standard_normal(shape), jnp.float32))
+        tables = jnp.asarray([[1, 2], [3, 4]], jnp.int32)
+        pos = jnp.asarray([3, 5], jnp.int32)
+        toks = jnp.asarray([5, 9], jnp.int32)
+        args = (tables, pos, toks, jax.random.PRNGKey(0), cfg, page)
+        # materialize the fp twins FIRST: the pools are donated (deleted)
+        kf = kq.astype(jnp.float32) * ks[..., None]
+        vf = vq.astype(jnp.float32) * vs[..., None]
+        t_q8, lp_q8, (nkq, nks), _ = paged_decode_step(
+            params, (kq, ks), (vq, vs), *args)
+        t_fp, lp_fp, _, _ = paged_decode_step(params, kf, vf, *args)
+        assert np.array_equal(np.asarray(t_fp), np.asarray(t_q8))
+        assert np.allclose(np.asarray(lp_fp), np.asarray(lp_q8), atol=0.05)
+        # the step wrote the new tokens' KV back quantized
+        assert nkq.dtype == jnp.int8 and nks.dtype == jnp.float32
+
+    def test_engine_deterministic_and_close_to_fp(self, model):
+        """kv8 decode is deterministic (two servers, same seed, identical
+        outputs) and tracks the fp engine: same output lengths, finite
+        logprobs, and the first generated token (pure-prefill logits, no
+        quantized reads yet) matches fp exactly."""
+        params, cfg = model
+        kw = dict(batch_slots=2, page_size=4, n_pages=32, max_pages_per_seq=6)
+        prompts = [[3, 5, 7], [9, 2, 4, 1]]
+        base = InferenceServer(params, cfg, **kw)
+        ids0 = [base.submit(p, max_new=6) for p in prompts]
+        want = base.run()
+        outs = []
+        for _ in range(2):
+            srv = InferenceServer(params, cfg, quantize_kv=True, **kw)
+            ids = [srv.submit(p, max_new=6) for p in prompts]
+            res = srv.run()
+            outs.append([res[i] for i in ids])
+            for rid in ids:
+                req = srv.requests[rid]
+                assert len(req.tokens) == 6
+                assert all(np.isfinite(lp) and lp <= 1e-6 for lp in req.logprobs)
+        assert outs[0] == outs[1]
+        for got, rid in zip(outs[0], ids0):
+            # prefill runs dense fp; only decode reads quantized KV
+            assert got[0] == want[rid][0]
+
+    def test_kv8_with_w8_and_prefix_cache(self, model):
+        """Everything on at once: quantized weights + quantized KV + prefix
+        caching (cached pages hold int8 KV; admission dequantizes them into
+        the dense prefill cache).  Trajectories are deterministic per
+        server config; the cache must be hit and outputs well-formed."""
+        params, cfg = model
+        kw = dict(batch_slots=2, page_size=4, n_pages=64, max_pages_per_seq=8,
+                  prefix_cache=True, quantize_weights=True, quantize_kv=True)
+        prompt = list(range(1, 13))  # 3 full pages
+        srv = InferenceServer(params, cfg, **kw)
+        ra = srv.submit(prompt, max_new=5)
+        out_a = srv.run()[ra]
+        # second identical prompt hits the prefix cache (int8 pages reused)
+        rb = srv.submit(prompt, max_new=5)
+        out_b = srv.run()[rb]
+        assert len(out_a) == len(out_b) == 5
+        assert srv.prefix_hit_pages > 0
+        # determinism: a fresh identical server reproduces both trajectories
+        srv2 = InferenceServer(params, cfg, **kw)
+        r2a = srv2.submit(prompt, max_new=5)
+        o2a = srv2.run()[r2a]
+        r2b = srv2.submit(prompt, max_new=5)
+        o2b = srv2.run()[r2b]
+        assert (o2a, o2b) == (out_a, out_b)
