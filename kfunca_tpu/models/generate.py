@@ -22,7 +22,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from .transformer import TransformerConfig, rms_norm
+from .transformer import TransformerConfig, lm_head_weight, rms_norm
 
 
 def init_kv_cache(cfg: TransformerConfig, batch: int, max_len: int):
@@ -58,7 +58,7 @@ def _block_with_cache(x, p, layer_cache, start_pos, cfg: TransformerConfig):
     h, hd = cfg.n_heads, cfg.head_dim
     max_len = layer_cache["k"].shape[2]
 
-    y = rms_norm(x, p["attn_norm"])
+    y = rms_norm(x, p["attn_norm"], cfg.norm_eps)
     qkv = jnp.dot(y, p["wqkv"].astype(y.dtype), preferred_element_type=jnp.float32)
     from .transformer import split_qkv
 
@@ -96,7 +96,7 @@ def _block_with_cache(x, p, layer_cache, start_pos, cfg: TransformerConfig):
         attn, p["wo"].astype(attn.dtype), preferred_element_type=jnp.float32
     ).astype(x.dtype)
 
-    y = rms_norm(x, p["mlp_norm"])
+    y = rms_norm(x, p["mlp_norm"], cfg.norm_eps)
     gate = jnp.dot(y, p["w_gate"].astype(y.dtype), preferred_element_type=jnp.float32)
     up = jnp.dot(y, p["w_up"].astype(y.dtype), preferred_element_type=jnp.float32)
     act = (jax.nn.silu(gate) * up).astype(y.dtype)
@@ -113,9 +113,9 @@ def forward_with_cache(params, tokens, cache, start_pos, cfg: TransformerConfig)
     for p, lc in zip(params["blocks"], cache):
         x, nlc = _block_with_cache(x, p, lc, start_pos, cfg)
         new_cache.append(nlc)
-    x = rms_norm(x, params["final_norm"])
+    x = rms_norm(x, params["final_norm"], cfg.norm_eps)
     logits = jnp.dot(
-        x, params["embed"].T.astype(x.dtype), preferred_element_type=jnp.float32
+        x, lm_head_weight(params, x.dtype), preferred_element_type=jnp.float32
     )
     return logits, new_cache
 

@@ -1,0 +1,136 @@
+"""HuggingFace checkpoint import: Llama-family weights -> the flagship LM.
+
+Capability extension past the reference (it has no models or checkpoint
+interop; its only export path is to_numpy, reference src/register.cpp:41-57):
+users bring real pretrained weights instead of random inits.
+
+Supported architectures: anything with the Llama block structure —
+RMSNorm -> RoPE attention (optional GQA) -> RMSNorm -> SwiGLU MLP — which
+covers Llama 1/2/3, Mistral (incl. sliding window), TinyLlama, OpenLlama,
+Vicuna-class finetunes, etc.  The conversion is exact (fp32): our RoPE is
+the same half-split ("rotate_half") convention HF Llama uses, so no head
+permutation is needed; parity vs `transformers` is pinned to ~1e-4 logits
+in tests/test_hf.py.
+
+Layout notes: HF Linear weights are (out, in) applied as x @ W.T; ours are
+(in, out) applied as x @ W — every matrix transposes on the way in.  The
+q/k/v projections fuse into our single wqkv (d_model, qkv_out).  Untied
+LM heads become a "lm_head" params entry (lm_head_weight handles both).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from .transformer import TransformerConfig
+
+
+def _np(t) -> np.ndarray:
+    """torch tensor (any dtype incl. bf16) or array-like -> fp32 numpy."""
+    if hasattr(t, "detach"):  # torch tensor without importing torch
+        t = t.detach()
+        if t.dtype is not None and "bfloat16" in str(t.dtype):
+            t = t.float()
+        t = t.cpu().numpy()
+    return np.asarray(t, dtype=np.float32)
+
+
+def config_from_hf(hf_config, dtype: str = "bfloat16") -> TransformerConfig:
+    """Map a transformers PretrainedConfig (or plain dict) onto
+    TransformerConfig.  Raises NotImplementedError for shapes the block
+    structure can't represent (custom head_dim, non-linear rope scaling)."""
+    get = (hf_config.get if isinstance(hf_config, dict)
+           else lambda k, d=None: getattr(hf_config, k, d))
+    d_model = get("hidden_size")
+    n_heads = get("num_attention_heads")
+    head_dim = get("head_dim") or d_model // n_heads
+    if head_dim != d_model // n_heads:
+        raise NotImplementedError(
+            f"custom head_dim {head_dim} != hidden_size/num_heads "
+            f"{d_model // n_heads} is not supported"
+        )
+    rope_scaling, rope_type = 1.0, "linear"
+    rs = get("rope_scaling")
+    if rs:
+        kind = rs.get("rope_type", rs.get("type"))
+        if kind == "linear":
+            rope_scaling = float(rs["factor"])
+        else:
+            raise NotImplementedError(
+                f"rope_scaling type {kind!r} not supported (linear only)"
+            )
+    window = get("sliding_window")
+    if window is not None and get("use_sliding_window") is False:
+        window = None  # Qwen2-style gate: configured but disabled
+    return TransformerConfig(
+        vocab_size=get("vocab_size"),
+        d_model=d_model,
+        n_heads=n_heads,
+        n_layers=get("num_hidden_layers"),
+        d_ff=get("intermediate_size"),
+        max_seq_len=get("max_position_embeddings", 2048),
+        dtype=dtype,
+        rope_theta=float(get("rope_theta", 10000.0)),
+        norm_eps=float(get("rms_norm_eps", 1e-6)),
+        rope_scaling=rope_scaling,
+        rope_scaling_type=rope_type,
+        n_kv_heads=get("num_key_value_heads") or n_heads,
+        attention_window=window,
+    )
+
+
+def params_from_hf(state_dict, cfg: TransformerConfig, tied: bool | None = None):
+    """Convert an HF Llama-family state dict (torch tensors or arrays) to
+    the flagship params pytree.  `tied`: whether the LM head is the
+    embedding (None = infer from the presence of lm_head.weight)."""
+    sd = {k.removeprefix("model."): v for k, v in state_dict.items()}
+    for k in sd:
+        if k.endswith((".q_proj.bias", ".k_proj.bias", ".v_proj.bias",
+                       ".o_proj.bias")):
+            raise NotImplementedError(f"attention biases not supported ({k})")
+
+    def W(name):  # HF (out, in) -> ours (in, out)
+        return jnp.asarray(_np(sd[name]).T)
+
+    params = {
+        "embed": jnp.asarray(_np(sd["embed_tokens.weight"])),
+        "final_norm": jnp.asarray(_np(sd["norm.weight"])),
+        "blocks": [],
+    }
+    for i in range(cfg.n_layers):
+        p = f"layers.{i}."
+        params["blocks"].append({
+            "attn_norm": jnp.asarray(_np(sd[p + "input_layernorm.weight"])),
+            "wqkv": jnp.concatenate(
+                [W(p + "self_attn.q_proj.weight"),
+                 W(p + "self_attn.k_proj.weight"),
+                 W(p + "self_attn.v_proj.weight")], axis=1),
+            "wo": W(p + "self_attn.o_proj.weight"),
+            "mlp_norm": jnp.asarray(_np(sd[p + "post_attention_layernorm.weight"])),
+            "w_gate": W(p + "mlp.gate_proj.weight"),
+            "w_up": W(p + "mlp.up_proj.weight"),
+            "w_down": W(p + "mlp.down_proj.weight"),
+        })
+    if tied is None:
+        tied = "lm_head.weight" not in state_dict
+    if not tied:
+        params["lm_head"] = jnp.asarray(_np(state_dict["lm_head.weight"]).T)
+    return params
+
+
+def from_hf(model_or_path, dtype: str = "bfloat16"):
+    """(params, cfg) from a transformers model instance or a local
+    checkpoint directory.  `dtype` sets the ACTIVATION dtype; params are
+    converted to fp32 (the framework's master-weight convention)."""
+    if isinstance(model_or_path, (str, bytes)) or hasattr(model_or_path, "__fspath__"):
+        from transformers import AutoModelForCausalLM
+
+        model = AutoModelForCausalLM.from_pretrained(model_or_path)
+    else:
+        model = model_or_path
+    cfg = config_from_hf(model.config, dtype=dtype)
+    tied = bool(getattr(model.config, "tie_word_embeddings", False))
+    params = params_from_hf(model.state_dict(), cfg, tied=tied)
+    return params, cfg

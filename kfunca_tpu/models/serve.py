@@ -335,7 +335,10 @@ def quantize_decode_params(params):
         }
         for blk in params["blocks"]
     ]
-    out["lm_head"] = quantize_cols(jnp.transpose(params["embed"]))
+    head = params.get("lm_head")
+    out["lm_head"] = quantize_cols(
+        jnp.transpose(params["embed"]) if head is None else head
+    )
     return out
 
 
@@ -354,7 +357,7 @@ def _paged_block(x, p, pool_k, pool_v, page_tables, positions, cfg, page_size, e
     h, hd = cfg.n_heads, cfg.head_dim
     max_pages = page_tables.shape[1]
 
-    y = rms_norm(x, p["attn_norm"])
+    y = rms_norm(x, p["attn_norm"], cfg.norm_eps)
     qkv = _mm(y, p["wqkv"])
     if lora is not None:
         A, B_, ids = lora
@@ -444,7 +447,7 @@ def _paged_block(x, p, pool_k, pool_v, page_tables, positions, cfg, page_size, e
         attn = attn.reshape(b, h, 1, hd).transpose(0, 2, 1, 3).reshape(b, 1, h * hd)
     x = x + _mm(attn, p["wo"]).astype(x.dtype)
 
-    y = rms_norm(x, p["mlp_norm"])
+    y = rms_norm(x, p["mlp_norm"], cfg.norm_eps)
     gate = _mm(y, p["w_gate"])
     up = _mm(y, p["w_up"])
     act = (jax.nn.silu(gate) * up).astype(y.dtype)
@@ -493,8 +496,10 @@ def paged_decode_step(
         new_v.append(pv)
     pools_k = _stack(new_k)
     pools_v = _stack(new_v)
-    x = rms_norm(x, params["final_norm"])
-    if "lm_head" in params:  # quantized decode: int8 tied head
+    x = rms_norm(x, params["final_norm"], cfg.norm_eps)
+    if "lm_head" in params:
+        # untied HF head (fp array) or the quantized tied/untied head
+        # ((int8, scale) pair) — _mm dispatches on the structure
         logits = _mm(x[:, 0], params["lm_head"])
     else:
         logits = jnp.dot(

@@ -36,6 +36,7 @@ class TransformerConfig:
     max_seq_len: int = 1024
     dtype: str = "bfloat16"  # activation/compute dtype; params stay fp32
     rope_theta: float = 10000.0
+    norm_eps: float = 1e-6  # RMSNorm epsilon (HF rms_norm_eps)
     # context extension beyond the trained window (factor > 1):
     #   "linear" — position interpolation (Chen et al. 2023): positions
     #     are divided by the factor, squeezing the extended range into the
@@ -115,6 +116,14 @@ def init_params(key, cfg: TransformerConfig):
     return params
 
 
+def lm_head_weight(params, dtype):
+    """(d_model, vocab) LM head: the untied "lm_head" entry when present
+    (HF checkpoints with tie_word_embeddings=False, models/hf.py), else
+    the tied embedding transpose."""
+    head = params["lm_head"] if "lm_head" in params else params["embed"].T
+    return head.astype(dtype)
+
+
 def rms_norm(x, gamma, eps=1e-6):
     # fp32 statistics regardless of activation dtype (Welford-kernel contract)
     xf = x.astype(jnp.float32)
@@ -154,7 +163,7 @@ def _block(x, p, cfg: TransformerConfig):
     b, s, dm = x.shape
 
     # attention
-    y = rms_norm(x, p["attn_norm"])
+    y = rms_norm(x, p["attn_norm"], cfg.norm_eps)
     qkv = jnp.dot(y, p["wqkv"].astype(y.dtype), preferred_element_type=jnp.float32)
     q, k, v = split_qkv(qkv.astype(y.dtype), cfg)
     theta, pscale = cfg.rope_params()
@@ -172,7 +181,7 @@ def _block(x, p, cfg: TransformerConfig):
     ).astype(x.dtype)
 
     # SwiGLU MLP
-    y = rms_norm(x, p["mlp_norm"])
+    y = rms_norm(x, p["mlp_norm"], cfg.norm_eps)
     gate = jnp.dot(y, p["w_gate"].astype(y.dtype), preferred_element_type=jnp.float32)
     up = jnp.dot(y, p["w_up"].astype(y.dtype), preferred_element_type=jnp.float32)
     act = (jax.nn.silu(gate) * up).astype(y.dtype)
@@ -190,10 +199,10 @@ def forward(params, tokens, cfg: TransformerConfig):
         block_fn = jax.checkpoint(_block, static_argnums=(2,))
     for p in params["blocks"]:
         x = block_fn(x, p, cfg)
-    x = rms_norm(x, params["final_norm"])
-    # tied LM head
+    x = rms_norm(x, params["final_norm"], cfg.norm_eps)
+    # tied LM head (or an untied "lm_head" from an HF checkpoint)
     return jnp.dot(
-        x, params["embed"].T.astype(x.dtype), preferred_element_type=jnp.float32
+        x, lm_head_weight(params, x.dtype), preferred_element_type=jnp.float32
     )
 
 
