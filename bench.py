@@ -524,15 +524,28 @@ def main():
         )
         return
 
+    def section(label, fn, default):
+        """One bench section; a failure degrades that section to its
+        default instead of killing the whole round's artifact (the driver
+        runs this once at round end — partial numbers beat none)."""
+        try:
+            return fn()
+        except Exception as e:  # noqa: BLE001 - report-and-continue by design
+            _log(f"bench section {label} FAILED: {e!r}")
+            return default
+
     peak = detect_peak_tflops()
-    gemm_tflops, xla_tflops = bench_gemm()
-    attn_fwd_tflops, attn_fb_tflops, dt_fwd, dt_fb = bench_attention()
-    int8_xla_tflops, int8_pallas_tflops = bench_int8_gemm()
-    eager = bench_eager_dispatch()
-    ew_xla_ms, ew_pallas_ms = bench_elementwise_engines()
-    reduce_ab = bench_reduce_engines()
-    serving = bench_serving()
-    train = bench_train_mfu(peak=peak)
+    gemm_tflops, xla_tflops = bench_gemm()  # headline: no fallback
+    attn_fwd_tflops, attn_fb_tflops, dt_fwd, dt_fb = section(
+        "attention", bench_attention, (0.0, 0.0, 0.0, 0.0))
+    int8_xla_tflops, int8_pallas_tflops = section(
+        "int8_gemm", bench_int8_gemm, (0.0, 0.0))
+    eager = section("eager_dispatch", bench_eager_dispatch, {})
+    ew_xla_ms, ew_pallas_ms = section(
+        "elementwise", bench_elementwise_engines, (0.0, 0.0))
+    reduce_ab = section("reduce", bench_reduce_engines, {})
+    serving = section("serving", bench_serving, {})
+    train = section("train_mfu", lambda: bench_train_mfu(peak=peak), {})
     # kfunca_tpu.gemm dispatches XLA's dot by default (the vendor-library
     # path, mirroring the reference's CUTLASS call); the Pallas kernel is
     # the KFUNCA_GEMM_ENGINE=pallas alternative. Headline = dispatched.

@@ -120,6 +120,42 @@ def params_from_hf(state_dict, cfg: TransformerConfig, tied: bool | None = None)
     return params
 
 
+def to_hf(params, cfg: TransformerConfig) -> dict:
+    """The inverse of params_from_hf: flagship params -> an HF Llama-family
+    state dict of fp32 torch tensors, loadable into LlamaForCausalLM /
+    MistralForCausalLM via load_state_dict (train here, serve anywhere).
+    Tied params emit no lm_head.weight (set tie_word_embeddings=True)."""
+    import torch
+
+    def T(x):  # ours (in, out) -> HF (out, in)
+        return torch.from_numpy(np.asarray(x, dtype=np.float32).T.copy())
+
+    def A(x):
+        return torch.from_numpy(np.asarray(x, dtype=np.float32))
+
+    h, hkv, hd = cfg.n_heads, cfg.kv_heads, cfg.head_dim
+    sd = {
+        "model.embed_tokens.weight": A(params["embed"]),
+        "model.norm.weight": A(params["final_norm"]),
+    }
+    for i, blk in enumerate(params["blocks"]):
+        p = f"model.layers.{i}."
+        q, k, v = (blk["wqkv"][:, : h * hd], blk["wqkv"][:, h * hd : (h + hkv) * hd],
+                   blk["wqkv"][:, (h + hkv) * hd :])
+        sd[p + "input_layernorm.weight"] = A(blk["attn_norm"])
+        sd[p + "self_attn.q_proj.weight"] = T(q)
+        sd[p + "self_attn.k_proj.weight"] = T(k)
+        sd[p + "self_attn.v_proj.weight"] = T(v)
+        sd[p + "self_attn.o_proj.weight"] = T(blk["wo"])
+        sd[p + "post_attention_layernorm.weight"] = A(blk["mlp_norm"])
+        sd[p + "mlp.gate_proj.weight"] = T(blk["w_gate"])
+        sd[p + "mlp.up_proj.weight"] = T(blk["w_up"])
+        sd[p + "mlp.down_proj.weight"] = T(blk["w_down"])
+    if "lm_head" in params:
+        sd["lm_head.weight"] = T(params["lm_head"])
+    return sd
+
+
 def from_hf(model_or_path, dtype: str = "bfloat16"):
     """(params, cfg) from a transformers model instance or a local
     checkpoint directory.  `dtype` sets the ACTIVATION dtype; params are

@@ -125,3 +125,41 @@ class TestMistralImport:
             want = model(torch.tensor(tokens)).logits.float().numpy()
         got = np.asarray(forward(params, jnp.asarray(tokens), kcfg))
         assert np.allclose(got, want, atol=2e-4), np.abs(got - want).max()
+
+
+class TestExport:
+    def test_roundtrip_into_transformers(self):
+        """to_hf exports weights transformers can load and run: a random
+        flagship model's logits must match the HF model built from its
+        exported state dict."""
+        from transformers import LlamaConfig, LlamaForCausalLM
+
+        from kfunca_tpu.models.hf import to_hf
+        from kfunca_tpu.models.transformer import (
+            TransformerConfig, init_params,
+        )
+
+        kcfg = TransformerConfig(
+            vocab_size=128, d_model=64, n_heads=4, n_kv_heads=2, n_layers=2,
+            d_ff=128, max_seq_len=128, dtype="float32", norm_eps=1e-5,
+        )
+        params = init_params(jax.random.PRNGKey(4), kcfg)
+        hf_cfg = LlamaConfig(
+            vocab_size=128, hidden_size=64, intermediate_size=128,
+            num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+            max_position_embeddings=128, rms_norm_eps=1e-5,
+            tie_word_embeddings=True, attn_implementation="eager",
+        )
+        model = LlamaForCausalLM(hf_cfg).eval()
+        missing, unexpected = model.load_state_dict(to_hf(params, kcfg), strict=False)
+        # tied head: lm_head.weight resolves from the embedding
+        assert not unexpected and all("lm_head" in m for m in missing), (
+            missing, unexpected)
+        model.tie_weights()
+
+        rng = np.random.default_rng(4)
+        tokens = rng.integers(0, 128, (2, 12)).astype(np.int32)
+        with torch.no_grad():
+            want = model(torch.tensor(tokens)).logits.float().numpy()
+        got = np.asarray(forward(params, jnp.asarray(tokens), kcfg))
+        assert np.allclose(got, want, atol=2e-4), np.abs(got - want).max()
