@@ -47,6 +47,7 @@ Round-3 additions:
 from __future__ import annotations
 
 import math
+import time
 from dataclasses import dataclass, field
 from functools import partial
 
@@ -463,7 +464,7 @@ def _paged_block(x, p, pool_k, pool_v, page_tables, positions, cfg, page_size, e
 def paged_decode_step(
     params, pools_k, pools_v, page_tables, positions, last_tokens, key,
     cfg: TransformerConfig, page_size: int, temperature=0.0, top_p=1.0,
-    engine="xla", lora=None, sampling=None,
+    engine="xla", lora=None, sampling=None, penalties=None,
 ):
     """One batched decode step over paged KV.
 
@@ -506,6 +507,9 @@ def paged_decode_step(
             x[:, 0], params["embed"].T.astype(x.dtype),
             preferred_element_type=jnp.float32,
         )
+    raw = logits
+    if penalties is not None:
+        logits = apply_logit_penalties(logits, penalties)
     if sampling is not None:
         tokens = sample_tokens_per_slot(
             logits, key, sampling["temperature"], sampling["top_p"],
@@ -513,10 +517,29 @@ def paged_decode_step(
         )
     else:
         tokens = sample_tokens(logits, key, temperature=temperature, top_p=top_p)
-    # logprob of each chosen token under the model's raw distribution
-    # (untempered log-softmax — the vLLM/OpenAI-API convention)
-    lp = token_logprobs(logits, tokens)
+    # logprob of each chosen token under the model's RAW distribution
+    # (untempered, pre-penalty log-softmax — the vLLM/OpenAI-API convention)
+    lp = token_logprobs(raw, tokens)
     return tokens, lp, pools_k, pools_v
+
+
+def apply_logit_penalties(logits, penalties):
+    """Logit processors over each slot's token-count history (prompt +
+    generated, maintained host-side by the scheduler).  HF-convention
+    repetition penalty: positive logits divide, negative multiply;
+    OpenAI-convention presence (per seen token) + frequency (per
+    occurrence); additive per-token logit bias.  penalties: dict of
+    counts (B,V), rep (B,), presence (B,), freq (B,), bias (B,V)."""
+    counts = penalties["counts"].astype(jnp.float32)  # (B, V)
+    seen = counts > 0
+    rep = penalties["rep"][:, None]
+    logits = jnp.where(
+        seen, jnp.where(logits > 0, logits / rep, logits * rep), logits
+    )
+    return (logits
+            - penalties["freq"][:, None] * counts
+            - penalties["presence"][:, None] * seen
+            + penalties["bias"])
 
 
 def _decode_engine() -> str:
@@ -551,6 +574,18 @@ class Request:
     # per-token log-prob of each generated token under the model's raw
     # (untempered) distribution — parallel to `tokens`
     logprobs: list = field(default_factory=list)
+    # logit processors (HF/OpenAI conventions): repetition_penalty
+    # divides positive / multiplies negative logits of any seen token
+    # (prompt + generated); presence/frequency subtract per seen-token /
+    # per occurrence; logit_bias is an additive token -> bias map
+    repetition_penalty: float = 1.0
+    presence_penalty: float = 0.0
+    frequency_penalty: float = 0.0
+    logit_bias: dict | None = None
+    # wall-clock latency marks (perf_counter): TTFT/TPOT metrics
+    submitted_at: float = 0.0
+    first_token_at: float = 0.0
+    finished_at: float = 0.0
 
 
 class InferenceServer:
@@ -682,6 +717,16 @@ class InferenceServer:
         self.slot_top_p = np.full((self.B,), self.top_p, np.float32)
         self.slot_top_k = np.zeros((self.B,), np.int32)
         self.slot_min_p = np.zeros((self.B,), np.float32)
+        # logit processors: per-slot penalty params + host-side token-count
+        # history (prompt + generated) and additive bias rows.  Passed into
+        # the decode step as traced arrays only once a request uses them
+        # (one extra compile, like per-slot sampling).
+        self._per_slot_penalties = False
+        self.slot_rep = np.ones((self.B,), np.float32)
+        self.slot_presence = np.zeros((self.B,), np.float32)
+        self.slot_freq = np.zeros((self.B,), np.float32)
+        self.token_counts = np.zeros((self.B, cfg.vocab_size), np.int32)
+        self.logit_bias = np.zeros((self.B, cfg.vocab_size), np.float32)
 
     # -- API ---------------------------------------------------------------
 
@@ -724,12 +769,18 @@ class InferenceServer:
     def submit(self, prompt, max_new: int = 16, lora_id: int = 0, *,
                temperature: float | None = None, top_p: float | None = None,
                top_k: int = 0, min_p: float = 0.0, eos: int | None = None,
-               stop=()) -> int:
+               stop=(), repetition_penalty: float = 1.0,
+               presence_penalty: float = 0.0, frequency_penalty: float = 0.0,
+               logit_bias: dict | None = None) -> int:
         """Queue a request.  Sampling kwargs override the server defaults
         for this request only (one compiled step still serves the mixed
         batch — params become traced per-slot vectors).  `stop` is an
         iterable of token sequences; matching the output tail ends the
-        request (stop tokens are kept in the output)."""
+        request (stop tokens are kept in the output).  `repetition_penalty`
+        (HF convention), `presence_penalty`/`frequency_penalty` (OpenAI
+        convention) and `logit_bias` ({token: additive bias}) are applied
+        to the sampling distribution each step over the request's prompt +
+        generated history; reported logprobs stay raw-distribution."""
         if lora_id and not (self.max_loras and lora_id <= self._n_loras):
             raise ValueError(f"unknown lora_id {lora_id}")
         rid = self._next_id
@@ -738,28 +789,53 @@ class InferenceServer:
         req = Request(rid, np.asarray(prompt, np.int32), max_new,
                       lora_id=int(lora_id), temperature=temperature,
                       top_p=top_p, top_k=int(top_k), min_p=float(min_p),
-                      eos=eos, stop=stop)
+                      eos=eos, stop=stop,
+                      repetition_penalty=float(repetition_penalty),
+                      presence_penalty=float(presence_penalty),
+                      frequency_penalty=float(frequency_penalty),
+                      logit_bias=dict(logit_bias) if logit_bias else None,
+                      submitted_at=time.perf_counter())
         if (temperature is not None or top_p is not None or top_k or min_p):
             # switch the decode step to per-slot sampling from now on (one
             # extra compile, then stable — never per-admission recompiles)
             self._per_slot_sampling = True
+        if (repetition_penalty != 1.0 or presence_penalty or frequency_penalty
+                or logit_bias):
+            self._per_slot_penalties = True
         self.requests[rid] = req
         self.queue.push(rid)
         return rid
 
     def run(self, max_steps: int = 10_000) -> dict[int, list[int]]:
         """Drive admission + decode until all submitted work completes."""
-        for _ in range(max_steps):
-            self._admit()
-            if all(r is None for r in self.slot_req):
-                if len(self.queue) == 0:
-                    break
-                continue  # waiting on pages
-            self._step()
+        for _ in self.stream(max_steps):
+            pass
         return {rid: r.tokens for rid, r in self.requests.items() if r.done}
+
+    def stream(self, max_steps: int = 10_000):
+        """Incremental driver: yields (req_id, token, logprob, finished)
+        events as tokens are produced — the SSE/streaming-response shape.
+        One decode step emits up to batch_slots events; admission emits
+        each new request's prefill token.  run() is stream() drained."""
+        for _ in range(max_steps):
+            before = {rid: len(r.tokens) for rid, r in self.requests.items()}
+            self._admit()
+            active = any(r is not None for r in self.slot_req)
+            if active:
+                self._step()
+            for rid, r in self.requests.items():
+                for i in range(before.get(rid, 0), len(r.tokens)):
+                    last = r.done and i == len(r.tokens) - 1
+                    yield rid, r.tokens[i], r.logprobs[i], last
+            if not active and len(self.queue) == 0:
+                break
 
     def throughput_stats(self) -> dict:
         done = [r for r in self.requests.values() if r.done]
+        ttft = [r.first_token_at - r.submitted_at for r in done
+                if r.first_token_at]
+        tpot = [(r.finished_at - r.first_token_at) / (len(r.tokens) - 1)
+                for r in done if r.finished_at and len(r.tokens) > 1]
         return {
             "completed": len(done),
             "generated_tokens": sum(len(r.tokens) for r in done),
@@ -767,6 +843,11 @@ class InferenceServer:
             "prefix_hit_pages": self.prefix_hit_pages,
             "prefix_fresh_pages": self.prefix_fresh_pages,
             "cached_pages": len(self._pcache),
+            # latency: time-to-first-token / time-per-output-token (s).
+            # TTFT includes queueing — a request admitted behind a full
+            # batch waits for slots, as production metrics should show
+            "mean_ttft_s": float(np.mean(ttft)) if ttft else 0.0,
+            "mean_tpot_s": float(np.mean(tpot)) if tpot else 0.0,
         }
 
     # -- internals -----------------------------------------------------------
@@ -865,6 +946,17 @@ class InferenceServer:
             self.slot_top_p[slot] = self.top_p if req.top_p is None else req.top_p
             self.slot_top_k[slot] = req.top_k
             self.slot_min_p[slot] = req.min_p
+            self.slot_rep[slot] = req.repetition_penalty
+            self.slot_presence[slot] = req.presence_penalty
+            self.slot_freq[slot] = req.frequency_penalty
+            # token-count history starts at the prompt's counts; the bias
+            # row is dense per slot (vocab-sized, zero-filled)
+            self.token_counts[slot] = 0
+            np.add.at(self.token_counts[slot], req.prompt, 1)
+            self.logit_bias[slot] = 0.0
+            if req.logit_bias:
+                for t, b in req.logit_bias.items():
+                    self.logit_bias[slot, int(t)] = float(b)
             self.page_tables[slot] = self.trash_page
             self.page_tables[slot, first_page : first_page + len(pages)] = pages
             first = self._prefill(
@@ -879,6 +971,8 @@ class InferenceServer:
             self.positions[slot] = t
             self.last_tokens[slot] = first
             req.tokens.append(int(first))
+            req.first_token_at = time.perf_counter()
+            self.token_counts[slot, int(first)] += 1
             if self._finished(req, first):
                 self._release(slot)
 
@@ -956,11 +1050,24 @@ class InferenceServer:
                 pv = _write(pv, li, page, n, v[lo : lo + n])
         self.pools_k, self.pools_v = pk, pv
         self._key, sub = jax.random.split(self._key)
+        raw = logits[:, st - 1]
+        last = raw
+        if (req.repetition_penalty != 1.0 or req.presence_penalty
+                or req.frequency_penalty or req.logit_bias):
+            # the FIRST sampled token is penalized too (over the prompt
+            # history the scheduler just recorded for this slot)
+            last = apply_logit_penalties(last, {
+                "counts": jnp.asarray(self.token_counts[slot][None]),
+                "rep": jnp.asarray([req.repetition_penalty], jnp.float32),
+                "presence": jnp.asarray([req.presence_penalty], jnp.float32),
+                "freq": jnp.asarray([req.frequency_penalty], jnp.float32),
+                "bias": jnp.asarray(self.logit_bias[slot][None]),
+            })
         if (req.temperature is not None or req.top_p is not None
                 or req.top_k or req.min_p):
             one = lambda v, d: jnp.asarray([d if v is None else v], jnp.float32)
             first = sample_tokens_per_slot(
-                logits[:, st - 1], sub,
+                last, sub,
                 one(req.temperature, self.temperature),
                 one(req.top_p, self.top_p),
                 jnp.asarray([req.top_k], jnp.int32),
@@ -968,9 +1075,9 @@ class InferenceServer:
             )
         else:
             first = sample_tokens(
-                logits[:, st - 1], sub, temperature=self.temperature, top_p=self.top_p
+                last, sub, temperature=self.temperature, top_p=self.top_p
             )
-        req.logprobs.append(float(token_logprobs(logits[:, st - 1], first)[0]))
+        req.logprobs.append(float(token_logprobs(raw, first)[0]))
         return int(first[0])
 
     def _step(self):
@@ -986,12 +1093,22 @@ class InferenceServer:
                 "top_k": jnp.asarray(self.slot_top_k),
                 "min_p": jnp.asarray(self.slot_min_p),
             }
+        penalties = None
+        if self._per_slot_penalties:
+            penalties = {
+                "counts": jnp.asarray(self.token_counts),
+                "rep": jnp.asarray(self.slot_rep),
+                "presence": jnp.asarray(self.slot_presence),
+                "freq": jnp.asarray(self.slot_freq),
+                "bias": jnp.asarray(self.logit_bias),
+            }
         tokens, lps, self.pools_k, self.pools_v = paged_decode_step(
             self._decode_params, self.pools_k, self.pools_v,
             jnp.asarray(self.page_tables), jnp.asarray(self.positions),
             jnp.asarray(self.last_tokens), sub,
             self.cfg, self.page_size, self.temperature, self.top_p,
             engine=_decode_engine(), lora=lora, sampling=sampling,
+            penalties=penalties,
         )
         tokens = np.asarray(tokens)
         lps = np.asarray(lps)
@@ -1003,6 +1120,7 @@ class InferenceServer:
             tok = int(tokens[slot])
             req.tokens.append(tok)
             req.logprobs.append(float(lps[slot]))
+            self.token_counts[slot, tok] += 1
             self.positions[slot] += 1
             self.last_tokens[slot] = tok
             if self.cfg.attention_window is not None:
@@ -1043,6 +1161,7 @@ class InferenceServer:
     def _release(self, slot: int):
         rid = self.slot_req[slot]
         self.requests[rid].done = True
+        self.requests[rid].finished_at = time.perf_counter()
         for page in self.slot_pages[slot]:
             if page != self.trash_page:  # windowed slots hold trash markers
                 self._decref(page)  # cached pages survive on the cache's ref

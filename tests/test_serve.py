@@ -803,3 +803,86 @@ class TestQuantizedKV:
         r2b = srv2.submit(prompt, max_new=5)
         o2b = srv2.run()[r2b]
         assert (o2a, o2b) == (out_a, out_b)
+
+
+class TestLogitProcessors:
+    def test_repetition_penalty_blocks_repeats(self, model):
+        params, cfg = model
+        srv = InferenceServer(params, cfg, batch_slots=1, page_size=4,
+                              n_pages=16, max_pages_per_seq=6)
+        prompt = [3, 5, 7]
+        rid = srv.submit(prompt, max_new=8, repetition_penalty=1e9)
+        out = srv.run()[rid]
+        # with an effectively-infinite penalty no token can repeat, nor
+        # can a prompt token reappear (vocab 128 >> 11 tokens used)
+        assert len(set(out)) == len(out), out
+        assert not (set(out) & set(prompt)), out
+
+    def test_frequency_penalty_blocks_repeats(self, model):
+        params, cfg = model
+        srv = InferenceServer(params, cfg, batch_slots=1, page_size=4,
+                              n_pages=16, max_pages_per_seq=6)
+        rid = srv.submit([3, 5, 7], max_new=8, frequency_penalty=1e9)
+        out = srv.run()[rid]
+        assert len(set(out)) == len(out), out
+
+    def test_logit_bias_forces_token(self, model):
+        params, cfg = model
+        srv = InferenceServer(params, cfg, batch_slots=1, page_size=4,
+                              n_pages=16, max_pages_per_seq=6)
+        rid = srv.submit([3, 5], max_new=4, logit_bias={42: 1e9})
+        out = srv.run()[rid]
+        assert out == [42, 42, 42, 42], out
+        # logprobs stay RAW-distribution: the forced token is unlikely
+        assert all(lp < -1.0 for lp in srv.requests[rid].logprobs)
+
+    def test_plain_request_unaffected_in_mixed_batch(self, model):
+        """Identity penalty rows (rep=1, zero presence/freq/bias) must be
+        numeric no-ops: a plain request batched with a penalized one
+        reproduces the penalty-free server's tokens exactly."""
+        params, cfg = model
+        kw = dict(batch_slots=2, page_size=4, n_pages=32, max_pages_per_seq=6)
+        base = InferenceServer(params, cfg, **kw)
+        rid0 = base.submit([9, 2, 4], max_new=6)
+        base.submit([1, 8], max_new=6)
+        want = base.run()[rid0]
+        srv = InferenceServer(params, cfg, **kw)
+        rid1 = srv.submit([9, 2, 4], max_new=6)  # plain
+        srv.submit([1, 8], max_new=6, repetition_penalty=5.0)  # penalized
+        got = srv.run()[rid1]
+        assert got == want, (got, want)
+
+
+class TestStreaming:
+    def test_stream_events_match_run(self, model):
+        params, cfg = model
+        kw = dict(batch_slots=2, page_size=4, n_pages=32, max_pages_per_seq=6)
+        prompts = [[3, 5, 7], [9, 2], [4, 4, 1, 6]]  # 3 reqs > 2 slots
+        base = InferenceServer(params, cfg, **kw)
+        ids0 = [base.submit(p, max_new=5) for p in prompts]
+        want = base.run()
+
+        srv = InferenceServer(params, cfg, **kw)
+        ids1 = [srv.submit(p, max_new=5) for p in prompts]
+        events = list(srv.stream())
+        got = {rid: [] for rid in ids1}
+        finals = []
+        for rid, tok, lp, last in events:
+            got[rid].append(tok)
+            assert np.isfinite(lp) and lp <= 1e-6
+            if last:
+                finals.append(rid)
+        assert sorted(finals) == sorted(ids1)  # exactly one final per req
+        for r0, r1 in zip(ids0, ids1):
+            assert got[r1] == want[r0], (got[r1], want[r0])
+
+    def test_latency_stats_populated(self, model):
+        params, cfg = model
+        srv = InferenceServer(params, cfg, batch_slots=2, page_size=4,
+                              n_pages=32, max_pages_per_seq=6)
+        srv.submit([3, 5, 7], max_new=5)
+        srv.submit([9, 2], max_new=5)
+        srv.run()
+        st = srv.throughput_stats()
+        assert st["completed"] == 2
+        assert st["mean_ttft_s"] > 0 and st["mean_tpot_s"] > 0
