@@ -60,6 +60,8 @@ def _block_with_cache(x, p, layer_cache, start_pos, cfg: TransformerConfig):
 
     y = rms_norm(x, p["attn_norm"], cfg.norm_eps)
     qkv = jnp.dot(y, p["wqkv"].astype(y.dtype), preferred_element_type=jnp.float32)
+    if "bqkv" in p:  # optional QKV bias (Qwen2-family HF imports)
+        qkv = qkv + p["bqkv"]
     from .transformer import split_qkv
 
     q, k, v = split_qkv(qkv.astype(y.dtype), cfg)  # q (B,H,..), k/v (B,Hkv,..)

@@ -5,9 +5,9 @@ interop; its only export path is to_numpy, reference src/register.cpp:41-57):
 users bring real pretrained weights instead of random inits.
 
 Supported architectures: anything with the Llama block structure —
-RMSNorm -> RoPE attention (optional GQA) -> RMSNorm -> SwiGLU MLP — which
-covers Llama 1/2/3, Mistral (incl. sliding window), TinyLlama, OpenLlama,
-Vicuna-class finetunes, etc.  The conversion is exact (fp32): our RoPE is
+RMSNorm -> RoPE attention (optional GQA, optional QKV bias) -> RMSNorm ->
+SwiGLU MLP — which covers Llama 1/2/3, Mistral (incl. sliding window),
+Qwen2/2.5 (QKV biases), TinyLlama, OpenLlama, Vicuna-class finetunes, etc.  The conversion is exact (fp32): our RoPE is
 the same half-split ("rotate_half") convention HF Llama uses, so no head
 permutation is needed; parity vs `transformers` is pinned to ~1e-4 logits
 in tests/test_hf.py.
@@ -87,9 +87,9 @@ def params_from_hf(state_dict, cfg: TransformerConfig, tied: bool | None = None)
     embedding (None = infer from the presence of lm_head.weight)."""
     sd = {k.removeprefix("model."): v for k, v in state_dict.items()}
     for k in sd:
-        if k.endswith((".q_proj.bias", ".k_proj.bias", ".v_proj.bias",
-                       ".o_proj.bias")):
-            raise NotImplementedError(f"attention biases not supported ({k})")
+        if k.endswith((".o_proj.bias", ".gate_proj.bias", ".up_proj.bias",
+                       ".down_proj.bias")):
+            raise NotImplementedError(f"bias not supported ({k})")
 
     def W(name):  # HF (out, in) -> ours (in, out)
         return jnp.asarray(_np(sd[name]).T)
@@ -101,7 +101,7 @@ def params_from_hf(state_dict, cfg: TransformerConfig, tied: bool | None = None)
     }
     for i in range(cfg.n_layers):
         p = f"layers.{i}."
-        params["blocks"].append({
+        blk = {
             "attn_norm": jnp.asarray(_np(sd[p + "input_layernorm.weight"])),
             "wqkv": jnp.concatenate(
                 [W(p + "self_attn.q_proj.weight"),
@@ -112,7 +112,12 @@ def params_from_hf(state_dict, cfg: TransformerConfig, tied: bool | None = None)
             "w_gate": W(p + "mlp.gate_proj.weight"),
             "w_up": W(p + "mlp.up_proj.weight"),
             "w_down": W(p + "mlp.down_proj.weight"),
-        })
+        }
+        if p + "self_attn.q_proj.bias" in sd:  # Qwen2-family QKV bias
+            blk["bqkv"] = jnp.concatenate(
+                [jnp.asarray(_np(sd[p + f"self_attn.{n}_proj.bias"]))
+                 for n in ("q", "k", "v")])
+        params["blocks"].append(blk)
     if tied is None:
         tied = "lm_head.weight" not in state_dict
     if not tied:
@@ -131,7 +136,8 @@ def to_hf(params, cfg: TransformerConfig) -> dict:
         return torch.from_numpy(np.asarray(x, dtype=np.float32).T.copy())
 
     def A(x):
-        return torch.from_numpy(np.asarray(x, dtype=np.float32))
+        # .copy(): jax arrays export read-only buffers; torch warns on them
+        return torch.from_numpy(np.asarray(x, dtype=np.float32).copy())
 
     h, hkv, hd = cfg.n_heads, cfg.kv_heads, cfg.head_dim
     sd = {
@@ -146,6 +152,13 @@ def to_hf(params, cfg: TransformerConfig) -> dict:
         sd[p + "self_attn.q_proj.weight"] = T(q)
         sd[p + "self_attn.k_proj.weight"] = T(k)
         sd[p + "self_attn.v_proj.weight"] = T(v)
+        if "bqkv" in blk:
+            bq, bk, bv = (blk["bqkv"][: h * hd],
+                          blk["bqkv"][h * hd : (h + hkv) * hd],
+                          blk["bqkv"][(h + hkv) * hd :])
+            sd[p + "self_attn.q_proj.bias"] = A(bq)
+            sd[p + "self_attn.k_proj.bias"] = A(bk)
+            sd[p + "self_attn.v_proj.bias"] = A(bv)
         sd[p + "self_attn.o_proj.weight"] = T(blk["wo"])
         sd[p + "post_attention_layernorm.weight"] = A(blk["mlp_norm"])
         sd[p + "mlp.gate_proj.weight"] = T(blk["w_gate"])

@@ -360,6 +360,8 @@ def _paged_block(x, p, pool_k, pool_v, page_tables, positions, cfg, page_size, e
 
     y = rms_norm(x, p["attn_norm"], cfg.norm_eps)
     qkv = _mm(y, p["wqkv"])
+    if "bqkv" in p:  # optional QKV bias (Qwen2-family HF imports)
+        qkv = qkv + p["bqkv"]
     if lora is not None:
         A, B_, ids = lora
         ya = jnp.einsum("btd,bdr->btr", y.astype(jnp.float32), A[ids])

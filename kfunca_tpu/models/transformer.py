@@ -165,6 +165,8 @@ def _block(x, p, cfg: TransformerConfig):
     # attention
     y = rms_norm(x, p["attn_norm"], cfg.norm_eps)
     qkv = jnp.dot(y, p["wqkv"].astype(y.dtype), preferred_element_type=jnp.float32)
+    if "bqkv" in p:  # optional QKV bias (Qwen2-family HF imports)
+        qkv = qkv + p["bqkv"]
     q, k, v = split_qkv(qkv.astype(y.dtype), cfg)
     theta, pscale = cfg.rope_params()
     q = _rope(q, theta, pscale)

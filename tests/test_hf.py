@@ -96,12 +96,71 @@ class TestLlamaImport:
     def test_rejects_unsupported(self):
         m = _mk_llama()
         sd = dict(m.state_dict())
-        sd["model.layers.0.self_attn.q_proj.bias"] = torch.zeros(64)
+        sd["model.layers.0.self_attn.o_proj.bias"] = torch.zeros(64)
         cfg = config_from_hf(m.config)
         with pytest.raises(NotImplementedError):
             from kfunca_tpu.models.hf import params_from_hf
 
             params_from_hf(sd, cfg)
+
+
+class TestQwen2Import:
+    def test_qkv_bias_logits_match(self):
+        """Qwen2 blocks carry QKV biases: imported bqkv must reproduce the
+        HF logits (the bias flows through dense forward AND paged decode)."""
+        from transformers import Qwen2Config, Qwen2ForCausalLM
+
+        cfg = Qwen2Config(
+            vocab_size=128, hidden_size=64, intermediate_size=128,
+            num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+            max_position_embeddings=128, rms_norm_eps=1e-5,
+            tie_word_embeddings=True, attn_implementation="eager",
+        )
+        torch.manual_seed(5)
+        model = Qwen2ForCausalLM(cfg).eval()
+        params, kcfg = from_hf(model, dtype="float32")
+        assert "bqkv" in params["blocks"][0]
+        assert kcfg.attention_window is None  # use_sliding_window gate
+        rng = np.random.default_rng(5)
+        tokens = rng.integers(0, 128, (2, 16)).astype(np.int32)
+        with torch.no_grad():
+            want = model(torch.tensor(tokens)).logits.float().numpy()
+        got = np.asarray(forward(params, jnp.asarray(tokens), kcfg))
+        assert np.allclose(got, want, atol=2e-4), np.abs(got - want).max()
+
+    def test_qwen2_serves_and_exports(self):
+        from transformers import Qwen2Config, Qwen2ForCausalLM
+
+        from kfunca_tpu.models.hf import to_hf
+        from kfunca_tpu.models.serve import InferenceServer
+
+        cfg = Qwen2Config(
+            vocab_size=128, hidden_size=64, intermediate_size=128,
+            num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+            max_position_embeddings=128, rms_norm_eps=1e-5,
+            tie_word_embeddings=True, attn_implementation="eager",
+        )
+        torch.manual_seed(6)
+        model = Qwen2ForCausalLM(cfg).eval()
+        params, kcfg = from_hf(model, dtype="float32")
+        prompt = [5, 9, 2, 4]
+        want = np.asarray(generate(
+            params, jnp.asarray([prompt], jnp.int32), kcfg, max_new=5))[0]
+        srv = InferenceServer(params, kcfg, batch_slots=2, page_size=4,
+                              n_pages=32, max_pages_per_seq=8)
+        rid = srv.submit(prompt, max_new=5)
+        assert srv.run()[rid] == want.tolist()
+        # export round-trips the biases
+        sd = to_hf(params, kcfg)
+        model2 = Qwen2ForCausalLM(cfg).eval()
+        missing, unexpected = model2.load_state_dict(sd, strict=False)
+        assert not unexpected and all("lm_head" in m for m in missing)
+        model2.tie_weights()
+        toks = np.asarray([[3, 7, 11]], np.int32)
+        with torch.no_grad():
+            a = model(torch.tensor(toks)).logits.float().numpy()
+            b = model2(torch.tensor(toks)).logits.float().numpy()
+        assert np.allclose(a, b, atol=1e-5)
 
 
 class TestMistralImport:
