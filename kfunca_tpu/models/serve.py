@@ -551,6 +551,41 @@ def _decode_engine() -> str:
     return "pallas" if use_pallas() else "xla"
 
 
+def decode_param_specs(params):
+    """Megatron-style TP PartitionSpecs for the decode params pytree —
+    qkv/gate/up column-parallel, wo/down row-parallel (one psum per pair,
+    inserted by GSPMD), norms + embedding replicated (the embedding gather
+    is tiny at decode; the LM head is column-parallel).  Quantized (int8,
+    scale) pairs shard the scale with the matrix's OUTPUT dim: col-parallel
+    scales follow "tp", row-parallel scales replicate."""
+    from jax.sharding import PartitionSpec as P
+
+    def col(v):
+        return (P(None, "tp"), P("tp")) if isinstance(v, tuple) else P(None, "tp")
+
+    def row(v):
+        return (P("tp", None), P()) if isinstance(v, tuple) else P("tp", None)
+
+    def blk_spec(blk):
+        s = {
+            "attn_norm": P(), "mlp_norm": P(),
+            "wqkv": col(blk["wqkv"]), "w_gate": col(blk["w_gate"]),
+            "w_up": col(blk["w_up"]),
+            "wo": row(blk["wo"]), "w_down": row(blk["w_down"]),
+        }
+        if "bqkv" in blk:
+            s["bqkv"] = P("tp")  # column-parallel bias
+        return s
+
+    specs = {
+        "embed": P(), "final_norm": P(),
+        "blocks": [blk_spec(b) for b in params["blocks"]],
+    }
+    if "lm_head" in params:
+        specs["lm_head"] = col(params["lm_head"])
+    return specs
+
+
 # ---------------------------------------------------------------------------
 # scheduler: continuous batching over fixed decode slots
 # ---------------------------------------------------------------------------
@@ -616,6 +651,7 @@ class InferenceServer:
         lora_rank: int = 8,
         quantize_weights: bool = False,
         quantize_kv: bool = False,
+        mesh=None,
     ):
         if cfg.attention_window is not None and prefix_cache:
             raise NotImplementedError(
@@ -632,6 +668,35 @@ class InferenceServer:
         self._decode_params = (
             quantize_decode_params(params) if quantize_weights else params
         )
+        # tensor-parallel serving: a jax Mesh with a "tp" axis shards the
+        # decode weights Megatron-style (decode_param_specs) and the KV
+        # pools over kv heads; GSPMD inserts the ICI collectives inside the
+        # ONE compiled decode step.  The Pallas paged kernel is per-device,
+        # so mesh serving pins the GSPMD-partitionable XLA gather engine.
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            assert "tp" in mesh.axis_names, mesh.axis_names
+            specs = decode_param_specs(self._decode_params)
+
+            def _apply(x, s):  # explicit walk: P is a tuple subclass, so
+                if isinstance(x, dict):  # tree_map would descend into specs
+                    return {k: _apply(v, s[k]) for k, v in x.items()}
+                if isinstance(x, (list, tuple)):
+                    t = type(x)
+                    return t(_apply(v, ss) for v, ss in zip(x, s))
+                return jax.device_put(x, NamedSharding(mesh, s))
+
+            self._decode_params = _apply(self._decode_params, specs)
+            tp = mesh.shape["tp"]
+            heads_ok = cfg.kv_heads % tp == 0
+            self._pool_spec = NamedSharding(
+                mesh, P(None, None, None, "tp" if heads_ok else None, None)
+            )
+            self._pool_scale_spec = NamedSharding(
+                mesh, P(None, None, None, "tp" if heads_ok else None)
+            )
         if page_size is None:
             # consult the per-chip autotune cache (kfunca.autotune
             # ("decode_page", slots, H*hd, context) records the winner)
@@ -705,6 +770,17 @@ class InferenceServer:
         else:
             self.pools_k = jnp.zeros(shape, cfg.act_dtype)
             self.pools_v = jnp.zeros(shape, cfg.act_dtype)
+        if mesh is not None:
+            # shard the pools over kv heads (replicate if tp doesn't divide)
+
+            def _put(p):
+                if isinstance(p, tuple):
+                    return (jax.device_put(p[0], self._pool_spec),
+                            jax.device_put(p[1], self._pool_scale_spec))
+                return jax.device_put(p, self._pool_spec)
+
+            self.pools_k = _put(self.pools_k)
+            self.pools_v = _put(self.pools_v)
         # slot state (host-side)
         self.slot_req = [None] * self.B  # req_id or None
         self.slot_pages = [[] for _ in range(self.B)]
@@ -1109,7 +1185,8 @@ class InferenceServer:
             jnp.asarray(self.page_tables), jnp.asarray(self.positions),
             jnp.asarray(self.last_tokens), sub,
             self.cfg, self.page_size, self.temperature, self.top_p,
-            engine=_decode_engine(), lora=lora, sampling=sampling,
+            engine="xla" if self.mesh is not None else _decode_engine(),
+            lora=lora, sampling=sampling,
             penalties=penalties,
         )
         tokens = np.asarray(tokens)

@@ -886,3 +886,53 @@ class TestStreaming:
         st = srv.throughput_stats()
         assert st["completed"] == 2
         assert st["mean_ttft_s"] > 0 and st["mean_tpot_s"] > 0
+
+
+class TestTensorParallelServing:
+    """mesh=... serving: weights Megatron-sharded, pools sharded over kv
+    heads, GSPMD collectives inside the one compiled decode step.  The
+    8-device CPU mesh (conftest) stands in for an ICI-connected slice."""
+
+    def _mesh(self, tp):
+        from kfunca_tpu.parallel.mesh import make_mesh
+
+        return make_mesh(tp, dp=1, tp=tp)
+
+    def test_tp_matches_single_device_greedy(self, model):
+        params, cfg = model  # n_heads=2, kv_heads=2: tp=2 divides
+        kw = dict(batch_slots=2, page_size=4, n_pages=32, max_pages_per_seq=6)
+        prompts = [[3, 5, 7], [9, 2, 4, 1]]
+        base = InferenceServer(params, cfg, **kw)
+        ids0 = [base.submit(p, max_new=6) for p in prompts]
+        want = base.run()
+        srv = InferenceServer(params, cfg, mesh=self._mesh(2), **kw)
+        ids1 = [srv.submit(p, max_new=6) for p in prompts]
+        out = srv.run()
+        for r0, r1 in zip(ids0, ids1):
+            assert out[r1] == want[r0], (out[r1], want[r0])
+        # the decode weights really are distributed
+        blk = srv._decode_params["blocks"][0]["wqkv"]
+        assert len(blk.sharding.device_set) == 2
+
+    def test_tp_with_quantized_weights_and_kv(self, model):
+        params, cfg = model
+        kw = dict(batch_slots=2, page_size=4, n_pages=32, max_pages_per_seq=6,
+                  quantize_weights=True, quantize_kv=True)
+        base = InferenceServer(params, cfg, **kw)
+        r0 = base.submit([3, 5, 7], max_new=6)
+        want = base.run()[r0]
+        srv = InferenceServer(params, cfg, mesh=self._mesh(2), **kw)
+        r1 = srv.submit([3, 5, 7], max_new=6)
+        out = srv.run()[r1]
+        assert out == want, (out, want)
+
+    def test_tp_indivisible_heads_replicates_pools(self, model):
+        params, cfg = model  # kv_heads=2, tp=4: pools must replicate
+        kw = dict(batch_slots=1, page_size=4, n_pages=16, max_pages_per_seq=6)
+        base = InferenceServer(params, cfg, **kw)
+        r0 = base.submit([5, 9, 2], max_new=5)
+        want = base.run()[r0]
+        srv = InferenceServer(params, cfg, mesh=self._mesh(4), **kw)
+        r1 = srv.submit([5, 9, 2], max_new=5)
+        out = srv.run()[r1]
+        assert out == want, (out, want)
