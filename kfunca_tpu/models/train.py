@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from ..parallel import mesh as meshlib
-from .transformer import TransformerConfig, loss_fn
+from .transformer import TransformerConfig, loss_fn, loss_fn_chunked
 
 
 @dataclass(frozen=True)
@@ -331,7 +331,7 @@ def ema_params(opt_state, dtype=None):
 
 
 def make_train_step(cfg: TransformerConfig, oc: OptConfig = OptConfig(),
-                    grad_accum: int = 1):
+                    grad_accum: int = 1, loss_chunk: int | None = None):
     """Returns train_step(params, opt_state, tokens, targets) -> (params,
     opt_state, loss); jit it yourself (optionally with shardings).
 
@@ -341,12 +341,22 @@ def make_train_step(cfg: TransformerConfig, oc: OptConfig = OptConfig(),
     larger than fits in HBM.  Equivalent to the single full-batch step up
     to summation order (loss_fn means over the batch, so the mean of
     microbatch grads == the full-batch grad).  Activations live for one
-    microbatch at a time; the fp32 grad accumulator is the extra memory."""
+    microbatch at a time; the fp32 grad accumulator is the extra memory.
+
+    loss_chunk streams the LM head in vocab chunks of that width instead of
+    materializing (B, S, vocab) logits (transformer.loss_fn_chunked) —
+    same loss/grads, peak memory bounded by B*S*loss_chunk."""
+
+    if loss_chunk is None:
+        loss = loss_fn
+    else:
+        def loss(params, tokens, targets, cfg):
+            return loss_fn_chunked(params, tokens, targets, cfg, loss_chunk)
 
     def full_batch_step(params, opt_state, tokens, targets):
-        loss, grads = jax.value_and_grad(loss_fn)(params, tokens, targets, cfg)
+        loss_v, grads = jax.value_and_grad(loss)(params, tokens, targets, cfg)
         params, opt_state = apply_update(params, grads, opt_state, oc)
-        return params, opt_state, loss
+        return params, opt_state, loss_v
 
     if grad_accum <= 1:
         return full_batch_step
@@ -362,11 +372,11 @@ def make_train_step(cfg: TransformerConfig, oc: OptConfig = OptConfig(),
         def body(carry, xt):
             g_acc, l_acc = carry
             t, tg = xt
-            loss, g = jax.value_and_grad(loss_fn)(params, t, tg, cfg)
+            loss_v, g = jax.value_and_grad(loss)(params, t, tg, cfg)
             g_acc = jax.tree_util.tree_map(
                 lambda a, x: a + x.astype(jnp.float32), g_acc, g
             )
-            return (g_acc, l_acc + loss), None
+            return (g_acc, l_acc + loss_v), None
 
         g0 = jax.tree_util.tree_map(
             lambda p: jnp.zeros(p.shape, jnp.float32), params
@@ -381,7 +391,8 @@ def make_train_step(cfg: TransformerConfig, oc: OptConfig = OptConfig(),
 
 
 def make_sharded_train_step(cfg: TransformerConfig, mesh, oc: OptConfig = OptConfig(),
-                            fsdp: bool = False, grad_accum: int = 1):
+                            fsdp: bool = False, grad_accum: int = 1,
+                            loss_chunk: int | None = None):
     """jit the train step over a (dp, tp) mesh: params/opt-state tp-sharded,
     batch dp-sharded; XLA GSPMD inserts the gradient psum over dp and the
     tp collectives (scaling-book recipe).
@@ -393,7 +404,7 @@ def make_sharded_train_step(cfg: TransformerConfig, mesh, oc: OptConfig = OptCon
     batch inside the step (see make_train_step)."""
     from jax.sharding import NamedSharding
 
-    step = make_train_step(cfg, oc, grad_accum=grad_accum)
+    step = make_train_step(cfg, oc, grad_accum=grad_accum, loss_chunk=loss_chunk)
 
     def in_shardings(params):
         P = jax.sharding.PartitionSpec

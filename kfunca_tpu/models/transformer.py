@@ -193,15 +193,20 @@ def _block(x, p, cfg: TransformerConfig):
     return x
 
 
-def forward(params, tokens, cfg: TransformerConfig):
-    """tokens: (B, S) int32 -> logits (B, S, vocab) fp32."""
+def hidden_states(params, tokens, cfg: TransformerConfig):
+    """tokens: (B, S) int32 -> final-norm trunk output (B, S, d_model)."""
     x = params["embed"][tokens].astype(cfg.act_dtype)
     block_fn = _block
     if cfg.remat:
         block_fn = jax.checkpoint(_block, static_argnums=(2,))
     for p in params["blocks"]:
         x = block_fn(x, p, cfg)
-    x = rms_norm(x, params["final_norm"], cfg.norm_eps)
+    return rms_norm(x, params["final_norm"], cfg.norm_eps)
+
+
+def forward(params, tokens, cfg: TransformerConfig):
+    """tokens: (B, S) int32 -> logits (B, S, vocab) fp32."""
+    x = hidden_states(params, tokens, cfg)
     # tied LM head (or an untied "lm_head" from an HF checkpoint)
     return jnp.dot(
         x, lm_head_weight(params, x.dtype), preferred_element_type=jnp.float32
@@ -212,4 +217,21 @@ def loss_fn(params, tokens, targets, cfg: TransformerConfig):
     logits = forward(params, tokens, cfg)
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+    return jnp.mean(nll)
+
+
+def loss_fn_chunked(params, tokens, targets, cfg: TransformerConfig,
+                    vocab_chunk: int = 4096):
+    """loss_fn without ever materializing the (B, S, vocab) logits: the LM
+    head is streamed in vocab chunks with an online logsumexp (models/loss.py).
+    Numerically equivalent (same fp32-accumulated matmul, same log-softmax);
+    peak memory drops from O(B*S*V) to O(B*S*vocab_chunk)."""
+    from .loss import chunked_softmax_xent
+
+    x = hidden_states(params, tokens, cfg)
+    b, s, d = x.shape
+    head = params["lm_head"] if "lm_head" in params else params["embed"].T
+    nll = chunked_softmax_xent(
+        x.reshape(b * s, d), head, targets.reshape(-1), vocab_chunk
+    )
     return jnp.mean(nll)
