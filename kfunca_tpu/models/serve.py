@@ -652,6 +652,7 @@ class InferenceServer:
         quantize_weights: bool = False,
         quantize_kv: bool = False,
         mesh=None,
+        prefill_chunk: int | None = None,
     ):
         if cfg.attention_window is not None and prefix_cache:
             raise NotImplementedError(
@@ -748,6 +749,21 @@ class InferenceServer:
         self.trash_page = n_pages - 1
         self.pool = PagePool(n_pages - 1)
         self.queue = RequestQueue()
+        # chunked prefill: a prompt suffix longer than this many tokens is
+        # processed prefill_chunk tokens per scheduler iteration instead of
+        # in one shot, so decoding slots keep emitting tokens while a long
+        # prompt ingests — bounding the TPOT spike admission of a long
+        # request otherwise inflicts on every in-flight sequence (the
+        # vLLM/Sarathi "chunked prefill" schedule).  Must be a page
+        # multiple so chunk boundaries align with the padded suffix.
+        if prefill_chunk is not None:
+            if prefill_chunk <= 0 or prefill_chunk % self.page_size:
+                raise ValueError(
+                    f"prefill_chunk must be a positive multiple of "
+                    f"page_size={self.page_size}, got {prefill_chunk}"
+                )
+        self.prefill_chunk = prefill_chunk
+        self._prefill_state: dict[int, dict] = {}  # slot -> resumable state
         self.requests: dict[int, Request] = {}
         self._next_id = 0
         self._key = jax.random.PRNGKey(seed)
@@ -898,14 +914,18 @@ class InferenceServer:
         for _ in range(max_steps):
             before = {rid: len(r.tokens) for rid, r in self.requests.items()}
             self._admit()
-            active = any(r is not None for r in self.slot_req)
+            self._advance_prefills()
+            active = any(
+                self.slot_req[s] is not None and s not in self._prefill_state
+                for s in range(self.B)
+            )
             if active:
                 self._step()
             for rid, r in self.requests.items():
                 for i in range(before.get(rid, 0), len(r.tokens)):
                     last = r.done and i == len(r.tokens) - 1
                     yield rid, r.tokens[i], r.logprobs[i], last
-            if not active and len(self.queue) == 0:
+            if not active and not self._prefill_state and len(self.queue) == 0:
                 break
 
     def throughput_stats(self) -> dict:
@@ -1036,23 +1056,79 @@ class InferenceServer:
                 for t, b in req.logit_bias.items():
                     self.logit_bias[slot, int(t)] = float(b)
             self.page_tables[slot] = self.trash_page
+            prefix_len = len(reused) * self.page_size
+            skip_len = first_page * self.page_size
+            st = t - prefix_len
+            if self.prefill_chunk is not None and st > self.prefill_chunk:
+                # resumable chunked prefill: the page table stays parked on
+                # the trash page (decode writes cannot touch this slot's
+                # real pages) until the final chunk scatters;
+                # _advance_prefills runs one chunk per scheduler iteration
+                # so the other slots keep decoding in between
+                stp = -(-st // self.page_size) * self.page_size
+                tokens, cache = self._prefill_cache_init(
+                    slot, req, prefix_len, stp
+                )
+                self._prefill_state[slot] = {
+                    "req": req, "tokens": tokens, "cache": cache,
+                    "prefix_len": prefix_len, "skip_len": skip_len,
+                    "next": 0, "st": st, "stp": stp,
+                    "hashes": hashes, "reused_n": len(reused),
+                    "pages": pages, "first_page": first_page,
+                }
+                continue
             self.page_tables[slot, first_page : first_page + len(pages)] = pages
-            first = self._prefill(
-                slot, req, len(reused) * self.page_size, first_page * self.page_size
+            first = self._prefill(slot, req, prefix_len, skip_len)
+            self._finish_admission(slot, req, first, hashes, len(reused), pages)
+
+    def _finish_admission(self, slot: int, req: Request, first: int,
+                          hashes: list, reused_n: int, pages: list):
+        """Post-prefill bookkeeping: publish prefix-cache pages, activate
+        the slot for decode, record the first token."""
+        t = len(req.prompt)
+        if self.prefix_cache:
+            # publish this prompt's full pages (pure prompt KV: decode
+            # writes start at position t, beyond every full page)
+            for i in range(reused_n, t // self.page_size):
+                if self._pcache.put(hashes[i], pages[i]):
+                    self._incref(pages[i])
+        self.positions[slot] = t
+        self.last_tokens[slot] = first
+        req.tokens.append(int(first))
+        req.first_token_at = time.perf_counter()
+        self.token_counts[slot, int(first)] += 1
+        if self._finished(req, first):
+            self._release(slot)
+
+    def _advance_prefills(self):
+        """Run ONE prefill chunk for every mid-prefill slot.  A slot whose
+        final chunk completes scatters its KV, installs its page table and
+        becomes a decode slot on this same iteration."""
+        for slot in list(self._prefill_state):
+            stt = self._prefill_state[slot]
+            req = stt["req"]
+            c0 = stt["next"]
+            cl = min(self.prefill_chunk, stt["stp"] - c0)
+            logits, stt["cache"] = forward_with_cache(
+                self._params_for(req.lora_id),
+                stt["tokens"][:, c0 : c0 + cl], stt["cache"],
+                jnp.int32(stt["prefix_len"] + c0), self.cfg,
             )
-            if self.prefix_cache:
-                # publish this prompt's full pages (pure prompt KV: decode
-                # writes start at position t, beyond every full page)
-                for i in range(len(reused), t // self.page_size):
-                    if self._pcache.put(hashes[i], pages[i]):
-                        self._incref(pages[i])
-            self.positions[slot] = t
-            self.last_tokens[slot] = first
-            req.tokens.append(int(first))
-            req.first_token_at = time.perf_counter()
-            self.token_counts[slot, int(first)] += 1
-            if self._finished(req, first):
-                self._release(slot)
+            stt["next"] = c0 + cl
+            if stt["next"] < stt["stp"]:
+                continue
+            # final chunk (always holds the last prompt token: the suffix is
+            # padded by < page_size <= prefill_chunk): scatter + activate
+            self._prefill_scatter(
+                slot, req, stt["cache"], stt["prefix_len"], stt["skip_len"]
+            )
+            fp = stt["first_page"]
+            self.page_tables[slot, fp : fp + len(stt["pages"])] = stt["pages"]
+            first = self._sample_first(slot, req, logits[:, stt["st"] - 1 - c0])
+            del self._prefill_state[slot]
+            self._finish_admission(
+                slot, req, first, stt["hashes"], stt["reused_n"], stt["pages"]
+            )
 
     def _prefill(self, slot: int, req: Request, prefix_len: int = 0,
                  skip_len: int = 0) -> int:
@@ -1077,6 +1153,20 @@ class InferenceServer:
         ps = self.page_size
         st = t - prefix_len
         stp = -(-st // ps) * ps  # bucket: page multiple
+        tokens, cache = self._prefill_cache_init(slot, req, prefix_len, stp)
+        logits, cache = forward_with_cache(
+            self._params_for(req.lora_id), tokens, cache, jnp.int32(prefix_len), cfg
+        )
+        self._prefill_scatter(slot, req, cache, prefix_len, skip_len)
+        return self._sample_first(slot, req, logits[:, st - 1])
+
+    def _prefill_cache_init(self, slot: int, req: Request, prefix_len: int,
+                            stp: int):
+        """Padded suffix tokens + a dense KV cache seeded with the reused
+        prefix pages' KV gathered from the pool (dequantized if int8)."""
+        cfg, t = self.cfg, len(req.prompt)
+        ps = self.page_size
+        st = t - prefix_len
         padded = np.zeros((stp,), np.int32)
         padded[:st] = req.prompt[prefix_len:]
         tokens = jnp.asarray(padded[None], jnp.int32)
@@ -1099,10 +1189,13 @@ class InferenceServer:
                 v = _read(self.pools_v, li)
                 lc["k"] = lc["k"].at[:, :, :prefix_len].set(k.transpose(1, 0, 2)[None])
                 lc["v"] = lc["v"].at[:, :, :prefix_len].set(v.transpose(1, 0, 2)[None])
-        logits, cache = forward_with_cache(
-            self._params_for(req.lora_id), tokens, cache, jnp.int32(prefix_len), cfg
-        )
-        # scatter the dense suffix KV into this slot's fresh pages
+        return tokens, cache
+
+    def _prefill_scatter(self, slot: int, req: Request, cache,
+                         prefix_len: int, skip_len: int):
+        """Scatter the dense suffix KV into this slot's fresh pages."""
+        t = len(req.prompt)
+        ps = self.page_size
         n_full = t // ps
         rem = t % ps
         start_page = max(prefix_len // ps, skip_len // ps)
@@ -1127,8 +1220,10 @@ class InferenceServer:
                 pk = _write(pk, li, page, n, k[lo : lo + n])
                 pv = _write(pv, li, page, n, v[lo : lo + n])
         self.pools_k, self.pools_v = pk, pv
+
+    def _sample_first(self, slot: int, req: Request, raw) -> int:
+        """Sample the request's first token from its last-prompt logits."""
         self._key, sub = jax.random.split(self._key)
-        raw = logits[:, st - 1]
         last = raw
         if (req.repetition_penalty != 1.0 or req.presence_penalty
                 or req.frequency_penalty or req.logit_bias):
@@ -1193,8 +1288,9 @@ class InferenceServer:
         lps = np.asarray(lps)
         for slot in range(self.B):
             rid = self.slot_req[slot]
-            if rid is None:
-                continue
+            if rid is None or slot in self._prefill_state:
+                continue  # mid-prefill slots decode against trash pages;
+                #           their sampled token is garbage by construction
             req = self.requests[rid]
             tok = int(tokens[slot])
             req.tokens.append(tok)
