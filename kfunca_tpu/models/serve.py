@@ -623,6 +623,9 @@ class Request:
     submitted_at: float = 0.0
     first_token_at: float = 0.0
     finished_at: float = 0.0
+    # set by InferenceServer.cancel(): the request ended early at the
+    # client's ask (done=True; tokens hold whatever was generated so far)
+    cancelled: bool = False
 
 
 class InferenceServer:
@@ -900,6 +903,29 @@ class InferenceServer:
         self.queue.push(rid)
         return rid
 
+    def cancel(self, req_id: int) -> bool:
+        """Abort a request: queued, mid-prefill, or actively decoding.
+
+        Immediate and idempotent — pages are released now (a decoding
+        slot frees this iteration; a queued request is skipped when it
+        reaches the head of the queue), generated-so-far tokens stay on
+        the request, and `cancelled` marks the early end.  Returns False
+        if the id is unknown or the request already finished."""
+        req = self.requests.get(req_id)
+        if req is None or req.done:
+            return False
+        req.cancelled = True
+        for slot in range(self.B):
+            if self.slot_req[slot] == req_id:
+                self._prefill_state.pop(slot, None)
+                self._release(slot)  # frees pages, stamps done/finished_at
+                return True
+        # still queued: mark done now; _admit skips done requests when
+        # they surface (RequestQueue has no random removal by design)
+        req.done = True
+        req.finished_at = time.perf_counter()
+        return True
+
     def run(self, max_steps: int = 10_000) -> dict[int, list[int]]:
         """Drive admission + decode until all submitted work completes."""
         for _ in self.stream(max_steps):
@@ -989,6 +1015,8 @@ class InferenceServer:
                     return
                 rid = self.queue.pop()
                 req = self.requests[rid]
+                if req.done:  # cancelled while queued
+                    continue
                 t = len(req.prompt)
                 total_pages = -(-(t + req.max_new) // self.page_size)
                 first_page = 0

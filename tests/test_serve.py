@@ -1016,3 +1016,63 @@ class TestChunkedPrefill:
         srv.run()
         assert srv.throughput_stats()["completed"] == 4
         assert srv.pool.available == 31  # page 31 is the trash page
+
+
+class TestCancel:
+    def test_cancel_queued(self, model):
+        params, cfg = model
+        srv = InferenceServer(params, cfg, batch_slots=1, page_size=4,
+                              n_pages=32, max_pages_per_seq=8)
+        r0 = srv.submit([3, 5], max_new=6)
+        r1 = srv.submit([7, 9], max_new=6)  # waits behind r0
+        assert srv.cancel(r1)
+        results = srv.run()
+        assert len(results[r0]) == 6
+        assert srv.requests[r1].cancelled and srv.requests[r1].tokens == []
+        assert srv.pool.available == 31
+
+    def test_cancel_active_frees_slot_for_queue(self, model):
+        params, cfg = model
+        srv = InferenceServer(params, cfg, batch_slots=1, page_size=4,
+                              n_pages=32, max_pages_per_seq=8)
+        r0 = srv.submit([3, 5], max_new=20)
+        r1 = srv.submit([7, 9], max_new=4)
+        events = srv.stream()
+        got = next(events)  # r0's first token (admission)
+        assert got[0] == r0
+        assert srv.cancel(r0)
+        # drain: r1 must now be admitted and complete
+        for _ in events:
+            pass
+        assert srv.requests[r0].cancelled
+        assert 1 <= len(srv.requests[r0].tokens) < 20  # partial output kept
+        assert len(srv.requests[r1].tokens) == 4
+        assert srv.pool.available == 31
+
+    def test_cancel_mid_prefill(self, model):
+        params, cfg = model
+        srv = InferenceServer(params, cfg, batch_slots=2, page_size=4,
+                              n_pages=32, max_pages_per_seq=10,
+                              prefill_chunk=4)
+        r0 = srv.submit([3, 5], max_new=8)
+        r1 = srv.submit(list(range(1, 17)), max_new=4)  # 4 chunks
+        events = srv.stream()
+        next(events)  # one iteration: r1 is mid-prefill
+        assert srv._prefill_state
+        assert srv.cancel(r1)
+        assert not srv._prefill_state
+        for _ in events:
+            pass
+        assert srv.requests[r1].cancelled and srv.requests[r1].tokens == []
+        assert len(srv.requests[r0].tokens) == 8
+        assert srv.pool.available == 31
+
+    def test_cancel_unknown_or_done(self, model):
+        params, cfg = model
+        srv = InferenceServer(params, cfg, batch_slots=1, page_size=4,
+                              n_pages=16, max_pages_per_seq=4)
+        assert not srv.cancel(123)
+        r0 = srv.submit([3, 5], max_new=2)
+        srv.run()
+        assert not srv.cancel(r0)  # already finished
+        assert not srv.requests[r0].cancelled
