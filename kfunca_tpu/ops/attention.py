@@ -74,18 +74,22 @@ def _fwd_rule(q, k, v):
     if use_pallas() and q.dtype in (jnp.float32, jnp.bfloat16):
         from .pallas_kernels.flash_attention import flash_attention_fwd_stats
 
-        out, lse = flash_attention_fwd_stats(q, k, v, **_tuned_blocks("attn_fwd", q, k))
-        return out, (q, k, v, out, lse)
+        # raw residual layout: the backward consumes the kernel's own
+        # (B*H, Sq_padded, 128) exp2-domain stats without any HBM reshaping
+        out, st = flash_attention_fwd_stats(
+            q, k, v, raw_stats=True, **_tuned_blocks("attn_fwd", q, k)
+        )
+        return out, (q, k, v, out, st)
     return _sdpa_xla(q, k, v), (q, k, v, None, None)
 
 
 def _bwd_rule(res, g):
-    q, k, v, out, lse = res
+    q, k, v, out, st = res
     if use_pallas() and q.dtype in (jnp.float32, jnp.bfloat16):
         from .pallas_kernels.flash_attention import flash_attention_backward
 
         return flash_attention_backward(
-            q, k, v, g, out=out, lse=lse, **_tuned_blocks("attn_bwd", q, k)
+            q, k, v, g, out=out, stats128=st, **_tuned_blocks("attn_bwd", q, k)
         )
     _, vjp = jax.vjp(_sdpa_xla, q, k, v)
     return vjp(g)
@@ -188,16 +192,18 @@ def make_flash_attention(window: int | None = None):
         if _pallas_ok(q):
             from .pallas_kernels.flash_attention import flash_attention_fwd_stats
 
-            out, lse = flash_attention_fwd_stats(q, k, v, window=window)
-            return out, (q, k, v, out, lse)
+            out, st = flash_attention_fwd_stats(q, k, v, window=window, raw_stats=True)
+            return out, (q, k, v, out, st)
         return _sdpa_xla_gqa(q, k, v, window), (q, k, v, None, None)
 
     def bwd_rule(res, g):
-        q, k, v, out, lse = res
+        q, k, v, out, st = res
         if _pallas_ok(q):
             from .pallas_kernels.flash_attention import flash_attention_backward
 
-            return flash_attention_backward(q, k, v, g, out=out, lse=lse, window=window)
+            return flash_attention_backward(
+                q, k, v, g, out=out, stats128=st, window=window
+            )
         _, vjp = jax.vjp(lambda a, b, c: _sdpa_xla_gqa(a, b, c, window), q, k, v)
         return vjp(g)
 

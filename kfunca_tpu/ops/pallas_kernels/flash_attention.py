@@ -160,7 +160,8 @@ def _fwd_tables(nqb, nkb, bq, bk, window=None):
 
 
 def _fwd_kernel(iq_t, ik_t, fl_t, q_ref, k_ref, v_ref, o_ref, lse_ref,
-                m_ref, l_ref, acc_ref, *, skv, bq, bk, hi_prec, window=None):
+                m_ref, l_ref, acc_ref, *, skv, bq, bk, hi_prec, window=None,
+                raw_stats=False):
     # lse_ref is None in the inference-only variant (no residual output)
     t = pl.program_id(1)
     iq = iq_t[t]
@@ -207,14 +208,17 @@ def _fwd_kernel(iq_t, ik_t, fl_t, q_ref, k_ref, v_ref, o_ref, lse_ref,
         l_safe = jnp.where(l_new == _ZERO, _ONE, l_new)
         o_ref[0] = (acc_ref[:] / _lanes(l_safe, acc_ref.shape[1])).astype(o_ref.dtype)
         if lse_ref is not None:
-            # natural-log lse, lane-replicated; rows that saw no valid
-            # column (sequence padding) get 0, NOT -inf — the backward
-            # computes exp2(s - lse) and an -inf lse would blow those rows
-            # up to inf * 0 = NaN
+            # lane-replicated lse; rows that saw no valid column (sequence
+            # padding) get 0, NOT -inf — the backward computes
+            # exp2(s - lse) and an -inf lse would blow those rows up to
+            # inf * 0 = NaN.  raw_stats keeps the exp2 domain the backward
+            # consumes directly (skipping the LN2/LOG2E round trip and the
+            # XLA re-broadcast); the public lse is natural-log
+            raw = m_new + jnp.log2(l_safe)
             lse_ref[0] = jnp.where(
                 l_new == _ZERO,
                 _ZERO,
-                (m_new + jnp.log2(l_safe)) * LN2,
+                raw if raw_stats else raw * LN2,
             )
 
 
@@ -238,12 +242,19 @@ def _kv_head_map(h: int, hkv: int):
     return lambda bh: (bh // i32(h)) * i32(hkv) + (bh % i32(h)) // i32(group)
 
 
-@functools.partial(jax.jit, static_argnames=("bq", "bk", "save_stats", "window", "interpret"))
+@functools.partial(jax.jit, static_argnames=("bq", "bk", "save_stats", "window",
+                                              "raw_stats", "interpret"))
 def flash_attention_fwd_stats(q, k, v, bq=BQ_DEFAULT, bk=BK_DEFAULT, save_stats=True,
-                              window=None, interpret=False):
+                              window=None, raw_stats=False, interpret=False):
     """Returns (out, lse) with out: (B,H,Sq,D), lse: (B,H,Sq) fp32 natural
     log (lse is None when save_stats=False — the inference path skips the
     residual write entirely).
+
+    raw_stats=True instead returns lse as the kernel's own residual layout:
+    (B*H, Sq_padded, 128) fp32, lane-replicated, exp2 domain — exactly what
+    flash_attention_backward(stats128=...) consumes, skipping the
+    slice -> re-broadcast -> LN2/LOG2E round trip through HBM that the
+    public layout costs when fwd and bwd compose.
 
     GQA: k/v may carry FEWER heads than q (H % H_kv == 0); each group of
     H/H_kv query heads reads one kv head — expressed purely through the kv
@@ -281,7 +292,8 @@ def flash_attention_fwd_stats(q, k, v, bq=BQ_DEFAULT, bk=BK_DEFAULT, save_stats=
                 m_ref, l_ref, acc_ref, **kw
             )
     kernel = functools.partial(
-        kernel, skv=skv, bq=bq, bk=bk, hi_prec=q.dtype == jnp.float32, window=window
+        kernel, skv=skv, bq=bq, bk=bk, hi_prec=q.dtype == jnp.float32, window=window,
+        raw_stats=raw_stats,
     )
     out_specs = [pl.BlockSpec((1, bq, dp), lambda bh, t, iqt, ikt, flt: (bh, iqt[t], i32(0)))]
     out_shapes = [jax.ShapeDtypeStruct((b * h, sqp, dp), q.dtype)]
@@ -323,6 +335,8 @@ def flash_attention_fwd_stats(q, k, v, bq=BQ_DEFAULT, bk=BK_DEFAULT, save_stats=
     out = res[0][:, :sq, :d].reshape(b, h, sq, d)
     if not save_stats:
         return out, None
+    if raw_stats:
+        return out, res[1]  # (b*h, sqp, 128) exp2-domain, padded
     lse = res[1][:, :sq, 0].reshape(b, h, sq)
     return out, lse
 
@@ -351,13 +365,23 @@ def flash_attention_forward(q, k, v, interpret=False, **blocks):
 #     at s=2048 d=128), zeroed per bh, flushed once at bh end — revisited
 #     HBM output blocks (whose flush/prefetch DMA ordering is undefined)
 #     are avoided entirely;
-#   * exp2 softmax: q pre-scaled by scale*log2(e), lse converted to the
+#   * exp2 softmax: q pre-scaled by scale*log2(e), lse consumed in the
 #     exp2 domain; dk absorbs ln(2) and dq absorbs `scale` in their cheap
 #     (rows, 128)-wide flush multiplies, so the (bq, bk)-wide ds tile is
-#     never rescaled.
+#     never rescaled;
+#   * row statistics are produced in-kernel (session-3 rework, measured
+#     +9.6% fwd+bwd vs the XLA-prep structure, tools_attnfuse.py
+#     interleaved: 2.588 vs 2.836 ms at 1024^2 tiles): delta=rowsum(g*o)
+#     is computed on each q block's FIRST visit and cached in a whole-
+#     sequence VMEM scratch (no separate XLA pass, no (Sq,128) HBM
+#     materialization), lse arrives as the forward's own raw exp2-domain
+#     lane-replicated residual (raw_stats=True) with no re-broadcast, and
+#     both ride FROZEN index maps so their DMAs fire nqb times per bh
+#     instead of every step.
 
 F_BH_FIRST = 4   # first step of this bh: zero the dq acc
 F_BH_LAST = 8    # last step of this bh: flush dq
+F_FIRST_VISIT = 16  # first step touching this q block: cache lse, compute delta
 
 
 def _bwd_tables(nqb, nkb, bq, bk, window=None):
@@ -403,8 +427,9 @@ def _bwd_tables(nqb, nkb, bq, bk, window=None):
             _np.asarray(fls, _np.int32))
 
 
-def _fused_bwd_kernel(iq_t, ik_t, fl_t, q_ref, k_ref, v_ref, g_ref, lse_ref,
-                      delta_ref, dq_ref, dk_ref, dv_ref, dq_acc, dk_acc, dv_acc,
+def _fused_bwd_kernel(iq_t, ik_t, fl_t, ov_t, q_ref, k_ref, v_ref, g_ref,
+                      o_ref, lse_ref, dq_ref, dk_ref, dv_ref,
+                      dq_acc, dk_acc, dv_acc, lse_c, delta_c,
                       *, scale, skv, bq, bk, hi_prec, window=None):
     t = pl.program_id(1)
     iq = iq_t[t]
@@ -430,8 +455,22 @@ def _fused_bwd_kernel(iq_t, ik_t, fl_t, q_ref, k_ref, v_ref, g_ref, lse_ref,
     k = fp(k_ref[0])
     v = fp(v_ref[0])
     g = fp(g_ref[0])
-    lse = lse_ref[0]      # (bq, 128) lane-replicated, exp2 domain
-    delta = delta_ref[0]  # (bq, 128) lane-replicated
+
+    # Row statistics are produced IN-KERNEL on each q block's first visit
+    # and cached in whole-sequence VMEM scratch: delta = rowsum(g*o) never
+    # runs as a separate XLA pass, and neither stat is re-broadcast through
+    # HBM or re-DMA'd per step (o/lse ride FROZEN index maps: their blocks
+    # only move on first-visit steps).
+    @pl.when((flags & F_FIRST_VISIT) != 0)
+    def _cache_stats():
+        lse_c[pl.ds(iq * bq, bq), :] = lse_ref[0]
+        d_row = jnp.sum(
+            g_ref[0].astype(jnp.float32) * o_ref[0].astype(jnp.float32), axis=1
+        )[:, None]
+        delta_c[pl.ds(iq * bq, bq), :] = jnp.broadcast_to(d_row, (bq, 128))
+
+    lse = lse_c[pl.ds(iq * bq, bq), :]      # (bq, 128) lane-replicated, exp2
+    delta = delta_c[pl.ds(iq * bq, bq), :]  # (bq, 128) lane-replicated
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
@@ -480,12 +519,36 @@ BQ_BWD_DEFAULT = 512
 BK_BWD_DEFAULT = 512
 
 
+def _first_visit_tables(iq_t, ik_t, fl_t):
+    """Mark each q block's FIRST step (F_FIRST_VISIT) and build the frozen
+    o/lse block-index table: the index only moves on first-visit steps, so
+    Mosaic re-DMAs those operands nqb times per bh instead of every step."""
+    ov = _np.empty_like(iq_t)
+    fl = fl_t.copy()
+    seen = set()
+    last = 0
+    for t in range(len(iq_t)):
+        i = int(iq_t[t])
+        if i not in seen:
+            seen.add(i)
+            fl[t] |= F_FIRST_VISIT
+            last = i
+        ov[t] = last
+    return ov, fl
+
+
 @functools.partial(jax.jit, static_argnames=("bq", "bk", "window", "interpret"))
-def flash_attention_backward(q, k, v, g, out=None, lse=None,
+def flash_attention_backward(q, k, v, g, out=None, lse=None, stats128=None,
                              bq=BQ_BWD_DEFAULT, bk=BK_BWD_DEFAULT, window=None,
                              interpret=False):
     """Fused dq/dk/dv in one kernel pass.  `lse` is the natural-log per-row
-    logsumexp from flash_attention_fwd_stats (recomputed here if absent).
+    logsumexp from flash_attention_fwd_stats; `stats128` is the raw
+    (B*H, Sq_padded, 128) exp2-domain residual from
+    flash_attention_fwd_stats(raw_stats=True), which skips the HBM
+    re-broadcast entirely.  Both absent -> the forward is recomputed here.
+    delta (rowsum(g*out)) is computed INSIDE the kernel on each q block's
+    first visit and cached in VMEM — no separate XLA pass, no (Sq, 128)
+    materialization.
 
     GQA (k/v with fewer heads): the kernel emits PER-Q-HEAD dk/dv partials
     (the kv index maps read the shared head); the wrapper group-sums them
@@ -495,9 +558,10 @@ def flash_attention_backward(q, k, v, g, out=None, lse=None,
     hkv, skv = k.shape[1], k.shape[2]
     assert h % hkv == 0, (h, hkv)
     scale = 1.0 / math.sqrt(d)
-    if out is None or lse is None:
-        out, lse = flash_attention_fwd_stats(q, k, v, window=window, interpret=interpret)
-    delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)  # (b,h,sq)
+    if out is None or (lse is None and stats128 is None):
+        out, stats128 = flash_attention_fwd_stats(
+            q, k, v, window=window, raw_stats=True, interpret=interpret
+        )
 
     bq = pick_block(sq, bq)
     bk = pick_block(skv, bk)
@@ -509,41 +573,49 @@ def flash_attention_backward(q, k, v, g, out=None, lse=None,
     kf = pad_to(k.reshape(b * hkv, skv, d), (b * hkv, skvp, dp))
     vf = pad_to(v.reshape(b * hkv, skv, d), (b * hkv, skvp, dp))
     gf = pad_to(g.reshape(b * h, sq, d), (b * h, sqp, dp))
-    # lane-replicated row statistics, lse converted to the exp2 domain
-    lsef = pad_to(
-        jnp.broadcast_to(
-            (lse * LOG2E).astype(jnp.float32).reshape(b * h, sq, 1), (b * h, sq, 128)
-        ),
-        (b * h, sqp, 128),
-    )
-    deltaf = pad_to(
-        jnp.broadcast_to(delta.reshape(b * h, sq, 1), (b * h, sq, 128)), (b * h, sqp, 128)
-    )
+    of = pad_to(out.reshape(b * h, sq, d), (b * h, sqp, dp))
+    if stats128 is not None:
+        lsef = stats128
+        if lsef.shape[1] != sqp:  # forward ran with a different bq
+            lsef = pad_to(lsef[:, :sq], (b * h, sqp, 128))
+    else:
+        # compat path: lane-replicate the natural-log lse into exp2 domain
+        lsef = pad_to(
+            jnp.broadcast_to(
+                (lse * LOG2E).astype(jnp.float32).reshape(b * h, sq, 1),
+                (b * h, sq, 128),
+            ),
+            (b * h, sqp, 128),
+        )
 
     iq_t, ik_t, fl_t = _bwd_tables(nqb, nkb, bq, bk, window)
+    ov_t, fl_t = _first_visit_tables(iq_t, ik_t, fl_t)
     i32 = _np.int32
     kvh = _kv_head_map(h, hkv)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(b * h, len(iq_t)),
         in_specs=[
-            pl.BlockSpec((1, bq, dp), lambda bh, t, iqt, ikt, flt: (bh, iqt[t], i32(0))),
-            pl.BlockSpec((1, bk, dp), lambda bh, t, iqt, ikt, flt: (kvh(bh), ikt[t], i32(0))),
-            pl.BlockSpec((1, bk, dp), lambda bh, t, iqt, ikt, flt: (kvh(bh), ikt[t], i32(0))),
-            pl.BlockSpec((1, bq, dp), lambda bh, t, iqt, ikt, flt: (bh, iqt[t], i32(0))),
-            pl.BlockSpec((1, bq, 128), lambda bh, t, iqt, ikt, flt: (bh, iqt[t], i32(0))),
-            pl.BlockSpec((1, bq, 128), lambda bh, t, iqt, ikt, flt: (bh, iqt[t], i32(0))),
+            pl.BlockSpec((1, bq, dp), lambda bh, t, iqt, ikt, flt, ovt: (bh, iqt[t], i32(0))),
+            pl.BlockSpec((1, bk, dp), lambda bh, t, iqt, ikt, flt, ovt: (kvh(bh), ikt[t], i32(0))),
+            pl.BlockSpec((1, bk, dp), lambda bh, t, iqt, ikt, flt, ovt: (kvh(bh), ikt[t], i32(0))),
+            pl.BlockSpec((1, bq, dp), lambda bh, t, iqt, ikt, flt, ovt: (bh, iqt[t], i32(0))),
+            # o and lse ride the FROZEN table: DMA only on first-visit steps
+            pl.BlockSpec((1, bq, dp), lambda bh, t, iqt, ikt, flt, ovt: (bh, ovt[t], i32(0))),
+            pl.BlockSpec((1, bq, 128), lambda bh, t, iqt, ikt, flt, ovt: (bh, ovt[t], i32(0))),
         ],
         out_specs=[
-            pl.BlockSpec((1, sqp, dp), lambda bh, t, iqt, ikt, flt: (bh, i32(0), i32(0))),
-            pl.BlockSpec((1, bk, dp), lambda bh, t, iqt, ikt, flt: (bh, ikt[t], i32(0))),
-            pl.BlockSpec((1, bk, dp), lambda bh, t, iqt, ikt, flt: (bh, ikt[t], i32(0))),
+            pl.BlockSpec((1, sqp, dp), lambda bh, t, iqt, ikt, flt, ovt: (bh, i32(0), i32(0))),
+            pl.BlockSpec((1, bk, dp), lambda bh, t, iqt, ikt, flt, ovt: (bh, ikt[t], i32(0))),
+            pl.BlockSpec((1, bk, dp), lambda bh, t, iqt, ikt, flt, ovt: (bh, ikt[t], i32(0))),
         ],
         scratch_shapes=[
             pltpu.VMEM((sqp, dp), jnp.float32),  # dq acc (whole sequence)
             pltpu.VMEM((bk, dp), jnp.float32),   # dk acc
             pltpu.VMEM((bk, dp), jnp.float32),   # dv acc
+            pltpu.VMEM((sqp, 128), jnp.float32),  # lse cache (whole sequence)
+            pltpu.VMEM((sqp, 128), jnp.float32),  # delta cache (whole sequence)
         ],
     )
     dq, dk, dv = pl.pallas_call(
@@ -569,7 +641,7 @@ def flash_attention_backward(q, k, v, g, out=None, lse=None,
             transcendentals=b * h * sqp * skvp // 2,
         ),
         interpret=interpret,
-    )(iq_t, ik_t, fl_t, qf, kf, vf, gf, lsef, deltaf)
+    )(iq_t, ik_t, fl_t, ov_t, qf, kf, vf, gf, of, lsef)
 
     dq = dq[:, :sq, :d].reshape(b, h, sq, d)
     dk = dk[:, :skv, :d].reshape(b, h, skv, d)

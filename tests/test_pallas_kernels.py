@@ -107,6 +107,58 @@ class TestFlashAttention:
         assert np.allclose(np.asarray(dk), np.asarray(rdk), atol=1e-4, rtol=1e-4)
         assert np.allclose(np.asarray(dv), np.asarray(rdv), atol=1e-4, rtol=1e-4)
 
+    def test_backward_raw_stats_residual(self):
+        """stats128 (the forward's raw exp2-domain lane-replicated
+        residual) must produce the same grads as the compat natural-log
+        lse path and the oracle — the layout fwd+bwd compose through."""
+        rng = np.random.default_rng(7)
+        b, h, sq, skv, d = 1, 2, 100, 160, 64
+        q = jnp.asarray(rng.uniform(-1, 1, (b, h, sq, d)), jnp.float32)
+        k = jnp.asarray(rng.uniform(-1, 1, (b, h, skv, d)), jnp.float32)
+        v = jnp.asarray(rng.uniform(-1, 1, (b, h, skv, d)), jnp.float32)
+        g = jnp.asarray(rng.uniform(-1, 1, (b, h, sq, d)), jnp.float32)
+        out, st = flash_attention_fwd_stats(
+            q, k, v, bq=128, bk=128, raw_stats=True, interpret=True
+        )
+        assert st.shape == (b * h, 128, 128) and st.dtype == jnp.float32
+        dq, dk, dv = flash_attention_backward(
+            q, k, v, g, out=out, stats128=st, bq=128, bk=128, interpret=True
+        )
+        # compat path (natural-log lse) for the same inputs
+        out2, lse = flash_attention_fwd_stats(q, k, v, bq=128, bk=128, interpret=True)
+        cq, ck, cv = flash_attention_backward(
+            q, k, v, g, out=out2, lse=lse, bq=128, bk=128, interpret=True
+        )
+        _, vjp = jax.vjp(sdpa_oracle, q, k, v)
+        rdq, rdk, rdv = vjp(g)
+        for got, compat, ref in ((dq, cq, rdq), (dk, ck, rdk), (dv, cv, rdv)):
+            assert np.allclose(np.asarray(got), np.asarray(compat), atol=1e-5)
+            assert np.allclose(np.asarray(got), np.asarray(ref), atol=1e-4, rtol=1e-4)
+
+    def test_backward_raw_stats_mismatched_fwd_block(self):
+        # stats padded to a different sqp than the bwd's tiles (a forward
+        # that ran with a larger bq): the wrapper re-pads instead of
+        # mis-indexing.  (Blocks below 128 are invalid — lane tiling — so
+        # the mismatch is constructed by over-padding.)
+        rng = np.random.default_rng(8)
+        b, h, sq, skv, d = 1, 1, 100, 128, 32
+        q = jnp.asarray(rng.uniform(-1, 1, (b, h, sq, d)), jnp.float32)
+        k = jnp.asarray(rng.uniform(-1, 1, (b, h, skv, d)), jnp.float32)
+        v = jnp.asarray(rng.uniform(-1, 1, (b, h, skv, d)), jnp.float32)
+        g = jnp.asarray(rng.uniform(-1, 1, (b, h, sq, d)), jnp.float32)
+        out, st = flash_attention_fwd_stats(
+            q, k, v, bq=128, bk=128, raw_stats=True, interpret=True
+        )
+        st = jnp.pad(st, ((0, 0), (0, 128), (0, 0)))  # sqp 256 != bwd's 128
+        dq, dk, dv = flash_attention_backward(
+            q, k, v, g, out=out, stats128=st, bq=128, bk=128, interpret=True
+        )
+        _, vjp = jax.vjp(sdpa_oracle, q, k, v)
+        rdq, rdk, rdv = vjp(g)
+        assert np.allclose(np.asarray(dq), np.asarray(rdq), atol=1e-4, rtol=1e-4)
+        assert np.allclose(np.asarray(dk), np.asarray(rdk), atol=1e-4, rtol=1e-4)
+        assert np.allclose(np.asarray(dv), np.asarray(rdv), atol=1e-4, rtol=1e-4)
+
 
 class TestWelford:
     @pytest.mark.parametrize("r,c", [(64, 128), (1000, 257), (515, 128)])
