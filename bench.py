@@ -144,10 +144,11 @@ def bench_attention(b=4, h=16, s=2048, d=128, dtype=jnp.bfloat16):
     dt_fwd = slope_time(chain_fwd, k1=8, k2=72, label='attn-fwd')
     dt_fb = slope_time(chain_fwd_bwd, k1=2, k2=14, label='attn-fwd-bwd')
     # seed the autotune cache with the measured production tile choices
-    # (bwd 1024x1024 beat 512x512 by ~6% in the r3 rectangle sweep)
+    # (post in-kernel-stats rework, tools_attnsweep2.py: 512x512 and
+    # 1024x512 tie at 2.611 ms fwd+bwd; 1024x1024 trails 2%)
     from kfunca_tpu.runtime.autotune import record, shape_bucket
     record("attn_fwd", shape_bucket(s, s, d), jnp.dtype(dtype), {"bq": 512, "bk": 512})
-    record("attn_bwd", shape_bucket(s, s, d), jnp.dtype(dtype), {"bq": 1024, "bk": 1024})
+    record("attn_bwd", shape_bucket(s, s, d), jnp.dtype(dtype), {"bq": 512, "bk": 512})
     fwd_flops = 0.5 * 4 * b * h * s * s * d  # causal halves the work
     return fwd_flops / dt_fwd / 1e12, (fwd_flops * 3.5) / dt_fb / 1e12, dt_fwd, dt_fb
 
@@ -446,7 +447,7 @@ def bench_serving(L=8, dm=1024, h=16, page=None, ctx=960, capacity=1024):
 
 
 def bench_train_mfu(dm=1024, L=12, h=16, ff=4096, B=8, S=2048, vocab=32000,
-                    peak=197.0, remat=False):
+                    peak=197.0, remat=False, loss_chunk=4096):
     """End-to-end training-step MFU on one chip: full fwd+bwd+AdamW for a
     ~230M-param LM (SwiGLU blocks, bf16 activations / fp32 master
     params).  K steps chain inside ONE jit (params/opt-state feed forward,
@@ -456,7 +457,11 @@ def bench_train_mfu(dm=1024, L=12, h=16, ff=4096, B=8, S=2048, vocab=32000,
     plus 12*S*d_model attention FLOPs/token (no causal discount), over the
     chip's bf16 peak.  remat defaults OFF: this model's activations fit
     v5e HBM, and the same-process A/B measured remat at 331 ms/step vs
-    282 without (the ~33% forward recompute -> 35.9% vs 42.2% MFU)."""
+    282 without (the ~33% forward recompute -> 35.9% vs 42.2% MFU).
+    loss_chunk=4096 (the chunked-vocab streamed LM head) measured ~4%
+    faster than the materializing loss at this shape (272.0 vs 282.1
+    ms/step, tools_losschunk.py interleaved A/B) and is the production
+    default here; 8k/16k chunks were neutral."""
     from jax import lax
 
     from kfunca_tpu.models.train import OptConfig, init_opt_state, make_train_step
@@ -466,7 +471,8 @@ def bench_train_mfu(dm=1024, L=12, h=16, ff=4096, B=8, S=2048, vocab=32000,
                             n_layers=L, d_ff=ff, max_seq_len=S, remat=remat)
     params = init_params(jax.random.PRNGKey(0), cfg)
     opt_state = init_opt_state(params)
-    step = make_train_step(cfg, OptConfig(lr=1e-4, weight_decay=0.1))
+    step = make_train_step(cfg, OptConfig(lr=1e-4, weight_decay=0.1),
+                           loss_chunk=loss_chunk)
     key = jax.random.PRNGKey(1)
     tokens = jax.random.randint(key, (B, S), 0, vocab, jnp.int32)
     targets = jnp.roll(tokens, -1, axis=1)

@@ -46,7 +46,10 @@ def main():
     )
     params = init_params(jax.random.PRNGKey(0), cfg)
     opt = init_opt_state(params)
-    step = jax.jit(make_train_step(cfg))
+    # chunked-vocab loss: streams the LM head in 256-wide chunks — at this
+    # toy vocab it's a wash, at 32k+ it's ~4% faster and bounds peak memory
+    # at O(B*S*chunk) (docs/TRAINING.md)
+    step = jax.jit(make_train_step(cfg, loss_chunk=256))
 
     # synthetic corpus with learnable structure (arithmetic sequences)
     rng = np.random.default_rng(0)

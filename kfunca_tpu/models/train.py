@@ -331,7 +331,8 @@ def ema_params(opt_state, dtype=None):
 
 
 def make_train_step(cfg: TransformerConfig, oc: OptConfig = OptConfig(),
-                    grad_accum: int = 1, loss_chunk: int | None = None):
+                    grad_accum: int = 1, loss_chunk: int | None = None,
+                    ignore_index: int | None = None):
     """Returns train_step(params, opt_state, tokens, targets) -> (params,
     opt_state, loss); jit it yourself (optionally with shardings).
 
@@ -345,13 +346,19 @@ def make_train_step(cfg: TransformerConfig, oc: OptConfig = OptConfig(),
 
     loss_chunk streams the LM head in vocab chunks of that width instead of
     materializing (B, S, vocab) logits (transformer.loss_fn_chunked) —
-    same loss/grads, peak memory bounded by B*S*loss_chunk."""
+    same loss/grads, peak memory bounded by B*S*loss_chunk.
+
+    ignore_index masks loss positions whose target equals it (padding /
+    prompt tokens in SFT); the mean runs over unmasked tokens only."""
 
     if loss_chunk is None:
-        loss = loss_fn
+        def loss(params, tokens, targets, cfg):
+            return loss_fn(params, tokens, targets, cfg,
+                           ignore_index=ignore_index)
     else:
         def loss(params, tokens, targets, cfg):
-            return loss_fn_chunked(params, tokens, targets, cfg, loss_chunk)
+            return loss_fn_chunked(params, tokens, targets, cfg, loss_chunk,
+                                   ignore_index=ignore_index)
 
     def full_batch_step(params, opt_state, tokens, targets):
         loss_v, grads = jax.value_and_grad(loss)(params, tokens, targets, cfg)
@@ -392,7 +399,8 @@ def make_train_step(cfg: TransformerConfig, oc: OptConfig = OptConfig(),
 
 def make_sharded_train_step(cfg: TransformerConfig, mesh, oc: OptConfig = OptConfig(),
                             fsdp: bool = False, grad_accum: int = 1,
-                            loss_chunk: int | None = None):
+                            loss_chunk: int | None = None,
+                            ignore_index: int | None = None):
     """jit the train step over a (dp, tp) mesh: params/opt-state tp-sharded,
     batch dp-sharded; XLA GSPMD inserts the gradient psum over dp and the
     tp collectives (scaling-book recipe).
@@ -404,7 +412,8 @@ def make_sharded_train_step(cfg: TransformerConfig, mesh, oc: OptConfig = OptCon
     batch inside the step (see make_train_step)."""
     from jax.sharding import NamedSharding
 
-    step = make_train_step(cfg, oc, grad_accum=grad_accum, loss_chunk=loss_chunk)
+    step = make_train_step(cfg, oc, grad_accum=grad_accum,
+                           loss_chunk=loss_chunk, ignore_index=ignore_index)
 
     def in_shardings(params):
         P = jax.sharding.PartitionSpec

@@ -213,15 +213,27 @@ def forward(params, tokens, cfg: TransformerConfig):
     )
 
 
-def loss_fn(params, tokens, targets, cfg: TransformerConfig):
+def _masked_mean(nll, targets, ignore_index):
+    """Token-mean NLL; positions with target == ignore_index contribute
+    nothing (padding / prompt-only tokens in SFT)."""
+    if ignore_index is None:
+        return jnp.mean(nll)
+    mask = (targets != ignore_index).astype(jnp.float32)
+    denom = jnp.maximum(jnp.sum(mask), jnp.float32(1.0))
+    return jnp.sum(nll * mask) / denom
+
+
+def loss_fn(params, tokens, targets, cfg: TransformerConfig,
+            ignore_index: int | None = None):
     logits = forward(params, tokens, cfg)
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
-    return jnp.mean(nll)
+    safe = targets if ignore_index is None else jnp.maximum(targets, 0)
+    nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    return _masked_mean(nll, targets, ignore_index)
 
 
 def loss_fn_chunked(params, tokens, targets, cfg: TransformerConfig,
-                    vocab_chunk: int = 4096):
+                    vocab_chunk: int = 4096, ignore_index: int | None = None):
     """loss_fn without ever materializing the (B, S, vocab) logits: the LM
     head is streamed in vocab chunks with an online logsumexp (models/loss.py).
     Numerically equivalent (same fp32-accumulated matmul, same log-softmax);
@@ -231,7 +243,9 @@ def loss_fn_chunked(params, tokens, targets, cfg: TransformerConfig,
     x = hidden_states(params, tokens, cfg)
     b, s, d = x.shape
     head = params["lm_head"] if "lm_head" in params else params["embed"].T
+    # ignored targets (< 0) never hit any chunk, so their gathered logit is
+    # 0 and their nll is just the (finite) lse — masked out below
     nll = chunked_softmax_xent(
         x.reshape(b * s, d), head, targets.reshape(-1), vocab_chunk
     )
-    return jnp.mean(nll)
+    return _masked_mean(nll, targets.reshape(-1), ignore_index)
