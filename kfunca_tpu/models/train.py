@@ -332,7 +332,8 @@ def ema_params(opt_state, dtype=None):
 
 def make_train_step(cfg: TransformerConfig, oc: OptConfig = OptConfig(),
                     grad_accum: int = 1, loss_chunk: int | None = None,
-                    ignore_index: int | None = None):
+                    ignore_index: int | None = None,
+                    with_metrics: bool = False):
     """Returns train_step(params, opt_state, tokens, targets) -> (params,
     opt_state, loss); jit it yourself (optionally with shardings).
 
@@ -349,7 +350,12 @@ def make_train_step(cfg: TransformerConfig, oc: OptConfig = OptConfig(),
     same loss/grads, peak memory bounded by B*S*loss_chunk.
 
     ignore_index masks loss positions whose target equals it (padding /
-    prompt tokens in SFT); the mean runs over unmasked tokens only."""
+    prompt tokens in SFT); the mean runs over unmasked tokens only.
+
+    with_metrics=True returns a metrics dict in place of the scalar loss:
+    {"loss", "grad_norm" (pre-clip), "lr" (this step's scheduled rate),
+    "step"} — the standard training-log quantities, computed inside the
+    one compiled step (no extra device round-trips)."""
 
     if loss_chunk is None:
         def loss(params, tokens, targets, cfg):
@@ -360,10 +366,22 @@ def make_train_step(cfg: TransformerConfig, oc: OptConfig = OptConfig(),
             return loss_fn_chunked(params, tokens, targets, cfg, loss_chunk,
                                    ignore_index=ignore_index)
 
+    def _stats(loss_v, grads, opt_state):
+        if not with_metrics:
+            return loss_v
+        step = opt_state["step"] + 1
+        return {
+            "loss": loss_v,
+            "grad_norm": global_norm(grads),
+            "lr": schedule_lr(oc, step),
+            "step": step,
+        }
+
     def full_batch_step(params, opt_state, tokens, targets):
         loss_v, grads = jax.value_and_grad(loss)(params, tokens, targets, cfg)
+        stats = _stats(loss_v, grads, opt_state)
         params, opt_state = apply_update(params, grads, opt_state, oc)
-        return params, opt_state, loss_v
+        return params, opt_state, stats
 
     if grad_accum <= 1:
         return full_batch_step
@@ -391,8 +409,9 @@ def make_train_step(cfg: TransformerConfig, oc: OptConfig = OptConfig(),
         (g_sum, l_sum), _ = jax.lax.scan(body, (g0, jnp.float32(0.0)), (tok_mb, tgt_mb))
         inv = jnp.float32(1.0 / grad_accum)
         grads = jax.tree_util.tree_map(lambda g: g * inv, g_sum)
+        stats = _stats(l_sum * inv, grads, opt_state)
         params, opt_state = apply_update(params, grads, opt_state, oc)
-        return params, opt_state, l_sum * inv
+        return params, opt_state, stats
 
     return accum_step
 
@@ -400,7 +419,8 @@ def make_train_step(cfg: TransformerConfig, oc: OptConfig = OptConfig(),
 def make_sharded_train_step(cfg: TransformerConfig, mesh, oc: OptConfig = OptConfig(),
                             fsdp: bool = False, grad_accum: int = 1,
                             loss_chunk: int | None = None,
-                            ignore_index: int | None = None):
+                            ignore_index: int | None = None,
+                            with_metrics: bool = False):
     """jit the train step over a (dp, tp) mesh: params/opt-state tp-sharded,
     batch dp-sharded; XLA GSPMD inserts the gradient psum over dp and the
     tp collectives (scaling-book recipe).
@@ -413,7 +433,8 @@ def make_sharded_train_step(cfg: TransformerConfig, mesh, oc: OptConfig = OptCon
     from jax.sharding import NamedSharding
 
     step = make_train_step(cfg, oc, grad_accum=grad_accum,
-                           loss_chunk=loss_chunk, ignore_index=ignore_index)
+                           loss_chunk=loss_chunk, ignore_index=ignore_index,
+                           with_metrics=with_metrics)
 
     def in_shardings(params):
         P = jax.sharding.PartitionSpec

@@ -334,3 +334,52 @@ class TestEMA:
         targets = jnp.ones((2, 16), jnp.int32)
         params, opt, _ = step(params, opt, tokens, targets)
         assert "ema" in opt and opt["ema"]["final_norm"].dtype == jnp.float32
+
+
+class TestTrainMetrics:
+    def test_metrics_dict(self):
+        from kfunca_tpu.models.train import (
+            OptConfig, init_opt_state, make_train_step, schedule_lr,
+        )
+        from kfunca_tpu.models.transformer import TransformerConfig, init_params
+
+        cfg = TransformerConfig(vocab_size=64, d_model=32, n_heads=2,
+                                n_layers=1, d_ff=64, dtype="float32")
+        oc = OptConfig(lr=1e-2, warmup_steps=10, total_steps=100, clip_norm=1.0)
+        params = init_params(jax.random.PRNGKey(0), cfg)
+        opt = init_opt_state(params, oc)
+        tokens = (jnp.arange(2 * 8, dtype=jnp.int32).reshape(2, 8) * 3) % 64
+        targets = jnp.roll(tokens, -1, axis=1)
+
+        plain = jax.jit(make_train_step(cfg, oc))
+        metric = jax.jit(make_train_step(cfg, oc, with_metrics=True))
+        p1, o1, loss = plain(params, opt, tokens, targets)
+        p2, o2, m = metric(params, opt, tokens, targets)
+        assert set(m) == {"loss", "grad_norm", "lr", "step"}
+        np.testing.assert_allclose(float(m["loss"]), float(loss), rtol=1e-6)
+        assert float(m["grad_norm"]) > 0
+        assert int(m["step"]) == 1
+        np.testing.assert_allclose(float(m["lr"]), float(schedule_lr(oc, 1)), rtol=1e-6)
+        # metrics must not perturb the update itself
+        for a, b in zip(jax.tree_util.tree_leaves(p2), jax.tree_util.tree_leaves(p1)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_metrics_with_grad_accum(self):
+        from kfunca_tpu.models.train import OptConfig, init_opt_state, make_train_step
+        from kfunca_tpu.models.transformer import TransformerConfig, init_params
+
+        cfg = TransformerConfig(vocab_size=64, d_model=32, n_heads=2,
+                                n_layers=1, d_ff=64, dtype="float32")
+        oc = OptConfig(lr=1e-2)
+        params = init_params(jax.random.PRNGKey(0), cfg)
+        opt = init_opt_state(params, oc)
+        tokens = (jnp.arange(4 * 8, dtype=jnp.int32).reshape(4, 8) * 5) % 64
+        targets = jnp.roll(tokens, -1, axis=1)
+        _, _, m1 = jax.jit(make_train_step(cfg, oc, with_metrics=True))(
+            params, opt, tokens, targets)
+        _, _, m2 = jax.jit(make_train_step(cfg, oc, grad_accum=2,
+                                           with_metrics=True))(
+            params, opt, tokens, targets)
+        np.testing.assert_allclose(float(m2["loss"]), float(m1["loss"]), rtol=1e-5)
+        np.testing.assert_allclose(float(m2["grad_norm"]), float(m1["grad_norm"]),
+                                   rtol=1e-4)
