@@ -182,3 +182,62 @@ def matmul_q8_auto(a_q8, b_q8, a_scale, b_scale, out_dtype=jnp.bfloat16, **kw):
         tuned.update(kw)
         return matmul_q8(a_q8, b_q8, a_scale, b_scale, out_dtype=out_dtype, **tuned)
     return matmul_q8_xla(a_q8, b_q8, a_scale, b_scale, out_dtype=out_dtype)
+
+
+# -----------------------------------------------------------------------------
+# int4 weights (w4a8): group-wise quantization for 2x weight capacity over int8
+# -----------------------------------------------------------------------------
+
+
+def quantize_cols_int4(w, group: int = 128):
+    """(k, n) float -> (int4 (k, n), fp32 scales (k/group, n)).
+
+    Symmetric GROUP-WISE quantization along k (the GPTQ/AWQ convention):
+    int4's 15-level range needs finer scale granularity than int8's
+    per-column scales — one scale per (group of `group` k-rows, column)
+    bounds the quantization error to the group's local dynamic range.
+    int4 halves resident weight HBM vs int8 (quarters it vs bf16)."""
+    k, n = w.shape
+    if k % group:
+        raise ValueError(f"k={k} not divisible by group={group}")
+    wf = w.astype(jnp.float32).reshape(k // group, group, n)
+    absmax = jnp.max(jnp.abs(wf), axis=1)  # (k/group, n)
+    scale = jnp.where(absmax == 0, 1.0, absmax / 7.0)
+    q = jnp.clip(jnp.round(wf / scale[:, None, :]), -7, 7)
+    return q.reshape(k, n).astype(jnp.int4), scale
+
+
+def matmul_w4_xla(a_q8, w_q4, a_scale, w_scale, out_dtype=jnp.bfloat16):
+    """int8 activations (m, k) @ int4 weights (k, n) with group scales.
+
+    The int4 weights upcast to int8 on the MXU's int8 path; accumulation is
+    exact int32 WITHIN each k-group (the per-group partials then dequant and
+    sum in fp32 — numerically STRONGER than one global int32 sum, since each
+    group's scale is applied before the cross-group addition).  Expressed as
+    one batched dot_general over the group axis so XLA keeps it on the MXU."""
+    m, k = a_q8.shape
+    g, n = w_scale.shape
+    group = k // g
+    ag = a_q8.reshape(m, g, group).transpose(1, 0, 2)          # (g, m, group)
+    wg = w_q4.astype(jnp.int8).reshape(g, group, n)            # (g, group, n)
+    # batched over g: (g, m, n) int32 exact per-group accumulators
+    acc = jax.lax.dot_general(
+        ag, wg, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.int32
+    )
+    out = jnp.einsum(
+        "gmn,gn->mn", acc.astype(jnp.float32), w_scale.astype(jnp.float32)
+    )
+    return (out * a_scale.astype(jnp.float32)[:, None]).astype(out_dtype)
+
+
+def gemm_w4(a, w_q4, w_scale, out_dtype=None):
+    """Weight-only int4 GEMM: float activations (m,k) @ int4 weights (k,n).
+
+    w4a8: activations dynamically quantize per row to int8, weights upcast
+    int4->int8 inside the batched MXU dot (no bf16 dequant matrix is ever
+    materialized).  The decode regime this serves is weight-HBM-bound, so
+    the int4 stream (half of int8, quarter of bf16) is the win; group-wise
+    scales keep accuracy (quantize_cols_int4)."""
+    out_dtype = out_dtype or a.dtype
+    a_q8, a_scale = quantize_rows(a)
+    return matmul_w4_xla(a_q8, w_q4, a_scale, w_scale, out_dtype=out_dtype)

@@ -95,3 +95,73 @@ class TestDispatchedQ8:
         )
         # both engines share the exact-i32-acc contract
         assert np.allclose(auto, pall, atol=1e-4, rtol=1e-5)
+
+
+class TestInt4Weights:
+    def test_quantize_int4_roundtrip_bounds(self):
+        from kfunca_tpu.ops.quant import quantize_cols_int4
+
+        w = jax.random.normal(jax.random.PRNGKey(0), (256, 32), jnp.float32) * 2.0
+        q, s = quantize_cols_int4(w, group=64)
+        assert q.dtype == jnp.int4 and s.shape == (4, 32)
+        back = q.astype(jnp.float32).reshape(4, 64, 32) * s[:, None, :]
+        # group absmax scaling bounds the error at scale/2 per element
+        assert float(jnp.max(jnp.abs(back.reshape(256, 32) - w))) <= float(jnp.max(s)) * 0.5 + 1e-6
+
+    def test_matmul_w4_matches_int64_oracle(self):
+        """Per-group int32 accumulation must be EXACT: compare against an
+        int64 numpy oracle applying the same group scales."""
+        from kfunca_tpu.ops.quant import matmul_w4_xla
+
+        rng = np.random.default_rng(1)
+        m, k, n, group = 8, 256, 16, 64
+        a8 = rng.integers(-127, 127, (m, k), dtype=np.int8)
+        q4 = rng.integers(-7, 8, (k, n), dtype=np.int8)
+        sa = rng.uniform(0.01, 0.1, (m,)).astype(np.float32)
+        sw = rng.uniform(0.01, 0.1, (k // group, n)).astype(np.float32)
+        got = matmul_w4_xla(
+            jnp.asarray(a8), jnp.asarray(q4).astype(jnp.int4),
+            jnp.asarray(sa), jnp.asarray(sw), out_dtype=jnp.float32,
+        )
+        acc = np.einsum(
+            "gmk,gkn->gmn",
+            a8.reshape(m, k // group, group).transpose(1, 0, 2).astype(np.int64),
+            q4.reshape(k // group, group, n).astype(np.int64),
+        )
+        want = np.einsum("gmn,gn->mn", acc.astype(np.float64), sw) * sa[:, None]
+        np.testing.assert_allclose(np.asarray(got), want.astype(np.float32), rtol=1e-6)
+
+    def test_gemm_w4_close_to_float(self):
+        from kfunca_tpu.ops.quant import gemm_w4, quantize_cols_int4
+
+        rng = np.random.default_rng(2)
+        a = jnp.asarray(rng.normal(size=(16, 256)), jnp.float32)
+        w = jnp.asarray(rng.normal(size=(256, 64)), jnp.float32)
+        q4, sw = quantize_cols_int4(w, group=64)
+        got = gemm_w4(a, q4, sw, out_dtype=jnp.float32)
+        want = a @ w
+        # int4 absmax quantization of GAUSSIAN weights carries ~10% RMS
+        # noise by construction (group absmax ~2.5 sigma -> scale ~0.36
+        # sigma -> uniform quant noise scale/sqrt(12) ~ 0.10 sigma); real
+        # checkpoints do better (structured weights, finer groups).  The
+        # exactness of the arithmetic itself is pinned by the int64 oracle
+        # test above; this bounds the end-to-end statistical error.
+        rel = float(jnp.linalg.norm(got - want) / jnp.linalg.norm(want))
+        assert rel < 0.13, rel
+
+    def test_gemm_w4_better_than_ungrouped_scaling(self):
+        """Group scales must beat one-global-scale int4 on a matrix with
+        per-region dynamic range (the reason groups exist)."""
+        from kfunca_tpu.ops.quant import gemm_w4, quantize_cols_int4
+
+        rng = np.random.default_rng(3)
+        w = rng.normal(size=(256, 32)).astype(np.float32)
+        w[:64] *= 20.0  # one loud region
+        a = jnp.asarray(rng.normal(size=(8, 256)), jnp.float32)
+        wj = jnp.asarray(w)
+        q_fine, s_fine = quantize_cols_int4(wj, group=64)
+        q_coarse, s_coarse = quantize_cols_int4(wj, group=256)
+        want = np.asarray(a @ wj)
+        err_fine = np.linalg.norm(np.asarray(gemm_w4(a, q_fine, s_fine, out_dtype=jnp.float32)) - want)
+        err_coarse = np.linalg.norm(np.asarray(gemm_w4(a, q_coarse, s_coarse, out_dtype=jnp.float32)) - want)
+        assert err_fine < err_coarse
