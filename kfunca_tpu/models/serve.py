@@ -304,40 +304,61 @@ def sample_tokens_per_slot(logits, key, temperature, top_p, top_k, min_p):
 
 
 def _mm(y, w):
-    """Decode-path matmul: fp weight, or (int8, col-scale) pair from
-    quantize_decode_params — the w8a8 path halves weight HBM traffic and
-    runs the int8 MXU rate (gemm_w8: dynamic per-row activation quant,
-    dequant fused in the epilogue).  The isinstance check is trace-time
-    static (the params pytree structure is fixed per compile)."""
+    """Decode-path matmul: fp weight, or a quantized pair from
+    quantize_decode_params — (int8, (n,) col-scales) runs w8a8 (gemm_w8:
+    half the weight HBM traffic, 2x int8 MXU rate), (int4, (g, n) group
+    scales) runs w4a8 (gemm_w4: quarter the traffic, batched-group int8
+    MXU dots).  The isinstance/dtype checks are trace-time static (the
+    params pytree structure is fixed per compile)."""
     if isinstance(w, tuple):
-        from ..ops.quant import gemm_w8
+        from ..ops.quant import gemm_w4, gemm_w8
 
         y2 = y.reshape(-1, y.shape[-1]).astype(jnp.float32)
-        out = gemm_w8(y2, w[0], w[1], out_dtype=jnp.float32)
+        gemm = gemm_w4 if w[0].dtype == jnp.int4 else gemm_w8
+        out = gemm(y2, w[0], w[1], out_dtype=jnp.float32)
         return out.reshape(y.shape[:-1] + (w[0].shape[1],))
     return jnp.dot(y, w.astype(y.dtype), preferred_element_type=jnp.float32)
 
 
-def quantize_decode_params(params):
-    """Per-output-column symmetric int8 quantization of every decode-path
-    matrix: block weights become (int8, scale) pairs and the tied LM head
-    is materialized quantized as "lm_head" (embed.T) — the paged decode
-    step dispatches on the pair structure (_mm).  The embedding gather and
-    norm gains stay fp32.  Returns a NEW params pytree for the decode
-    step; keep the fp params for prefill (accuracy + LoRA merging)."""
-    from ..ops.quant import quantize_cols
+def _w4_group(k: int) -> int:
+    """Largest power-of-two group <= 128 dividing k (group-wise int4
+    scales must tile the contraction dim exactly)."""
+    for g in (128, 64, 32, 16, 8, 4, 2):
+        if k % g == 0:
+            return g
+    return k
 
+
+def quantize_decode_params(params, bits: int = 8):
+    """Symmetric quantization of every decode-path matrix: block weights
+    become (intN, scale) pairs and the tied LM head is materialized
+    quantized as "lm_head" (embed.T) — the paged decode step dispatches on
+    the pair structure (_mm).  The embedding gather and norm gains stay
+    fp32.  Returns a NEW params pytree for the decode step; keep the fp
+    params for prefill (accuracy + LoRA merging).
+
+    bits=8: per-output-column int8 (w8a8).  bits=4: group-wise int4
+    (quantize_cols_int4; scales per (k-group, column)) — half the resident
+    weight memory of int8 again, for accuracy-tolerant deployments."""
+    from ..ops.quant import quantize_cols, quantize_cols_int4
+
+    if bits == 8:
+        quant = quantize_cols
+    elif bits == 4:
+        quant = lambda w: quantize_cols_int4(w, group=_w4_group(w.shape[0]))
+    else:
+        raise ValueError(f"unsupported weight bits {bits} (8 or 4)")
     out = dict(params)
     out["blocks"] = [
         {
-            k: (quantize_cols(v) if k in
+            k: (quant(v) if k in
                 ("wqkv", "wo", "w_gate", "w_up", "w_down") else v)
             for k, v in blk.items()
         }
         for blk in params["blocks"]
     ]
     head = params.get("lm_head")
-    out["lm_head"] = quantize_cols(
+    out["lm_head"] = quant(
         jnp.transpose(params["embed"]) if head is None else head
     )
     return out
@@ -561,10 +582,18 @@ def decode_param_specs(params):
     from jax.sharding import PartitionSpec as P
 
     def col(v):
-        return (P(None, "tp"), P("tp")) if isinstance(v, tuple) else P(None, "tp")
+        if isinstance(v, tuple):
+            # int8 scales are (n,); int4 group scales are (k/g, n)
+            sspec = P("tp") if v[1].ndim == 1 else P(None, "tp")
+            return (P(None, "tp"), sspec)
+        return P(None, "tp")
 
     def row(v):
-        return (P("tp", None), P()) if isinstance(v, tuple) else P("tp", None)
+        if isinstance(v, tuple):
+            # int4 group scales shard their k-group axis with the matrix
+            sspec = P() if v[1].ndim == 1 else P("tp", None)
+            return (P("tp", None), sspec)
+        return P("tp", None)
 
     def blk_spec(blk):
         s = {
@@ -665,13 +694,20 @@ class InferenceServer:
         self.params = params
         self.cfg = cfg
         self.B = batch_slots
-        # weight-quantized decode (w8a8): block matrices + the tied LM head
-        # become (int8, scale) pairs — halves decode weight HBM traffic and
-        # runs the 2x int8 MXU rate.  Prefill keeps the fp params (compute-
-        # bound, and LoRA merges need them), so both copies are resident.
-        self._decode_params = (
-            quantize_decode_params(params) if quantize_weights else params
-        )
+        # weight-quantized decode: block matrices + the tied LM head become
+        # (intN, scale) pairs.  quantize_weights=True/"int8" is w8a8 (half
+        # the weight HBM traffic, 2x int8 MXU rate); "int4" is group-wise
+        # w4a8 (quarter the traffic/footprint).  Prefill keeps the fp
+        # params (compute-bound, and LoRA merges need them), so both
+        # copies are resident.
+        if quantize_weights:
+            bits = {True: 8, "int8": 8, "int4": 4}.get(quantize_weights)
+            if bits is None:
+                raise ValueError(f"quantize_weights: expected bool, 'int8' "
+                                 f"or 'int4', got {quantize_weights!r}")
+            self._decode_params = quantize_decode_params(params, bits=bits)
+        else:
+            self._decode_params = params
         # tensor-parallel serving: a jax Mesh with a "tp" axis shards the
         # decode weights Megatron-style (decode_param_specs) and the KV
         # pools over kv heads; GSPMD inserts the ICI collectives inside the
