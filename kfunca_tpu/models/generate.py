@@ -99,12 +99,9 @@ def _block_with_cache(x, p, layer_cache, start_pos, cfg: TransformerConfig):
     ).astype(x.dtype)
 
     y = rms_norm(x, p["mlp_norm"], cfg.norm_eps)
-    gate = jnp.dot(y, p["w_gate"].astype(y.dtype), preferred_element_type=jnp.float32)
-    up = jnp.dot(y, p["w_up"].astype(y.dtype), preferred_element_type=jnp.float32)
-    act = (jax.nn.silu(gate) * up).astype(y.dtype)
-    x = x + jnp.dot(
-        act, p["w_down"].astype(act.dtype), preferred_element_type=jnp.float32
-    ).astype(x.dtype)
+    from .transformer import mlp
+
+    x = x + mlp(y, p, cfg).astype(x.dtype)
     return x, {"k": kc, "v": vc}
 
 

@@ -6,8 +6,10 @@ users bring real pretrained weights instead of random inits.
 
 Supported architectures: anything with the Llama block structure —
 RMSNorm -> RoPE attention (optional GQA, optional QKV bias) -> RMSNorm ->
-SwiGLU MLP — which covers Llama 1/2/3, Mistral (incl. sliding window),
-Qwen2/2.5 (QKV biases), TinyLlama, OpenLlama, Vicuna-class finetunes, etc.  The conversion is exact (fp32): our RoPE is
+SwiGLU MLP (dense, or a Mixtral-style top-k routed mixture) — which covers
+Llama 1/2/3, Mistral (incl. sliding window), Mixtral (num_local_experts
+-> TransformerConfig.n_experts), Qwen2/2.5 (QKV biases), TinyLlama,
+OpenLlama, Vicuna-class finetunes, etc.  The conversion is exact (fp32): our RoPE is
 the same half-split ("rotate_half") convention HF Llama uses, so no head
 permutation is needed; parity vs `transformers` is pinned to ~1e-4 logits
 in tests/test_hf.py.
@@ -64,7 +66,10 @@ def config_from_hf(hf_config, dtype: str = "bfloat16") -> TransformerConfig:
     window = get("sliding_window")
     if window is not None and get("use_sliding_window") is False:
         window = None  # Qwen2-style gate: configured but disabled
+    n_experts = get("num_local_experts") or 0  # Mixtral-family MoE
     return TransformerConfig(
+        n_experts=n_experts,
+        moe_top_k=get("num_experts_per_tok") or 2,
         vocab_size=get("vocab_size"),
         d_model=d_model,
         n_heads=n_heads,
@@ -109,10 +114,21 @@ def params_from_hf(state_dict, cfg: TransformerConfig, tied: bool | None = None)
                  W(p + "self_attn.v_proj.weight")], axis=1),
             "wo": W(p + "self_attn.o_proj.weight"),
             "mlp_norm": jnp.asarray(_np(sd[p + "post_attention_layernorm.weight"])),
-            "w_gate": W(p + "mlp.gate_proj.weight"),
-            "w_up": W(p + "mlp.up_proj.weight"),
-            "w_down": W(p + "mlp.down_proj.weight"),
         }
+        if cfg.n_experts:  # Mixtral: block_sparse_moe.{gate, experts.N.w1/w3/w2}
+            blk["router"] = W(p + "block_sparse_moe.gate.weight")
+            blk["experts"] = [
+                {
+                    "w_gate": W(p + f"block_sparse_moe.experts.{e}.w1.weight"),
+                    "w_up": W(p + f"block_sparse_moe.experts.{e}.w3.weight"),
+                    "w_down": W(p + f"block_sparse_moe.experts.{e}.w2.weight"),
+                }
+                for e in range(cfg.n_experts)
+            ]
+        else:
+            blk["w_gate"] = W(p + "mlp.gate_proj.weight")
+            blk["w_up"] = W(p + "mlp.up_proj.weight")
+            blk["w_down"] = W(p + "mlp.down_proj.weight")
         if p + "self_attn.q_proj.bias" in sd:  # Qwen2-family QKV bias
             blk["bqkv"] = jnp.concatenate(
                 [jnp.asarray(_np(sd[p + f"self_attn.{n}_proj.bias"]))
@@ -161,9 +177,17 @@ def to_hf(params, cfg: TransformerConfig) -> dict:
             sd[p + "self_attn.v_proj.bias"] = A(bv)
         sd[p + "self_attn.o_proj.weight"] = T(blk["wo"])
         sd[p + "post_attention_layernorm.weight"] = A(blk["mlp_norm"])
-        sd[p + "mlp.gate_proj.weight"] = T(blk["w_gate"])
-        sd[p + "mlp.up_proj.weight"] = T(blk["w_up"])
-        sd[p + "mlp.down_proj.weight"] = T(blk["w_down"])
+        if "experts" in blk:  # Mixtral layout
+            sd[p + "block_sparse_moe.gate.weight"] = T(blk["router"])
+            for e, ex in enumerate(blk["experts"]):
+                ep = p + f"block_sparse_moe.experts.{e}."
+                sd[ep + "w1.weight"] = T(ex["w_gate"])
+                sd[ep + "w3.weight"] = T(ex["w_up"])
+                sd[ep + "w2.weight"] = T(ex["w_down"])
+        else:
+            sd[p + "mlp.gate_proj.weight"] = T(blk["w_gate"])
+            sd[p + "mlp.up_proj.weight"] = T(blk["w_up"])
+            sd[p + "mlp.down_proj.weight"] = T(blk["w_down"])
     if "lm_head" in params:
         sd["lm_head.weight"] = T(params["lm_head"])
     return sd

@@ -348,15 +348,21 @@ def quantize_decode_params(params, bits: int = 8):
         quant = lambda w: quantize_cols_int4(w, group=_w4_group(w.shape[0]))
     else:
         raise ValueError(f"unsupported weight bits {bits} (8 or 4)")
+    def qblk(blk):
+        out = {}
+        for k, v in blk.items():
+            if k in ("wqkv", "wo", "w_gate", "w_up", "w_down"):
+                out[k] = quant(v)
+            elif k == "experts":  # MoE: every expert's SwiGLU quantizes;
+                out[k] = [  # the (tiny, routing-critical) router stays fp
+                    {n: quant(w) for n, w in ex.items()} for ex in v
+                ]
+            else:
+                out[k] = v
+        return out
+
     out = dict(params)
-    out["blocks"] = [
-        {
-            k: (quant(v) if k in
-                ("wqkv", "wo", "w_gate", "w_up", "w_down") else v)
-            for k, v in blk.items()
-        }
-        for blk in params["blocks"]
-    ]
+    out["blocks"] = [qblk(blk) for blk in params["blocks"]]
     head = params.get("lm_head")
     out["lm_head"] = quant(
         jnp.transpose(params["embed"]) if head is None else head
@@ -472,10 +478,10 @@ def _paged_block(x, p, pool_k, pool_v, page_tables, positions, cfg, page_size, e
     x = x + _mm(attn, p["wo"]).astype(x.dtype)
 
     y = rms_norm(x, p["mlp_norm"], cfg.norm_eps)
-    gate = _mm(y, p["w_gate"])
-    up = _mm(y, p["w_up"])
-    act = (jax.nn.silu(gate) * up).astype(y.dtype)
-    x = x + _mm(act, p["w_down"]).astype(x.dtype)
+    from .transformer import mlp as _mlp
+
+    x = x + _mlp(y, p, cfg, mm=_mm).astype(x.dtype)  # dense or MoE; _mm
+    #                                 dispatches quantized (intN, scale) pairs
     return x, pool_k, pool_v
 
 
@@ -598,10 +604,19 @@ def decode_param_specs(params):
     def blk_spec(blk):
         s = {
             "attn_norm": P(), "mlp_norm": P(),
-            "wqkv": col(blk["wqkv"]), "w_gate": col(blk["w_gate"]),
-            "w_up": col(blk["w_up"]),
-            "wo": row(blk["wo"]), "w_down": row(blk["w_down"]),
+            "wqkv": col(blk["wqkv"]), "wo": row(blk["wo"]),
         }
+        if "experts" in blk:  # MoE: each expert shards like a dense MLP;
+            s["router"] = P()  # the router is tiny and replicated
+            s["experts"] = [
+                {"w_gate": col(ex["w_gate"]), "w_up": col(ex["w_up"]),
+                 "w_down": row(ex["w_down"])}
+                for ex in blk["experts"]
+            ]
+        else:
+            s["w_gate"] = col(blk["w_gate"])
+            s["w_up"] = col(blk["w_up"])
+            s["w_down"] = row(blk["w_down"])
         if "bqkv" in blk:
             s["bqkv"] = P("tp")  # column-parallel bias
         return s

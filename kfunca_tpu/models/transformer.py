@@ -53,6 +53,12 @@ class TransformerConfig:
     n_kv_heads: int | None = None
     # sliding-window attention (Mistral-style); None = full causal
     attention_window: int | None = None
+    # Mixtral-style MoE: n_experts > 0 replaces the dense SwiGLU MLP with
+    # a top-k routed mixture of n_experts SwiGLU experts (router softmax
+    # over all experts, top-k weights renormalized — the HF Mixtral
+    # convention).  0 = dense (default).
+    n_experts: int = 0
+    moe_top_k: int = 2
 
     @property
     def kv_heads(self) -> int:
@@ -102,17 +108,30 @@ def init_params(key, cfg: TransformerConfig):
     }
     for i in range(cfg.n_layers):
         k = keys[2 + i * 6 : 2 + (i + 1) * 6]
-        params["blocks"].append(
-            {
-                "attn_norm": jnp.ones((cfg.d_model,), jnp.float32),
-                "wqkv": _init_linear(k[0], cfg.d_model, cfg.qkv_out),
-                "wo": _init_linear(k[1], cfg.d_model, cfg.d_model),
-                "mlp_norm": jnp.ones((cfg.d_model,), jnp.float32),
-                "w_gate": _init_linear(k[2], cfg.d_model, cfg.d_ff),
-                "w_up": _init_linear(k[3], cfg.d_model, cfg.d_ff),
-                "w_down": _init_linear(k[4], cfg.d_ff, cfg.d_model),
-            }
-        )
+        blk = {
+            "attn_norm": jnp.ones((cfg.d_model,), jnp.float32),
+            "wqkv": _init_linear(k[0], cfg.d_model, cfg.qkv_out),
+            "wo": _init_linear(k[1], cfg.d_model, cfg.d_model),
+            "mlp_norm": jnp.ones((cfg.d_model,), jnp.float32),
+        }
+        if cfg.n_experts:
+            blk["router"] = _init_linear(k[5], cfg.d_model, cfg.n_experts)
+            blk["experts"] = [
+                {
+                    "w_gate": _init_linear(
+                        jax.random.fold_in(k[2], e), cfg.d_model, cfg.d_ff),
+                    "w_up": _init_linear(
+                        jax.random.fold_in(k[3], e), cfg.d_model, cfg.d_ff),
+                    "w_down": _init_linear(
+                        jax.random.fold_in(k[4], e), cfg.d_ff, cfg.d_model),
+                }
+                for e in range(cfg.n_experts)
+            ]
+        else:
+            blk["w_gate"] = _init_linear(k[2], cfg.d_model, cfg.d_ff)
+            blk["w_up"] = _init_linear(k[3], cfg.d_model, cfg.d_ff)
+            blk["w_down"] = _init_linear(k[4], cfg.d_ff, cfg.d_model)
+        params["blocks"].append(blk)
     return params
 
 
@@ -159,6 +178,48 @@ def split_qkv(qkv, cfg: TransformerConfig):
     return q, k, v
 
 
+def _plain_mm(y, w):
+    return jnp.dot(y, w.astype(y.dtype), preferred_element_type=jnp.float32)
+
+
+def mlp(y, p, cfg: TransformerConfig, mm=_plain_mm):
+    """SwiGLU MLP, dense or Mixtral-style routed mixture; returns fp32.
+
+    `mm` abstracts the matmul so callers can substitute quantized weights
+    (serve._mm dispatches (intN, scale) pairs) — one MLP definition serves
+    training, dense generation, and paged decode.
+
+    MoE (cfg.n_experts > 0): router logits in fp32, softmax over ALL
+    experts, top-k weights renormalized to sum 1 (the HF Mixtral
+    convention), every selected expert a full SwiGLU.  Experts run DENSE
+    (each computes all tokens, output scaled by the routing weight — zero
+    for unrouted): exact, static-shaped, and the right TPU trade at decode
+    batch sizes where all expert weights are read anyway; large-scale
+    sparse training should use the capacity-dispatch kernels in
+    models/moe.py (EP all-to-all) instead."""
+    if not cfg.n_experts:
+        gate = mm(y, p["w_gate"])
+        up = mm(y, p["w_up"])
+        act = (jax.nn.silu(gate) * up).astype(y.dtype)
+        return mm(act, p["w_down"])
+    logits = jnp.dot(
+        y.astype(jnp.float32), p["router"].astype(jnp.float32)
+    )  # (..., E) fp32 routing
+    probs = jax.nn.softmax(logits, axis=-1)
+    topv, topi = jax.lax.top_k(probs, cfg.moe_top_k)
+    topv = topv / jnp.sum(topv, axis=-1, keepdims=True)
+    onehot = jax.nn.one_hot(topi, cfg.n_experts, dtype=jnp.float32)
+    w = jnp.einsum("...k,...ke->...e", topv, onehot)
+    out = None
+    for e, pe in enumerate(p["experts"]):
+        g = mm(y, pe["w_gate"])
+        u = mm(y, pe["w_up"])
+        act = (jax.nn.silu(g) * u).astype(y.dtype)
+        oe = mm(act, pe["w_down"]).astype(jnp.float32) * w[..., e : e + 1]
+        out = oe if out is None else out + oe
+    return out
+
+
 def _block(x, p, cfg: TransformerConfig):
     b, s, dm = x.shape
 
@@ -182,14 +243,9 @@ def _block(x, p, cfg: TransformerConfig):
         attn, p["wo"].astype(attn.dtype), preferred_element_type=jnp.float32
     ).astype(x.dtype)
 
-    # SwiGLU MLP
+    # SwiGLU MLP (dense or MoE)
     y = rms_norm(x, p["mlp_norm"], cfg.norm_eps)
-    gate = jnp.dot(y, p["w_gate"].astype(y.dtype), preferred_element_type=jnp.float32)
-    up = jnp.dot(y, p["w_up"].astype(y.dtype), preferred_element_type=jnp.float32)
-    act = (jax.nn.silu(gate) * up).astype(y.dtype)
-    x = x + jnp.dot(
-        act, p["w_down"].astype(act.dtype), preferred_element_type=jnp.float32
-    ).astype(x.dtype)
+    x = x + mlp(y, p, cfg).astype(x.dtype)
     return x
 
 

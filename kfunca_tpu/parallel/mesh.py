@@ -75,22 +75,39 @@ def param_specs(params, fsdp: bool = False) -> dict:
 
     maybe_dp = _with_dp if fsdp else (lambda s: s)
 
-    def block_spec(_):
-        return {
+    def block_spec(blk):
+        s = {
             "attn_norm": P(),
             "wqkv": maybe_dp(P(None, "tp")),
             "wo": maybe_dp(P("tp", None)),
             "mlp_norm": P(),
-            "w_gate": maybe_dp(P(None, "tp")),
-            "w_up": maybe_dp(P(None, "tp")),
-            "w_down": maybe_dp(P("tp", None)),
         }
+        if "experts" in blk:  # MoE: each expert shards like a dense MLP;
+            s["router"] = P()  # the tiny router replicates
+            s["experts"] = [
+                {
+                    "w_gate": maybe_dp(P(None, "tp")),
+                    "w_up": maybe_dp(P(None, "tp")),
+                    "w_down": maybe_dp(P("tp", None)),
+                }
+                for _ in blk["experts"]
+            ]
+        else:
+            s["w_gate"] = maybe_dp(P(None, "tp"))
+            s["w_up"] = maybe_dp(P(None, "tp"))
+            s["w_down"] = maybe_dp(P("tp", None))
+        if "bqkv" in blk:
+            s["bqkv"] = P("tp")
+        return s
 
-    return {
+    out = {
         "embed": maybe_dp(P(None, "tp")),
         "final_norm": P(),
         "blocks": [block_spec(b) for b in params["blocks"]],
     }
+    if "lm_head" in params:
+        out["lm_head"] = maybe_dp(P(None, "tp"))
+    return out
 
 
 def shard_params(params, mesh: Mesh, fsdp: bool = False):
