@@ -182,6 +182,25 @@ def _plain_mm(y, w):
     return jnp.dot(y, w.astype(y.dtype), preferred_element_type=jnp.float32)
 
 
+def _lora_delta(y, p, name):
+    """Low-rank update for the block matmul `name`: scale * (y @ A) @ B in
+    fp32, or None when the block carries no adapter for it (models/lora.py
+    attaches the per-block "lora" subdict; base forward pays nothing)."""
+    ad = p.get("lora", {}).get(name) if isinstance(p, dict) else None
+    if ad is None:
+        return None
+    t = jnp.dot(y.astype(jnp.float32), ad["A"],
+                preferred_element_type=jnp.float32)
+    t = jnp.dot(t, ad["B"], preferred_element_type=jnp.float32)
+    return t * jnp.float32(ad.get("scale", 1.0))
+
+
+def _mm_with_lora(y, w, p, name):
+    out = _plain_mm(y, w)
+    d = _lora_delta(y, p, name)
+    return out if d is None else out + d
+
+
 def mlp(y, p, cfg: TransformerConfig, mm=_plain_mm):
     """SwiGLU MLP, dense or Mixtral-style routed mixture; returns fp32.
 
@@ -198,10 +217,15 @@ def mlp(y, p, cfg: TransformerConfig, mm=_plain_mm):
     sparse training should use the capacity-dispatch kernels in
     models/moe.py (EP all-to-all) instead."""
     if not cfg.n_experts:
-        gate = mm(y, p["w_gate"])
-        up = mm(y, p["w_up"])
+        def mml(x_, name):  # base matmul + optional LoRA delta
+            out = mm(x_, p[name])
+            d = _lora_delta(x_, p, name)
+            return out if d is None else out + d
+
+        gate = mml(y, "w_gate")
+        up = mml(y, "w_up")
         act = (jax.nn.silu(gate) * up).astype(y.dtype)
-        return mm(act, p["w_down"])
+        return mml(act, "w_down")
     logits = jnp.dot(
         y.astype(jnp.float32), p["router"].astype(jnp.float32)
     )  # (..., E) fp32 routing
@@ -225,7 +249,7 @@ def _block(x, p, cfg: TransformerConfig):
 
     # attention
     y = rms_norm(x, p["attn_norm"], cfg.norm_eps)
-    qkv = jnp.dot(y, p["wqkv"].astype(y.dtype), preferred_element_type=jnp.float32)
+    qkv = _mm_with_lora(y, p["wqkv"], p, "wqkv")
     if "bqkv" in p:  # optional QKV bias (Qwen2-family HF imports)
         qkv = qkv + p["bqkv"]
     q, k, v = split_qkv(qkv.astype(y.dtype), cfg)
@@ -239,9 +263,7 @@ def _block(x, p, cfg: TransformerConfig):
 
         attn = make_flash_attention(window=cfg.attention_window)(q, k, v)
     attn = attn.transpose(0, 2, 1, 3).reshape(b, s, dm)
-    x = x + jnp.dot(
-        attn, p["wo"].astype(attn.dtype), preferred_element_type=jnp.float32
-    ).astype(x.dtype)
+    x = x + _mm_with_lora(attn, p["wo"], p, "wo").astype(x.dtype)
 
     # SwiGLU MLP (dense or MoE)
     y = rms_norm(x, p["mlp_norm"], cfg.norm_eps)

@@ -512,9 +512,13 @@ def _fused_bwd_kernel(iq_t, ik_t, fl_t, ov_t, q_ref, k_ref, v_ref, g_ref,
         dq_ref[0] = (dq_acc[:] * _np.float32(scale)).astype(dq_ref.dtype)
 
 
-# backward tile defaults: 512^2 measured best on v5e (b4 h16 s2048 d128
-# bf16, interleaved, DCE-proofed: 3.15 ms fwd+bwd vs 3.47 at 1024^2 and
-# 3.82 for the round-2 two-kernel structure)
+# backward tile defaults (fallback when the autotune cache has no entry —
+# production consults runtime/autotune.py per shape).  Post in-kernel-stats
+# rework sweep (tools_attnbwd2.py, interleaved, DCE-proofed, v5e): s=2048
+# wants (512, 1024) — 2.45-2.50 ms = 96-98 TFLOP/s, vs 92.7 at 512^2 and
+# 89.9 at 1024^2 — and s=8192 wants 1024^2 (130 TFLOP/s vs 121 at 512^2);
+# both shipped in autotune_defaults.json.  512^2 stays the static fallback
+# (never worse than 2nd by >4% at any swept shape).
 BQ_BWD_DEFAULT = 512
 BK_BWD_DEFAULT = 512
 

@@ -314,6 +314,8 @@ _SWEEP_DEFAULTS = {
         {"bq": 512, "bk": 512},
         {"bq": 256, "bk": 512},
         {"bq": 512, "bk": 1024},
+        # wins at long context (s>=8k) post in-kernel-stats rework
+        {"bq": 1024, "bk": 1024},
     ],
     # Pallas reduction substrate (XLA is the measured production default;
     # these tune the KFUNCA_REDUCE_ENGINE=pallas path)

@@ -39,7 +39,10 @@ def sweep(b, h, s, d, rects, dtype=jnp.bfloat16):
                         x, kk, vv, gg, out=out, stats128=st, bq=bq, bk=bk)
                     bump = ((dk[0, 0, 0, 0] + dv[0, 0, 0, 0])
                             > jnp.float32(1e30)).astype(x.dtype)
-                    x = jnp.maximum(dq, jnp.float32(-1e30) + bump)
+                    # keep the chain in the input dtype: a fp32 scalar arm
+                    # would weak-type-promote x and run fp32 attention
+                    x = jnp.maximum(dq.astype(x.dtype),
+                                    (jnp.float32(-1e30) + bump).astype(x.dtype))
                 return x
             return lambda: f(q, k, v, g)
         return chain
