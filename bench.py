@@ -144,11 +144,12 @@ def bench_attention(b=4, h=16, s=2048, d=128, dtype=jnp.bfloat16):
     dt_fwd = slope_time(chain_fwd, k1=8, k2=72, label='attn-fwd')
     dt_fb = slope_time(chain_fwd_bwd, k1=2, k2=14, label='attn-fwd-bwd')
     # seed the autotune cache with the measured production tile choices
-    # (post in-kernel-stats rework, tools_attnsweep2.py: 512x512 and
-    # 1024x512 tie at 2.611 ms fwd+bwd; 1024x1024 trails 2%)
+    # (post in-kernel-stats rework re-sweep, tools_attnbwd2.py x3 runs:
+    # bwd (512, 1024) wins at s=2048 — 96-98 TFLOP/s vs 92.7 at 512^2 and
+    # 89.9 at 1024^2; fwd stays 512^2)
     from kfunca_tpu.runtime.autotune import record, shape_bucket
     record("attn_fwd", shape_bucket(s, s, d), jnp.dtype(dtype), {"bq": 512, "bk": 512})
-    record("attn_bwd", shape_bucket(s, s, d), jnp.dtype(dtype), {"bq": 512, "bk": 512})
+    record("attn_bwd", shape_bucket(s, s, d), jnp.dtype(dtype), {"bq": 512, "bk": 1024})
     fwd_flops = 0.5 * 4 * b * h * s * s * d  # causal halves the work
     return fwd_flops / dt_fwd / 1e12, (fwd_flops * 3.5) / dt_fb / 1e12, dt_fwd, dt_fb
 
