@@ -22,7 +22,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from .transformer import TransformerConfig, lm_head_weight, rms_norm
+from .transformer import TransformerConfig, apply_norm, lm_head_weight
 
 
 def init_kv_cache(cfg: TransformerConfig, batch: int, max_len: int):
@@ -58,17 +58,18 @@ def _block_with_cache(x, p, layer_cache, start_pos, cfg: TransformerConfig):
     h, hd = cfg.n_heads, cfg.head_dim
     max_len = layer_cache["k"].shape[2]
 
-    y = rms_norm(x, p["attn_norm"], cfg.norm_eps)
+    y = apply_norm(x, p, "attn_norm", cfg)
     qkv = jnp.dot(y, p["wqkv"].astype(y.dtype), preferred_element_type=jnp.float32)
-    if "bqkv" in p:  # optional QKV bias (Qwen2-family HF imports)
+    if "bqkv" in p:  # optional QKV bias (Qwen2/GPT-2-family HF imports)
         qkv = qkv + p["bqkv"]
     from .transformer import split_qkv
 
     q, k, v = split_qkv(qkv.astype(y.dtype), cfg)  # q (B,H,..), k/v (B,Hkv,..)
     positions = start_pos + jnp.arange(t)
-    theta, pscale = cfg.rope_params()
-    q = _rope_at(q, positions, theta, pscale)
-    k = _rope_at(k, positions, theta, pscale)
+    if cfg.pos == "rope":
+        theta, pscale = cfg.rope_params()
+        q = _rope_at(q, positions, theta, pscale)
+        k = _rope_at(k, positions, theta, pscale)
 
     zero = jnp.int32(0)  # all indices same dtype (x64 would promote raw 0s)
     idx = (zero, zero, start_pos.astype(jnp.int32), zero)
@@ -94,11 +95,13 @@ def _block_with_cache(x, p, layer_cache, start_pos, cfg: TransformerConfig):
     prob = jax.nn.softmax(s, axis=-1)
     attn = jnp.einsum("bkgtl,bkld->bkgtd", prob, vc.astype(jnp.float32)).astype(x.dtype)
     attn = attn.reshape(b, h, t, hd).transpose(0, 2, 1, 3).reshape(b, t, dm)
-    x = x + jnp.dot(
-        attn, p["wo"].astype(attn.dtype), preferred_element_type=jnp.float32
-    ).astype(x.dtype)
+    o = jnp.dot(attn, p["wo"].astype(attn.dtype),
+                preferred_element_type=jnp.float32)
+    if "bo" in p:  # optional output-projection bias (GPT-2 family)
+        o = o + p["bo"]
+    x = x + o.astype(x.dtype)
 
-    y = rms_norm(x, p["mlp_norm"], cfg.norm_eps)
+    y = apply_norm(x, p, "mlp_norm", cfg)
     from .transformer import mlp
 
     x = x + mlp(y, p, cfg).astype(x.dtype)
@@ -108,11 +111,14 @@ def _block_with_cache(x, p, layer_cache, start_pos, cfg: TransformerConfig):
 def forward_with_cache(params, tokens, cache, start_pos, cfg: TransformerConfig):
     """tokens (B, T) at absolute start_pos -> (logits (B, T, V), new cache)."""
     x = params["embed"][tokens].astype(cfg.act_dtype)
+    if cfg.pos == "learned":
+        pos = start_pos + jnp.arange(tokens.shape[1])
+        x = x + jnp.take(params["pos_embed"], pos, axis=0).astype(cfg.act_dtype)
     new_cache = []
     for p, lc in zip(params["blocks"], cache):
         x, nlc = _block_with_cache(x, p, lc, start_pos, cfg)
         new_cache.append(nlc)
-    x = rms_norm(x, params["final_norm"], cfg.norm_eps)
+    x = apply_norm(x, params, "final_norm", cfg)
     logits = jnp.dot(
         x, lm_head_weight(params, x.dtype), preferred_element_type=jnp.float32
     )

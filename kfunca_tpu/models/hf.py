@@ -14,6 +14,14 @@ the same half-split ("rotate_half") convention HF Llama uses, so no head
 permutation is needed; parity vs `transformers` is pinned to ~1e-4 logits
 in tests/test_hf.py.
 
+Also supported: the GPT-2 block structure (model_type="gpt2" — LayerNorm
+with bias -> learned positions -> tanh-GELU MLP, all projections biased,
+tied head), covering GPT-2/DistilGPT2/DialoGPT-class checkpoints via
+TransformerConfig(norm="layernorm", pos="learned", mlp_type="gelu").
+GPT-2's Conv1D already stores weights (in, out) — our orientation, no
+transpose.  Parity pinned vs GPT2LMHeadModel in tests/test_gpt2.py
+(logits ~1e-4, greedy generation token-exact, to_hf roundtrip).
+
 Layout notes: HF Linear weights are (out, in) applied as x @ W.T; ours are
 (in, out) applied as x @ W — every matrix transposes on the way in.  The
 q/k/v projections fuse into our single wqkv (d_model, qkv_out).  Untied
@@ -45,6 +53,24 @@ def config_from_hf(hf_config, dtype: str = "bfloat16") -> TransformerConfig:
     structure can't represent (custom head_dim, non-linear rope scaling)."""
     get = (hf_config.get if isinstance(hf_config, dict)
            else lambda k, d=None: getattr(hf_config, k, d))
+    if get("model_type") == "gpt2":
+        act = get("activation_function", "gelu_new")
+        if act not in ("gelu_new", "gelu_pytorch_tanh"):
+            raise NotImplementedError(
+                f"GPT-2 activation {act!r} not supported (tanh-GELU only)")
+        d = get("n_embd")
+        return TransformerConfig(
+            vocab_size=get("vocab_size"),
+            d_model=d,
+            n_heads=get("n_head"),
+            n_layers=get("n_layer"),
+            d_ff=get("n_inner") or 4 * d,
+            max_seq_len=get("n_positions", 1024),
+            dtype=dtype,
+            norm_eps=float(get("layer_norm_epsilon", 1e-5)),
+            norm="layernorm", pos="learned", mlp_type="gelu",
+            proj_bias=True,
+        )
     d_model = get("hidden_size")
     n_heads = get("num_attention_heads")
     head_dim = get("head_dim") or d_model // n_heads
@@ -86,10 +112,44 @@ def config_from_hf(hf_config, dtype: str = "bfloat16") -> TransformerConfig:
     )
 
 
+def _params_from_hf_gpt2(state_dict, cfg: TransformerConfig):
+    """GPT-2 layout: transformer.{wte,wpe,h.N.*,ln_f}.  HF's Conv1D stores
+    weights (in, out) — already our orientation, so NO transpose (unlike
+    nn.Linear); the LM head is always tied to wte."""
+    sd = {k.removeprefix("transformer."): v for k, v in state_dict.items()}
+    A = lambda name: jnp.asarray(_np(sd[name]))
+    params = {
+        "embed": A("wte.weight"),
+        "pos_embed": A("wpe.weight"),
+        "final_norm": A("ln_f.weight"),
+        "final_norm_b": A("ln_f.bias"),
+        "blocks": [],
+    }
+    for i in range(cfg.n_layers):
+        p = f"h.{i}."
+        params["blocks"].append({
+            "attn_norm": A(p + "ln_1.weight"),
+            "attn_norm_b": A(p + "ln_1.bias"),
+            "wqkv": A(p + "attn.c_attn.weight"),
+            "bqkv": A(p + "attn.c_attn.bias"),
+            "wo": A(p + "attn.c_proj.weight"),
+            "bo": A(p + "attn.c_proj.bias"),
+            "mlp_norm": A(p + "ln_2.weight"),
+            "mlp_norm_b": A(p + "ln_2.bias"),
+            "w_fc": A(p + "mlp.c_fc.weight"),
+            "b_fc": A(p + "mlp.c_fc.bias"),
+            "w_proj": A(p + "mlp.c_proj.weight"),
+            "b_proj": A(p + "mlp.c_proj.bias"),
+        })
+    return params
+
+
 def params_from_hf(state_dict, cfg: TransformerConfig, tied: bool | None = None):
-    """Convert an HF Llama-family state dict (torch tensors or arrays) to
-    the flagship params pytree.  `tied`: whether the LM head is the
-    embedding (None = infer from the presence of lm_head.weight)."""
+    """Convert an HF Llama-family (or GPT-2-family) state dict (torch
+    tensors or arrays) to the flagship params pytree.  `tied`: whether the
+    LM head is the embedding (None = infer from lm_head.weight presence)."""
+    if cfg.pos == "learned":  # GPT-2 layout
+        return _params_from_hf_gpt2(state_dict, cfg)
     sd = {k.removeprefix("model."): v for k, v in state_dict.items()}
     for k in sd:
         if k.endswith((".o_proj.bias", ".gate_proj.bias", ".up_proj.bias",
@@ -154,6 +214,30 @@ def to_hf(params, cfg: TransformerConfig) -> dict:
     def A(x):
         # .copy(): jax arrays export read-only buffers; torch warns on them
         return torch.from_numpy(np.asarray(x, dtype=np.float32).copy())
+
+    if cfg.pos == "learned":  # GPT-2 layout: Conv1D weights, no transpose
+        sd = {
+            "transformer.wte.weight": A(params["embed"]),
+            "transformer.wpe.weight": A(params["pos_embed"]),
+            "transformer.ln_f.weight": A(params["final_norm"]),
+            "transformer.ln_f.bias": A(params["final_norm_b"]),
+            "lm_head.weight": A(params["embed"]),  # tied
+        }
+        for i, blk in enumerate(params["blocks"]):
+            p = f"transformer.h.{i}."
+            sd[p + "ln_1.weight"] = A(blk["attn_norm"])
+            sd[p + "ln_1.bias"] = A(blk["attn_norm_b"])
+            sd[p + "attn.c_attn.weight"] = A(blk["wqkv"])
+            sd[p + "attn.c_attn.bias"] = A(blk["bqkv"])
+            sd[p + "attn.c_proj.weight"] = A(blk["wo"])
+            sd[p + "attn.c_proj.bias"] = A(blk["bo"])
+            sd[p + "ln_2.weight"] = A(blk["mlp_norm"])
+            sd[p + "ln_2.bias"] = A(blk["mlp_norm_b"])
+            sd[p + "mlp.c_fc.weight"] = A(blk["w_fc"])
+            sd[p + "mlp.c_fc.bias"] = A(blk["b_fc"])
+            sd[p + "mlp.c_proj.weight"] = A(blk["w_proj"])
+            sd[p + "mlp.c_proj.bias"] = A(blk["b_proj"])
+        return sd
 
     h, hkv, hd = cfg.n_heads, cfg.kv_heads, cfg.head_dim
     sd = {

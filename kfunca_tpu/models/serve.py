@@ -57,7 +57,7 @@ import numpy as np
 
 from ..runtime import _native
 from .generate import _rope_at, forward_with_cache, init_kv_cache
-from .transformer import TransformerConfig, rms_norm
+from .transformer import TransformerConfig, apply_norm
 
 
 # ---------------------------------------------------------------------------
@@ -351,7 +351,8 @@ def quantize_decode_params(params, bits: int = 8):
     def qblk(blk):
         out = {}
         for k, v in blk.items():
-            if k in ("wqkv", "wo", "w_gate", "w_up", "w_down"):
+            if k in ("wqkv", "wo", "w_gate", "w_up", "w_down",
+                     "w_fc", "w_proj"):
                 out[k] = quant(v)
             elif k == "experts":  # MoE: every expert's SwiGLU quantizes;
                 out[k] = [  # the (tiny, routing-critical) router stays fp
@@ -385,9 +386,9 @@ def _paged_block(x, p, pool_k, pool_v, page_tables, positions, cfg, page_size, e
     h, hd = cfg.n_heads, cfg.head_dim
     max_pages = page_tables.shape[1]
 
-    y = rms_norm(x, p["attn_norm"], cfg.norm_eps)
+    y = apply_norm(x, p, "attn_norm", cfg)
     qkv = _mm(y, p["wqkv"])
-    if "bqkv" in p:  # optional QKV bias (Qwen2-family HF imports)
+    if "bqkv" in p:  # optional QKV bias (Qwen2/GPT-2-family HF imports)
         qkv = qkv + p["bqkv"]
     if lora is not None:
         A, B_, ids = lora
@@ -398,11 +399,13 @@ def _paged_block(x, p, pool_k, pool_v, page_tables, positions, cfg, page_size, e
     q, k, v = split_qkv(qkv.astype(y.dtype), cfg)  # q (B,H,1,hd), k/v (B,Hkv,1,hd)
     hkv = cfg.kv_heads
 
-    # RoPE at each sequence's own absolute position (vmap over the batch)
-    _theta, _pscale = cfg.rope_params()
-    rope = jax.vmap(lambda xx, pos: _rope_at(xx[None], pos[None], _theta, _pscale)[0])
-    q = rope(q, positions)
-    k = rope(k, positions)
+    if cfg.pos == "rope":
+        # RoPE at each sequence's own absolute position (vmap over batch)
+        _theta, _pscale = cfg.rope_params()
+        rope = jax.vmap(
+            lambda xx, pos: _rope_at(xx[None], pos[None], _theta, _pscale)[0])
+        q = rope(q, positions)
+        k = rope(k, positions)
 
     # scatter the new K/V into the pools at (page_of(pos), pos % page)
     page_slot = page_tables[jnp.arange(b), positions // page_size]  # (B,)
@@ -475,12 +478,15 @@ def _paged_block(x, p, pool_k, pool_v, page_tables, positions, cfg, page_size, e
             "bkgtl,bkld->bkgtd", prob, vc.astype(jnp.float32)
         ).astype(x.dtype)
         attn = attn.reshape(b, h, 1, hd).transpose(0, 2, 1, 3).reshape(b, 1, h * hd)
-    x = x + _mm(attn, p["wo"]).astype(x.dtype)
+    o = _mm(attn, p["wo"])
+    if "bo" in p:  # optional output-projection bias (GPT-2 family)
+        o = o + p["bo"]
+    x = x + o.astype(x.dtype)
 
-    y = rms_norm(x, p["mlp_norm"], cfg.norm_eps)
+    y = apply_norm(x, p, "mlp_norm", cfg)
     from .transformer import mlp as _mlp
 
-    x = x + _mlp(y, p, cfg, mm=_mm).astype(x.dtype)  # dense or MoE; _mm
+    x = x + _mlp(y, p, cfg, mm=_mm).astype(x.dtype)  # dense/GELU/MoE; _mm
     #                                 dispatches quantized (intN, scale) pairs
     return x, pool_k, pool_v
 
@@ -509,6 +515,9 @@ def paged_decode_step(
     garbage harmlessly (their pages are reserved); callers ignore them.
     """
     x = params["embed"][last_tokens[:, None]].astype(cfg.act_dtype)  # (B,1,dm)
+    if cfg.pos == "learned":  # per-slot absolute position (GPT-2 family)
+        x = x + jnp.take(params["pos_embed"], positions, axis=0)[
+            :, None].astype(cfg.act_dtype)
     # int8 KV pools travel as (q8 pool, scale pool) pairs; slice/stack
     # componentwise (the structure is trace-time static)
     _layer = (lambda pool, li: (pool[0][li], pool[1][li])
@@ -526,7 +535,7 @@ def paged_decode_step(
         new_v.append(pv)
     pools_k = _stack(new_k)
     pools_v = _stack(new_v)
-    x = rms_norm(x, params["final_norm"], cfg.norm_eps)
+    x = apply_norm(x, params, "final_norm", cfg)
     if "lm_head" in params:
         # untied HF head (fp array) or the quantized tied/untied head
         # ((int8, scale) pair) — _mm dispatches on the structure
@@ -613,18 +622,33 @@ def decode_param_specs(params):
                  "w_down": row(ex["w_down"])}
                 for ex in blk["experts"]
             ]
+        elif "w_fc" in blk:  # GPT-2-family GELU MLP
+            s["w_fc"] = col(blk["w_fc"])
+            s["w_proj"] = row(blk["w_proj"])
         else:
             s["w_gate"] = col(blk["w_gate"])
             s["w_up"] = col(blk["w_up"])
             s["w_down"] = row(blk["w_down"])
         if "bqkv" in blk:
             s["bqkv"] = P("tp")  # column-parallel bias
+        if "b_fc" in blk:
+            s["b_fc"] = P("tp")  # column-parallel bias
+        for name in ("bo", "b_proj"):  # row-parallel outputs: replicated
+            if name in blk:  # (added once after the psum)
+                s[name] = P()
+        for name in ("attn_norm_b", "mlp_norm_b"):
+            if name in blk:
+                s[name] = P()
         return s
 
     specs = {
         "embed": P(), "final_norm": P(),
         "blocks": [blk_spec(b) for b in params["blocks"]],
     }
+    if "pos_embed" in params:
+        specs["pos_embed"] = P()
+    if "final_norm_b" in params:
+        specs["final_norm_b"] = P()
     if "lm_head" in params:
         specs["lm_head"] = col(params["lm_head"])
     return specs

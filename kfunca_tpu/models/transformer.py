@@ -59,6 +59,19 @@ class TransformerConfig:
     # convention).  0 = dense (default).
     n_experts: int = 0
     moe_top_k: int = 2
+    # architecture family switches (GPT-2/OPT-style models):
+    #   norm: "rms" (RMSNorm, no bias) | "layernorm" (mean-centered, with
+    #     bias params <name>_b — the GPT-2/BERT convention)
+    #   pos: "rope" (rotary) | "learned" (a trained (max_seq_len, d_model)
+    #     "pos_embed" table added to the token embeddings)
+    #   mlp_type: "swiglu" (w_gate/w_up/w_down) | "gelu" (w_fc -> tanh-GELU
+    #     -> w_proj, the GPT-2 "gelu_new" MLP; optional b_fc/b_proj)
+    #   proj_bias: init attention/MLP projection biases (bqkv, bo,
+    #     b_fc/b_proj) — HF imports set these keys directly regardless
+    norm: str = "rms"
+    pos: str = "rope"
+    mlp_type: str = "swiglu"
+    proj_bias: bool = False
 
     @property
     def kv_heads(self) -> int:
@@ -106,6 +119,12 @@ def init_params(key, cfg: TransformerConfig):
         "final_norm": jnp.ones((cfg.d_model,), jnp.float32),
         "blocks": [],
     }
+    if cfg.pos == "learned":
+        params["pos_embed"] = (
+            jax.random.normal(keys[1], (cfg.max_seq_len, cfg.d_model),
+                              jnp.float32) * 0.01)
+    if cfg.norm == "layernorm":
+        params["final_norm_b"] = jnp.zeros((cfg.d_model,), jnp.float32)
     for i in range(cfg.n_layers):
         k = keys[2 + i * 6 : 2 + (i + 1) * 6]
         blk = {
@@ -114,6 +133,20 @@ def init_params(key, cfg: TransformerConfig):
             "wo": _init_linear(k[1], cfg.d_model, cfg.d_model),
             "mlp_norm": jnp.ones((cfg.d_model,), jnp.float32),
         }
+        if cfg.norm == "layernorm":
+            blk["attn_norm_b"] = jnp.zeros((cfg.d_model,), jnp.float32)
+            blk["mlp_norm_b"] = jnp.zeros((cfg.d_model,), jnp.float32)
+        if cfg.proj_bias:
+            blk["bqkv"] = jnp.zeros((cfg.qkv_out,), jnp.float32)
+            blk["bo"] = jnp.zeros((cfg.d_model,), jnp.float32)
+        if cfg.mlp_type == "gelu":
+            blk["w_fc"] = _init_linear(k[2], cfg.d_model, cfg.d_ff)
+            blk["w_proj"] = _init_linear(k[3], cfg.d_ff, cfg.d_model)
+            if cfg.proj_bias:
+                blk["b_fc"] = jnp.zeros((cfg.d_ff,), jnp.float32)
+                blk["b_proj"] = jnp.zeros((cfg.d_model,), jnp.float32)
+            params["blocks"].append(blk)
+            continue
         if cfg.n_experts:
             blk["router"] = _init_linear(k[5], cfg.d_model, cfg.n_experts)
             blk["experts"] = [
@@ -148,6 +181,23 @@ def rms_norm(x, gamma, eps=1e-6):
     xf = x.astype(jnp.float32)
     inv = jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
     return (xf * inv).astype(x.dtype) * gamma.astype(x.dtype)
+
+
+def layer_norm(x, gamma, beta, eps=1e-5):
+    """Mean-centered LayerNorm with bias (GPT-2/BERT convention), fp32 stats."""
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+    out = (xf - mu) * jax.lax.rsqrt(var + eps)
+    return (out * gamma + beta).astype(x.dtype)
+
+
+def apply_norm(x, p, name, cfg: TransformerConfig):
+    """cfg-dispatched block norm: p[name] is the gain; LayerNorm reads the
+    bias from p[name + "_b"]."""
+    if cfg.norm == "rms":
+        return rms_norm(x, p[name], cfg.norm_eps)
+    return layer_norm(x, p[name], p[name + "_b"], cfg.norm_eps)
 
 
 def _rope(x, theta: float, pos_scale: float = 1.0):
@@ -215,7 +265,20 @@ def mlp(y, p, cfg: TransformerConfig, mm=_plain_mm):
     for unrouted): exact, static-shaped, and the right TPU trade at decode
     batch sizes where all expert weights are read anyway; large-scale
     sparse training should use the capacity-dispatch kernels in
-    models/moe.py (EP all-to-all) instead."""
+    models/moe.py (EP all-to-all) instead.
+
+    mlp_type="gelu" (GPT-2 family): w_fc -> tanh-GELU (HF "gelu_new") ->
+    w_proj with optional biases; same mm abstraction, so quantized serving
+    works unchanged (biases stay fp and add post-matmul in fp32)."""
+    if cfg.mlp_type == "gelu":
+        h = mm(y, p["w_fc"])
+        if "b_fc" in p:
+            h = h + p["b_fc"]
+        act = jax.nn.gelu(h, approximate=True).astype(y.dtype)
+        out = mm(act, p["w_proj"])
+        if "b_proj" in p:
+            out = out + p["b_proj"]
+        return out
     if not cfg.n_experts:
         def mml(x_, name):  # base matmul + optional LoRA delta
             out = mm(x_, p[name])
@@ -248,14 +311,15 @@ def _block(x, p, cfg: TransformerConfig):
     b, s, dm = x.shape
 
     # attention
-    y = rms_norm(x, p["attn_norm"], cfg.norm_eps)
+    y = apply_norm(x, p, "attn_norm", cfg)
     qkv = _mm_with_lora(y, p["wqkv"], p, "wqkv")
-    if "bqkv" in p:  # optional QKV bias (Qwen2-family HF imports)
+    if "bqkv" in p:  # optional QKV bias (Qwen2/GPT-2-family)
         qkv = qkv + p["bqkv"]
     q, k, v = split_qkv(qkv.astype(y.dtype), cfg)
-    theta, pscale = cfg.rope_params()
-    q = _rope(q, theta, pscale)
-    k = _rope(k, theta, pscale)
+    if cfg.pos == "rope":
+        theta, pscale = cfg.rope_params()
+        q = _rope(q, theta, pscale)
+        k = _rope(k, theta, pscale)
     if cfg.kv_heads == cfg.n_heads and cfg.attention_window is None:
         attn = causal_attention_fn(q, k, v)  # Pallas flash kernel on TPU
     else:
@@ -263,10 +327,13 @@ def _block(x, p, cfg: TransformerConfig):
 
         attn = make_flash_attention(window=cfg.attention_window)(q, k, v)
     attn = attn.transpose(0, 2, 1, 3).reshape(b, s, dm)
-    x = x + _mm_with_lora(attn, p["wo"], p, "wo").astype(x.dtype)
+    o = _mm_with_lora(attn, p["wo"], p, "wo")
+    if "bo" in p:  # optional output-projection bias (GPT-2 family)
+        o = o + p["bo"]
+    x = x + o.astype(x.dtype)
 
-    # SwiGLU MLP (dense or MoE)
-    y = rms_norm(x, p["mlp_norm"], cfg.norm_eps)
+    # MLP (SwiGLU, GELU, or MoE — see mlp())
+    y = apply_norm(x, p, "mlp_norm", cfg)
     x = x + mlp(y, p, cfg).astype(x.dtype)
     return x
 
@@ -274,12 +341,14 @@ def _block(x, p, cfg: TransformerConfig):
 def hidden_states(params, tokens, cfg: TransformerConfig):
     """tokens: (B, S) int32 -> final-norm trunk output (B, S, d_model)."""
     x = params["embed"][tokens].astype(cfg.act_dtype)
+    if cfg.pos == "learned":
+        x = x + params["pos_embed"][: tokens.shape[1]].astype(cfg.act_dtype)
     block_fn = _block
     if cfg.remat:
         block_fn = jax.checkpoint(_block, static_argnums=(2,))
     for p in params["blocks"]:
         x = block_fn(x, p, cfg)
-    return rms_norm(x, params["final_norm"], cfg.norm_eps)
+    return apply_norm(x, params, "final_norm", cfg)
 
 
 def forward(params, tokens, cfg: TransformerConfig):

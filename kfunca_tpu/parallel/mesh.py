@@ -92,12 +92,20 @@ def param_specs(params, fsdp: bool = False) -> dict:
                 }
                 for _ in blk["experts"]
             ]
+        elif "w_fc" in blk:  # GPT-2-family GELU MLP
+            s["w_fc"] = maybe_dp(P(None, "tp"))
+            s["w_proj"] = maybe_dp(P("tp", None))
         else:
             s["w_gate"] = maybe_dp(P(None, "tp"))
             s["w_up"] = maybe_dp(P(None, "tp"))
             s["w_down"] = maybe_dp(P("tp", None))
         if "bqkv" in blk:
             s["bqkv"] = P("tp")
+        if "b_fc" in blk:
+            s["b_fc"] = P("tp")  # column-parallel bias
+        for name in ("bo", "b_proj", "attn_norm_b", "mlp_norm_b"):
+            if name in blk:  # row-parallel biases / norm biases: replicated
+                s[name] = P()
         return s
 
     out = {
@@ -107,6 +115,10 @@ def param_specs(params, fsdp: bool = False) -> dict:
     }
     if "lm_head" in params:
         out["lm_head"] = maybe_dp(P(None, "tp"))
+    if "pos_embed" in params:
+        out["pos_embed"] = P()
+    if "final_norm_b" in params:
+        out["final_norm_b"] = P()
     return out
 
 
