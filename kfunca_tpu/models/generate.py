@@ -37,9 +37,16 @@ def init_kv_cache(cfg: TransformerConfig, batch: int, max_len: int):
     ]
 
 
-def _rope_at(x, positions, theta: float, pos_scale: float = 1.0):
+def _rope_at(x, positions, theta: float, pos_scale: float = 1.0,
+             pct: float = 1.0):
     """RoPE with explicit absolute positions; x: (B, H, T, D), positions (T,).
-    pos_scale < 1 is linear position interpolation (rope_scaling)."""
+    pos_scale < 1 is linear position interpolation (rope_scaling); pct < 1
+    rotates only the first pct of head dims (GPT-NeoX rotary_pct)."""
+    if pct < 1.0:
+        rot = int(x.shape[-1] * pct) & ~1
+        return jnp.concatenate(
+            [_rope_at(x[..., :rot], positions, theta, pos_scale),
+             x[..., rot:]], axis=-1)
     b, h, t, d = x.shape
     half = d // 2
     freqs = jnp.exp(-math.log(theta) * jnp.arange(0, half, dtype=jnp.float32) / half)
@@ -68,8 +75,8 @@ def _block_with_cache(x, p, layer_cache, start_pos, cfg: TransformerConfig):
     positions = start_pos + jnp.arange(t)
     if cfg.pos == "rope":
         theta, pscale = cfg.rope_params()
-        q = _rope_at(q, positions, theta, pscale)
-        k = _rope_at(k, positions, theta, pscale)
+        q = _rope_at(q, positions, theta, pscale, cfg.rope_pct)
+        k = _rope_at(k, positions, theta, pscale, cfg.rope_pct)
 
     zero = jnp.int32(0)  # all indices same dtype (x64 would promote raw 0s)
     idx = (zero, zero, start_pos.astype(jnp.int32), zero)
@@ -97,13 +104,16 @@ def _block_with_cache(x, p, layer_cache, start_pos, cfg: TransformerConfig):
     attn = attn.reshape(b, h, t, hd).transpose(0, 2, 1, 3).reshape(b, t, dm)
     o = jnp.dot(attn, p["wo"].astype(attn.dtype),
                 preferred_element_type=jnp.float32)
-    if "bo" in p:  # optional output-projection bias (GPT-2 family)
+    if "bo" in p:  # optional output-projection bias (GPT-2/NeoX family)
         o = o + p["bo"]
-    x = x + o.astype(x.dtype)
-
-    y = apply_norm(x, p, "mlp_norm", cfg)
     from .transformer import mlp
 
+    if cfg.parallel_residual:  # GPT-NeoX/GPT-J: branches share the input
+        y = apply_norm(x, p, "mlp_norm", cfg)
+        return (x + o.astype(x.dtype) + mlp(y, p, cfg).astype(x.dtype),
+                {"k": kc, "v": vc})
+    x = x + o.astype(x.dtype)
+    y = apply_norm(x, p, "mlp_norm", cfg)
     x = x + mlp(y, p, cfg).astype(x.dtype)
     return x, {"k": kc, "v": vc}
 

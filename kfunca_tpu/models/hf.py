@@ -22,6 +22,14 @@ GPT-2's Conv1D already stores weights (in, out) — our orientation, no
 transpose.  Parity pinned vs GPT2LMHeadModel in tests/test_gpt2.py
 (logits ~1e-4, greedy generation token-exact, to_hf roundtrip).
 
+And the GPT-NeoX block structure (model_type="gpt_neox" — parallel
+residual, partial rotary via rotary_pct, exact erf-GELU, biased
+projections, untied embed_out), covering Pythia/GPT-NeoX/Dolly-class
+checkpoints via TransformerConfig(parallel_residual=True, rope_pct=,
+gelu_exact=True).  NeoX packs query_key_value PER HEAD ([q_h0|k_h0|
+v_h0|q_h1|...]); import de-interleaves to our per-projection packing.
+Parity pinned vs GPTNeoXForCausalLM in tests/test_neox.py.
+
 Layout notes: HF Linear weights are (out, in) applied as x @ W.T; ours are
 (in, out) applied as x @ W — every matrix transposes on the way in.  The
 q/k/v projections fuse into our single wqkv (d_model, qkv_out).  Untied
@@ -53,6 +61,25 @@ def config_from_hf(hf_config, dtype: str = "bfloat16") -> TransformerConfig:
     structure can't represent (custom head_dim, non-linear rope scaling)."""
     get = (hf_config.get if isinstance(hf_config, dict)
            else lambda k, d=None: getattr(hf_config, k, d))
+    if get("model_type") == "gpt_neox":
+        act = get("hidden_act", "gelu")
+        if act not in ("gelu", "gelu_new", "gelu_pytorch_tanh", "gelu_fast"):
+            raise NotImplementedError(f"GPT-NeoX activation {act!r}")
+        return TransformerConfig(
+            vocab_size=get("vocab_size"),
+            d_model=get("hidden_size"),
+            n_heads=get("num_attention_heads"),
+            n_layers=get("num_hidden_layers"),
+            d_ff=get("intermediate_size"),
+            max_seq_len=get("max_position_embeddings", 2048),
+            dtype=dtype,
+            rope_theta=float(get("rotary_emb_base", 10000.0)),
+            rope_pct=float(get("rotary_pct", 1.0)),
+            norm_eps=float(get("layer_norm_eps", 1e-5)),
+            norm="layernorm", pos="rope", mlp_type="gelu", proj_bias=True,
+            parallel_residual=bool(get("use_parallel_residual", True)),
+            gelu_exact=act == "gelu",
+        )
     if get("model_type") == "gpt2":
         act = get("activation_function", "gelu_new")
         if act not in ("gelu_new", "gelu_pytorch_tanh"):
@@ -112,6 +139,53 @@ def config_from_hf(hf_config, dtype: str = "bfloat16") -> TransformerConfig:
     )
 
 
+def _deinterleave_qkv(w, cfg, axis):
+    """GPT-NeoX packs query_key_value per HEAD ([q_h0|k_h0|v_h0|q_h1|...]);
+    ours packs per PROJECTION ([q all heads|k|v]).  Reorder `axis`."""
+    h, hd = cfg.n_heads, cfg.head_dim
+    shape = list(w.shape)
+    pre = shape[:axis]
+    w = w.reshape(*pre, h, 3, hd)
+    w = jnp.moveaxis(w, axis + 1, axis)  # (..., 3, h, hd, ...)
+    return w.reshape(*pre, 3 * h * hd)
+
+
+def _params_from_hf_neox(state_dict, cfg: TransformerConfig):
+    """GPT-NeoX/Pythia layout: gpt_neox.{embed_in,layers.N.*,
+    final_layer_norm} + untied embed_out.  nn.Linear weights transpose
+    (out, in) -> (in, out); query_key_value additionally de-interleaves
+    from per-head to per-projection packing."""
+    sd = {k.removeprefix("gpt_neox."): v for k, v in state_dict.items()}
+    A = lambda name: jnp.asarray(_np(sd[name]))
+    W = lambda name: jnp.asarray(_np(sd[name]).T)
+    params = {
+        "embed": A("embed_in.weight"),
+        "final_norm": A("final_layer_norm.weight"),
+        "final_norm_b": A("final_layer_norm.bias"),
+        "lm_head": W("embed_out.weight"),
+        "blocks": [],
+    }
+    for i in range(cfg.n_layers):
+        p = f"layers.{i}."
+        params["blocks"].append({
+            "attn_norm": A(p + "input_layernorm.weight"),
+            "attn_norm_b": A(p + "input_layernorm.bias"),
+            "wqkv": _deinterleave_qkv(
+                W(p + "attention.query_key_value.weight"), cfg, 1),
+            "bqkv": _deinterleave_qkv(
+                A(p + "attention.query_key_value.bias"), cfg, 0),
+            "wo": W(p + "attention.dense.weight"),
+            "bo": A(p + "attention.dense.bias"),
+            "mlp_norm": A(p + "post_attention_layernorm.weight"),
+            "mlp_norm_b": A(p + "post_attention_layernorm.bias"),
+            "w_fc": W(p + "mlp.dense_h_to_4h.weight"),
+            "b_fc": A(p + "mlp.dense_h_to_4h.bias"),
+            "w_proj": W(p + "mlp.dense_4h_to_h.weight"),
+            "b_proj": A(p + "mlp.dense_4h_to_h.bias"),
+        })
+    return params
+
+
 def _params_from_hf_gpt2(state_dict, cfg: TransformerConfig):
     """GPT-2 layout: transformer.{wte,wpe,h.N.*,ln_f}.  HF's Conv1D stores
     weights (in, out) — already our orientation, so NO transpose (unlike
@@ -150,6 +224,8 @@ def params_from_hf(state_dict, cfg: TransformerConfig, tied: bool | None = None)
     LM head is the embedding (None = infer from lm_head.weight presence)."""
     if cfg.pos == "learned":  # GPT-2 layout
         return _params_from_hf_gpt2(state_dict, cfg)
+    if cfg.parallel_residual:  # GPT-NeoX/Pythia layout
+        return _params_from_hf_neox(state_dict, cfg)
     sd = {k.removeprefix("model."): v for k, v in state_dict.items()}
     for k in sd:
         if k.endswith((".o_proj.bias", ".gate_proj.bias", ".up_proj.bias",
@@ -214,6 +290,40 @@ def to_hf(params, cfg: TransformerConfig) -> dict:
     def A(x):
         # .copy(): jax arrays export read-only buffers; torch warns on them
         return torch.from_numpy(np.asarray(x, dtype=np.float32).copy())
+
+    if cfg.parallel_residual:  # GPT-NeoX/Pythia layout
+        h, hd = cfg.n_heads, cfg.head_dim
+
+        def IW(x):  # ours (in, 3D per-projection) -> HF (3D per-head, in)
+            x = np.asarray(x, np.float32).reshape(-1, 3, h, hd)
+            x = np.moveaxis(x, 1, 2).reshape(-1, 3 * h * hd)
+            return torch.from_numpy(x.T.copy())
+
+        def IB(x):
+            x = np.asarray(x, np.float32).reshape(3, h, hd)
+            return torch.from_numpy(np.moveaxis(x, 0, 1).reshape(-1).copy())
+
+        sd = {
+            "gpt_neox.embed_in.weight": A(params["embed"]),
+            "gpt_neox.final_layer_norm.weight": A(params["final_norm"]),
+            "gpt_neox.final_layer_norm.bias": A(params["final_norm_b"]),
+            "embed_out.weight": T(params["lm_head"]),
+        }
+        for i, blk in enumerate(params["blocks"]):
+            p = f"gpt_neox.layers.{i}."
+            sd[p + "input_layernorm.weight"] = A(blk["attn_norm"])
+            sd[p + "input_layernorm.bias"] = A(blk["attn_norm_b"])
+            sd[p + "attention.query_key_value.weight"] = IW(blk["wqkv"])
+            sd[p + "attention.query_key_value.bias"] = IB(blk["bqkv"])
+            sd[p + "attention.dense.weight"] = T(blk["wo"])
+            sd[p + "attention.dense.bias"] = A(blk["bo"])
+            sd[p + "post_attention_layernorm.weight"] = A(blk["mlp_norm"])
+            sd[p + "post_attention_layernorm.bias"] = A(blk["mlp_norm_b"])
+            sd[p + "mlp.dense_h_to_4h.weight"] = T(blk["w_fc"])
+            sd[p + "mlp.dense_h_to_4h.bias"] = A(blk["b_fc"])
+            sd[p + "mlp.dense_4h_to_h.weight"] = T(blk["w_proj"])
+            sd[p + "mlp.dense_4h_to_h.bias"] = A(blk["b_proj"])
+        return sd
 
     if cfg.pos == "learned":  # GPT-2 layout: Conv1D weights, no transpose
         sd = {

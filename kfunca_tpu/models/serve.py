@@ -403,7 +403,8 @@ def _paged_block(x, p, pool_k, pool_v, page_tables, positions, cfg, page_size, e
         # RoPE at each sequence's own absolute position (vmap over batch)
         _theta, _pscale = cfg.rope_params()
         rope = jax.vmap(
-            lambda xx, pos: _rope_at(xx[None], pos[None], _theta, _pscale)[0])
+            lambda xx, pos: _rope_at(
+                xx[None], pos[None], _theta, _pscale, cfg.rope_pct)[0])
         q = rope(q, positions)
         k = rope(k, positions)
 
@@ -479,15 +480,18 @@ def _paged_block(x, p, pool_k, pool_v, page_tables, positions, cfg, page_size, e
         ).astype(x.dtype)
         attn = attn.reshape(b, h, 1, hd).transpose(0, 2, 1, 3).reshape(b, 1, h * hd)
     o = _mm(attn, p["wo"])
-    if "bo" in p:  # optional output-projection bias (GPT-2 family)
+    if "bo" in p:  # optional output-projection bias (GPT-2/NeoX family)
         o = o + p["bo"]
-    x = x + o.astype(x.dtype)
-
-    y = apply_norm(x, p, "mlp_norm", cfg)
     from .transformer import mlp as _mlp
 
-    x = x + _mlp(y, p, cfg, mm=_mm).astype(x.dtype)  # dense/GELU/MoE; _mm
-    #                                 dispatches quantized (intN, scale) pairs
+    # _mlp dispatches dense/GELU/MoE; _mm handles quantized (intN, scale)
+    if cfg.parallel_residual:  # GPT-NeoX/GPT-J: branches share the input
+        y = apply_norm(x, p, "mlp_norm", cfg)
+        return (x + o.astype(x.dtype) + _mlp(y, p, cfg, mm=_mm).astype(x.dtype),
+                pool_k, pool_v)
+    x = x + o.astype(x.dtype)
+    y = apply_norm(x, p, "mlp_norm", cfg)
+    x = x + _mlp(y, p, cfg, mm=_mm).astype(x.dtype)
     return x, pool_k, pool_v
 
 

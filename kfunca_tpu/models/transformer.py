@@ -72,6 +72,16 @@ class TransformerConfig:
     pos: str = "rope"
     mlp_type: str = "swiglu"
     proj_bias: bool = False
+    # GPT-NeoX/Pythia-family switches:
+    #   rope_pct: fraction of head_dim that rotates (HF rotary_pct;
+    #     Pythia = 0.25 — the tail dims pass through unrotated)
+    #   parallel_residual: x + attn(ln1(x)) + mlp(ln2(x)) computed from
+    #     the SAME input (GPT-NeoX/GPT-J block) instead of sequentially
+    #   gelu_exact: erf-based GELU (GPT-NeoX "gelu") instead of the
+    #     tanh approximation (GPT-2 "gelu_new")
+    rope_pct: float = 1.0
+    parallel_residual: bool = False
+    gelu_exact: bool = False
 
     @property
     def kv_heads(self) -> int:
@@ -200,9 +210,15 @@ def apply_norm(x, p, name, cfg: TransformerConfig):
     return layer_norm(x, p[name], p[name + "_b"], cfg.norm_eps)
 
 
-def _rope(x, theta: float, pos_scale: float = 1.0):
+def _rope(x, theta: float, pos_scale: float = 1.0, pct: float = 1.0):
     """Rotary embeddings over the head dim; x: (B, H, S, D).  pos_scale < 1
-    is linear position interpolation (see TransformerConfig.rope_scaling)."""
+    is linear position interpolation (see TransformerConfig.rope_scaling);
+    pct < 1 rotates only the first pct of head dims (GPT-NeoX rotary_pct),
+    the tail passes through."""
+    if pct < 1.0:
+        rot = int(x.shape[-1] * pct) & ~1  # even
+        return jnp.concatenate(
+            [_rope(x[..., :rot], theta, pos_scale), x[..., rot:]], axis=-1)
     b, h, s, d = x.shape
     half = d // 2
     freqs = jnp.exp(
@@ -274,7 +290,7 @@ def mlp(y, p, cfg: TransformerConfig, mm=_plain_mm):
         h = mm(y, p["w_fc"])
         if "b_fc" in p:
             h = h + p["b_fc"]
-        act = jax.nn.gelu(h, approximate=True).astype(y.dtype)
+        act = jax.nn.gelu(h, approximate=not cfg.gelu_exact).astype(y.dtype)
         out = mm(act, p["w_proj"])
         if "b_proj" in p:
             out = out + p["b_proj"]
@@ -318,8 +334,8 @@ def _block(x, p, cfg: TransformerConfig):
     q, k, v = split_qkv(qkv.astype(y.dtype), cfg)
     if cfg.pos == "rope":
         theta, pscale = cfg.rope_params()
-        q = _rope(q, theta, pscale)
-        k = _rope(k, theta, pscale)
+        q = _rope(q, theta, pscale, cfg.rope_pct)
+        k = _rope(k, theta, pscale, cfg.rope_pct)
     if cfg.kv_heads == cfg.n_heads and cfg.attention_window is None:
         attn = causal_attention_fn(q, k, v)  # Pallas flash kernel on TPU
     else:
@@ -328,11 +344,15 @@ def _block(x, p, cfg: TransformerConfig):
         attn = make_flash_attention(window=cfg.attention_window)(q, k, v)
     attn = attn.transpose(0, 2, 1, 3).reshape(b, s, dm)
     o = _mm_with_lora(attn, p["wo"], p, "wo")
-    if "bo" in p:  # optional output-projection bias (GPT-2 family)
+    if "bo" in p:  # optional output-projection bias (GPT-2/NeoX family)
         o = o + p["bo"]
-    x = x + o.astype(x.dtype)
 
-    # MLP (SwiGLU, GELU, or MoE — see mlp())
+    # MLP (SwiGLU, GELU, or MoE — see mlp()).  parallel_residual
+    # (GPT-NeoX/GPT-J): both branches read the SAME block input
+    if cfg.parallel_residual:
+        y = apply_norm(x, p, "mlp_norm", cfg)
+        return x + o.astype(x.dtype) + mlp(y, p, cfg).astype(x.dtype)
+    x = x + o.astype(x.dtype)
     y = apply_norm(x, p, "mlp_norm", cfg)
     x = x + mlp(y, p, cfg).astype(x.dtype)
     return x
