@@ -45,6 +45,7 @@ from jax import lax
 from ..runtime.launcher import Launcher
 from ..utils.errors import check
 from . import materialize as mat
+from .dtype import to_jnp
 from .overlap import may_self_overlap
 
 # -- op registry --------------------------------------------------------------
@@ -78,12 +79,25 @@ _OPS = {**_BINARY, **_UNARY}
 _PALLAS_OPS = ("add", "sub", "mul", "div", "copy", "neg", "abs", "exp")
 
 
-def _elementwise_engine() -> str:
-    if os.environ.get("KFUNCA_ELEMENTWISE_ENGINE", "xla") == "pallas":
-        from ..runtime.backend import use_pallas
+# os.environ's Mapping.get routes through __getitem__, which raises and
+# catches KeyError when the var is absent (~4 us per eager op).  Read the
+# backing dict directly — os.environ.__setitem__/__delitem__ keep it in
+# sync, so dispatch-time semantics (env flips apply to the NEXT op) hold.
+_ENV_DATA = getattr(os.environ, "_data", None)
+_EW_KEY = os.environ.encodekey("KFUNCA_ELEMENTWISE_ENGINE")     if _ENV_DATA is not None else None
 
-        if use_pallas():  # real TPU only (and not KFUNCA_FORCE_XLA)
-            return "pallas"
+
+def _elementwise_engine() -> str:
+    if _ENV_DATA is not None:
+        v = _ENV_DATA.get(_EW_KEY)
+        if v is None or v == b"xla":
+            return "xla"
+    elif os.environ.get("KFUNCA_ELEMENTWISE_ENGINE", "xla") != "pallas":
+        return "xla"
+    from ..runtime.backend import use_pallas
+
+    if use_pallas():  # real TPU only (and not KFUNCA_FORCE_XLA)
+        return "pallas"
     return "xla"
 
 
@@ -231,8 +245,6 @@ def run_op(op, inputs, out=None, out_shape=None, acc=None, common=None, fill_val
         out_meta = (oslot, oimpl.shape, oimpl.strides, oimpl.offset, whole)
         if out_shape is None:
             out_shape = oimpl.shape
-
-    from .dtype import to_jnp
 
     has_scalar = op == "fill" or op.endswith("_scalar")
     program = _fused_program(

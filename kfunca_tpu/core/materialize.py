@@ -39,6 +39,12 @@ from jax import lax
 
 
 def contiguous_strides(shape) -> tuple:
+    # cached: the eager hot loop recomputes this for the same few shapes
+    return _contiguous_strides(tuple(shape))
+
+
+@lru_cache(maxsize=4096)
+def _contiguous_strides(shape: tuple) -> tuple:
     strides = [1] * len(shape)
     acc = 1
     for d in range(len(shape) - 1, -1, -1):

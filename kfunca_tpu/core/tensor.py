@@ -28,6 +28,20 @@ from .dtype import ScalarType, element_size, from_numpy_dtype, to_jnp
 from .iterator import MAX_TENSOR_DIMS, check, maybe_wrap_dim
 from .storage import Storage, jax_device
 
+_ELEMENTWISE = None
+
+
+def _elementwise():
+    """ops.elementwise, cached (a module-level import would be circular:
+    ops.elementwise imports this module; the per-call `from ..ops import
+    elementwise` costs ~3 us of importlib lookups in the eager hot loop)."""
+    global _ELEMENTWISE
+    if _ELEMENTWISE is None:
+        from ..ops import elementwise as _m
+
+        _ELEMENTWISE = _m
+    return _ELEMENTWISE
+
 
 class TensorImpl:
     """Shape/stride/offset metadata over a Storage (reference tensor_impl.h)."""
@@ -215,27 +229,23 @@ class Tensor:
     # -- factories-on-self ----------------------------------------------------
 
     def fill_(self, value) -> "Tensor":
-        from ..ops import elementwise
-
+        elementwise = _elementwise()
         return elementwise.fill_(self, value)
 
     def contiguous(self) -> "Tensor":
         if self.is_contiguous():
             return self
-        from ..ops import elementwise
-
+        elementwise = _elementwise()
         out = empty(self.sizes(), self.dtype(), self.device())
         return elementwise.copy_(out, self)  # one fused read+write dispatch
 
     def clone(self) -> "Tensor":
-        from ..ops import elementwise
-
+        elementwise = _elementwise()
         out = empty(self.sizes(), self.dtype(), self.device())
         return elementwise.copy_(out, self)
 
     def copy_(self, src: "Tensor") -> "Tensor":
-        from ..ops import elementwise
-
+        elementwise = _elementwise()
         return elementwise.copy_(self, src)
 
     # -- view ops (pure metadata; reference tensor.cpp:148-320) ---------------
@@ -342,8 +352,7 @@ class Tensor:
         return empty_like(self).fill_(scalar)
 
     def _binary(self, name, other, inplace=False):
-        from ..ops import elementwise
-
+        elementwise = _elementwise()
         if not isinstance(other, Tensor):
             if not self.requires_grad():
                 # fused fast path: the scalar rides as a traced 0-d operand;
@@ -368,8 +377,7 @@ class Tensor:
         return self._binary("div", other)
 
     def __neg__(self):
-        from ..ops import elementwise
-
+        elementwise = _elementwise()
         return elementwise.unary_op("neg", self)
 
     def __matmul__(self, other):
@@ -392,8 +400,7 @@ class Tensor:
     # -- unary math (extension; reference unary layer is clone/copy/convert) ----
 
     def _unary(self, name):
-        from ..ops import elementwise
-
+        elementwise = _elementwise()
         return elementwise.unary_op(name, self)
 
     def neg(self):
@@ -463,8 +470,7 @@ class Tensor:
     # -- dtype conversion ---------------------------------------------------------
 
     def _convert(self, dtype: ScalarType) -> "Tensor":
-        from ..ops import elementwise
-
+        elementwise = _elementwise()
         return elementwise.convert(self, dtype)
 
     def half(self) -> "Tensor":
@@ -499,8 +505,7 @@ class Tensor:
 
     def update_grad(self, g: "Tensor") -> None:
         """Leaf accumulation: clone on first grad, += after (tensor.cpp:75-84)."""
-        from ..ops import elementwise
-
+        elementwise = _elementwise()
         if self._impl.grad is None or not self._impl.grad.defined():
             self._impl.grad = g.clone()
         else:
@@ -567,8 +572,7 @@ class Tensor:
     def backward(self, grad: "Tensor") -> None:
         """Tape walk: schedule (two-pass BFS semantics), then execute,
         accumulating interior gradients and updating leaves."""
-        from ..ops import elementwise
-
+        elementwise = _elementwise()
         check(grad is not None and grad.defined(), "backward() needs an explicit grad")
         if self._grad_fn is None:
             if self._impl.requires_grad:

@@ -23,6 +23,7 @@ The reference's latent bug — erasing the pool-set iterator before reading it
 
 from __future__ import annotations
 
+import ctypes
 import itertools
 import threading
 from dataclasses import dataclass
@@ -102,6 +103,11 @@ class DeviceAllocator:
 
     @classmethod
     def instance(cls) -> "DeviceAllocator":
+        # lock-free fast path (eager dispatch calls this 2-3x per op; the
+        # CPython attribute read is atomic, construction stays locked)
+        inst = cls._instance
+        if inst is not None:
+            return inst
         with cls._instance_lock:
             if cls._instance is None:
                 cls._instance = cls()
@@ -118,8 +124,6 @@ class DeviceAllocator:
         nbytes = max(int(nbytes), 1)
         rounded = _round_up(nbytes, ALIGNMENT)
         if self._lib is not None:
-            import ctypes
-
             size = ctypes.c_int64()
             reused = ctypes.c_int()
             bid = self._lib.kf_allocate(
