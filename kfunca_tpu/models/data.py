@@ -32,6 +32,7 @@ class TokenDataset:
             raise ValueError("corpus shorter than one sequence")
         self.seq_len = int(seq_len)
         self.batch_size = int(batch_size)
+        self.seed = int(seed)
         self.rng = np.random.default_rng(seed)
         self.device = device
 
@@ -43,6 +44,26 @@ class TokenDataset:
         idx = starts[:, None] + np.arange(self.seq_len + 1)[None, :]
         window = self.tokens[idx].astype(np.int32)
         return window[:, :-1], window[:, 1:]
+
+    def batch_at(self, step: int):
+        """Deterministic per-step batch: the sampler is STATELESS in the
+        step index (rng seeded from (seed, step)), so checkpoint/resume
+        reproduces the exact uninterrupted batch sequence — no rng-state
+        serialization, no prefetch-depth skew (models/trainer.py relies
+        on this for bitwise-identical resume)."""
+        rng = np.random.default_rng((self.seed, int(step)))
+        starts = rng.integers(
+            0, self.tokens.shape[0] - self.seq_len - 1, size=self.batch_size
+        )
+        idx = starts[:, None] + np.arange(self.seq_len + 1)[None, :]
+        window = self.tokens[idx].astype(np.int32)
+        return window[:, :-1], window[:, 1:]
+
+    def iter_from(self, step: int = 0):
+        """Infinite deterministic iterator starting at `step`."""
+        while True:
+            yield self.batch_at(step)
+            step += 1
 
     def __iter__(self):
         while True:
