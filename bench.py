@@ -447,7 +447,7 @@ def bench_serving(L=8, dm=1024, h=16, page=None, ctx=960, capacity=1024):
     return results
 
 
-def bench_train_mfu(dm=1024, L=12, h=16, ff=4096, B=8, S=2048, vocab=32000,
+def bench_train_mfu(dm=1024, L=12, h=8, ff=4096, B=8, S=2048, vocab=32000,
                     peak=197.0, remat=False, loss_chunk=4096):
     """End-to-end training-step MFU on one chip: full fwd+bwd+AdamW for a
     ~230M-param LM (SwiGLU blocks, bf16 activations / fp32 master
@@ -462,7 +462,16 @@ def bench_train_mfu(dm=1024, L=12, h=16, ff=4096, B=8, S=2048, vocab=32000,
     loss_chunk=4096 (the chunked-vocab streamed LM head) measured ~4%
     faster than the materializing loss at this shape (272.0 vs 282.1
     ms/step, tools_losschunk.py interleaved A/B) and is the production
-    default here; 8k/16k chunks were neutral."""
+    default here; 8k/16k chunks were neutral.
+
+    h=8 (head_dim 128) is the session-6 default: same d_model, SAME total
+    FLOPs as h=16/hd64, but the flash kernels run ~2x more efficiently at
+    d=128 (d=64 operands half-fill the 128-lane MXU tiles: measured 38-44
+    vs 80-95 TFLOP/s).  Interleaved same-process A/B at L=6: 126.7 vs
+    150.3 ms/step (+18.6%% tokens/s); full L=12 model: 221 ms/step,
+    53.8%% MFU, 74.1k tok/s (vs 271/43.9%%/60.5k at hd64).  hd128 is also
+    the modern architecture standard (Llama/Mistral); pass h=16 to
+    measure the old shape."""
     from jax import lax
 
     from kfunca_tpu.models.train import OptConfig, init_opt_state, make_train_step
