@@ -95,8 +95,11 @@ def patchify(images, cfg: ViTConfig):
     return x.reshape(b, gh * gw, p * p * c)
 
 
-def _encoder_block(x, p, cfg: ViTConfig):
-    """Bidirectional attention + SwiGLU MLP (pre-norm)."""
+def _encoder_block(x, p, cfg, mask=None):
+    """Bidirectional attention + SwiGLU MLP (pre-norm).  `mask` (B, S)
+    bool marks VALID key positions (None = all valid) — padding tokens
+    neither receive attention nor contribute keys (models/encoder.py
+    text path; ViT passes no mask)."""
     b, s, dm = x.shape
     h, hd = cfg.n_heads, cfg.head_dim
 
@@ -108,6 +111,8 @@ def _encoder_block(x, p, cfg: ViTConfig):
     sc = jnp.einsum(
         "bhqd,bhkd->bhqk", q.astype(jnp.float32), k.astype(jnp.float32)
     ) * scale
+    if mask is not None:
+        sc = jnp.where(mask[:, None, None, :], sc, jnp.float32(-1e30))
     prob = jax.nn.softmax(sc, axis=-1)
     attn = jnp.einsum("bhqk,bhkd->bhqd", prob, v.astype(jnp.float32)).astype(x.dtype)
     attn = attn.transpose(0, 2, 1, 3).reshape(b, s, dm)
