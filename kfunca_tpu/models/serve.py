@@ -691,6 +691,10 @@ class Request:
     presence_penalty: float = 0.0
     frequency_penalty: float = 0.0
     logit_bias: dict | None = None
+    # constrained decoding: host callback (generated_tokens, prompt) ->
+    # (V,) bool allowed mask (or None = unconstrained this step); called
+    # before every sample, so grammar/JSON automata plug in directly
+    allowed_fn: object = None
     # wall-clock latency marks (perf_counter): TTFT/TPOT metrics
     submitted_at: float = 0.0
     first_token_at: float = 0.0
@@ -947,7 +951,7 @@ class InferenceServer:
                top_k: int = 0, min_p: float = 0.0, eos: int | None = None,
                stop=(), repetition_penalty: float = 1.0,
                presence_penalty: float = 0.0, frequency_penalty: float = 0.0,
-               logit_bias: dict | None = None) -> int:
+               logit_bias: dict | None = None, allowed_fn=None) -> int:
         """Queue a request.  Sampling kwargs override the server defaults
         for this request only (one compiled step still serves the mixed
         batch — params become traced per-slot vectors).  `stop` is an
@@ -956,7 +960,16 @@ class InferenceServer:
         (HF convention), `presence_penalty`/`frequency_penalty` (OpenAI
         convention) and `logit_bias` ({token: additive bias}) are applied
         to the sampling distribution each step over the request's prompt +
-        generated history; reported logprobs stay raw-distribution."""
+        generated history; reported logprobs stay raw-distribution.
+
+        `allowed_fn(generated_tokens, prompt) -> (V,) bool | None` enables
+        CONSTRAINED decoding: called on the host before every sample, its
+        mask suppresses disallowed tokens (-1e30 bias) for THIS request
+        only — the standard hook for grammar/JSON-schema automata
+        (outlines-style DFAs).  Greedy and sampled paths both respect it;
+        reported logprobs stay raw.  A mask that allows nothing leaves
+        argmax on the (uniform) suppressed row — constraints must keep at
+        least one token legal."""
         if lora_id and not (self.max_loras and lora_id <= self._n_loras):
             raise ValueError(f"unknown lora_id {lora_id}")
         rid = self._next_id
@@ -970,13 +983,14 @@ class InferenceServer:
                       presence_penalty=float(presence_penalty),
                       frequency_penalty=float(frequency_penalty),
                       logit_bias=dict(logit_bias) if logit_bias else None,
+                      allowed_fn=allowed_fn,
                       submitted_at=time.perf_counter())
         if (temperature is not None or top_p is not None or top_k or min_p):
             # switch the decode step to per-slot sampling from now on (one
             # extra compile, then stable — never per-admission recompiles)
             self._per_slot_sampling = True
         if (repetition_penalty != 1.0 or presence_penalty or frequency_penalty
-                or logit_bias):
+                or logit_bias or allowed_fn is not None):
             self._per_slot_penalties = True
         self.requests[rid] = req
         self.queue.push(rid)
@@ -1328,20 +1342,60 @@ class InferenceServer:
                 pv = _write(pv, li, page, n, v[lo : lo + n])
         self.pools_k, self.pools_v = pk, pv
 
+    def _constraint_row(self, req: Request):
+        """(V,) fp32 suppression bias from the request's allowed_fn, or
+        None when unconstrained (no callback / callback returned None)."""
+        if req.allowed_fn is None:
+            return None
+        allow = req.allowed_fn(req.tokens, req.prompt)
+        if allow is None:
+            return None
+        allow = np.asarray(allow, bool)
+        if allow.shape != (self.cfg.vocab_size,):
+            raise ValueError(
+                f"allowed_fn must return (vocab_size,) bool, got {allow.shape}")
+        row = np.zeros((self.cfg.vocab_size,), np.float32)
+        row[~allow] = np.float32(-1e30)
+        return row
+
+    def _bias_with_constraints(self):
+        """Per-step (B, V) bias: static per-request logit_bias plus each
+        constrained slot's allowed-token suppression (host-computed so
+        grammar automata stay plain Python; identity rows untouched)."""
+        bias = self.logit_bias
+        copied = False
+        for slot in range(self.B):
+            rid = self.slot_req[slot]
+            if rid is None or slot in self._prefill_state:
+                continue
+            req = self.requests[rid]
+            row = self._constraint_row(req)
+            if row is not None:
+                if not copied:
+                    bias = bias.copy()
+                    copied = True
+                bias[slot] = bias[slot] + row
+        return bias
+
     def _sample_first(self, slot: int, req: Request, raw) -> int:
         """Sample the request's first token from its last-prompt logits."""
         self._key, sub = jax.random.split(self._key)
         last = raw
         if (req.repetition_penalty != 1.0 or req.presence_penalty
-                or req.frequency_penalty or req.logit_bias):
+                or req.frequency_penalty or req.logit_bias
+                or req.allowed_fn is not None):
             # the FIRST sampled token is penalized too (over the prompt
             # history the scheduler just recorded for this slot)
+            bias = self.logit_bias[slot]
+            row = self._constraint_row(req)
+            if row is not None:
+                bias = bias + row
             last = apply_logit_penalties(last, {
                 "counts": jnp.asarray(self.token_counts[slot][None]),
                 "rep": jnp.asarray([req.repetition_penalty], jnp.float32),
                 "presence": jnp.asarray([req.presence_penalty], jnp.float32),
                 "freq": jnp.asarray([req.frequency_penalty], jnp.float32),
-                "bias": jnp.asarray(self.logit_bias[slot][None]),
+                "bias": jnp.asarray(bias[None]),
             })
         if (req.temperature is not None or req.top_p is not None
                 or req.top_k or req.min_p):
@@ -1380,7 +1434,7 @@ class InferenceServer:
                 "rep": jnp.asarray(self.slot_rep),
                 "presence": jnp.asarray(self.slot_presence),
                 "freq": jnp.asarray(self.slot_freq),
-                "bias": jnp.asarray(self.logit_bias),
+                "bias": jnp.asarray(self._bias_with_constraints()),
             }
         tokens, lps, self.pools_k, self.pools_v = paged_decode_step(
             self._decode_params, self.pools_k, self.pools_v,
