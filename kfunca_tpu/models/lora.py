@@ -132,6 +132,46 @@ def to_serving(adapters):
             for ad in adapters["blocks"]]
 
 
+def quantize_base(params, bits: int = 8):
+    """QLoRA: quantize the FROZEN base's block matrices to (intN, scale)
+    pairs — int8 per-column (quantize_cols) or int4 group-wise
+    (quantize_cols_int4).  The training forward dequantizes transiently
+    per matmul (transformer._plain_mm), so resident base memory drops
+    ~4x (int8) / ~8x (int4) vs fp32 masters while gradients (adapters
+    only) flow through unchanged fp32 math.  Embeddings, norms, and the
+    (tied) LM head stay fp — the loss path needs full precision and they
+    are a small fraction of the weights.  Use with make_lora_train_step /
+    make_lora_dpo_step; merge trained adapters onto the ORIGINAL fp
+    checkpoint (merge_lora) for serving/export."""
+    from ..ops.quant import quantize_cols, quantize_cols_int4
+
+    if bits == 8:
+        quant = quantize_cols
+    elif bits == 4:
+        def quant(w):
+            k = w.shape[0]
+            g = next((g for g in (128, 64, 32, 16, 8, 4, 2) if k % g == 0), k)
+            return quantize_cols_int4(w, group=g)
+    else:
+        raise ValueError(f"unsupported bits {bits} (8 or 4)")
+
+    def qblk(blk):
+        out = {}
+        for k, v in blk.items():
+            if k in ("wqkv", "wo", "w_gate", "w_up", "w_down",
+                     "w_fc", "w_proj"):
+                out[k] = quant(v)
+            elif k == "experts":
+                out[k] = [{n: quant(w) for n, w in ex.items()} for ex in v]
+            else:
+                out[k] = v
+        return out
+
+    out = dict(params)
+    out["blocks"] = [qblk(b) for b in params["blocks"]]
+    return out
+
+
 def make_lora_train_step(base_params, cfg: TransformerConfig,
                          oc: OptConfig = OptConfig(weight_decay=0.0),
                          loss_chunk: int | None = None,

@@ -245,6 +245,13 @@ def split_qkv(qkv, cfg: TransformerConfig):
 
 
 def _plain_mm(y, w):
+    if isinstance(w, tuple):  # QLoRA frozen base: (intN, scale) pair —
+        # dequantize transiently (weight-only quant, W8/W4A16-style):
+        # the dot stays differentiable w.r.t. y, the HBM-resident weight
+        # stays int8/int4 (models/lora.quantize_base)
+        from ..ops.quant import dequant_weight
+
+        w = dequant_weight(w[0], w[1], y.dtype)
     return jnp.dot(y, w.astype(y.dtype), preferred_element_type=jnp.float32)
 
 

@@ -241,3 +241,21 @@ def gemm_w4(a, w_q4, w_scale, out_dtype=None):
     out_dtype = out_dtype or a.dtype
     a_q8, a_scale = quantize_rows(a)
     return matmul_w4_xla(a_q8, w_q4, a_scale, w_scale, out_dtype=out_dtype)
+
+
+def dequant_weight(w_q, scale, dtype=jnp.float32):
+    """Quantized weight pair -> dense float weight.
+
+    (int8 (k, n), (n,) col scales) or (int4 (k, n), (k/group, n) group
+    scales) — the storage formats of quantize_cols / quantize_cols_int4.
+    Used by the QLoRA training forward (models/lora.py): the base weight
+    lives in HBM quantized and dequantizes transiently per matmul, which
+    keeps the dot DIFFERENTIABLE w.r.t. activations (the w8a8 decode path
+    quantizes activations with a round() that kills gradients — fine for
+    inference, wrong for training)."""
+    if scale.ndim == 1:  # int8 per-column
+        return w_q.astype(dtype) * scale.astype(dtype)
+    k, n = w_q.shape
+    g = scale.shape[0]
+    wf = w_q.astype(dtype).reshape(g, k // g, n) * scale.astype(dtype)[:, None, :]
+    return wf.reshape(k, n)
