@@ -27,9 +27,17 @@ def _lib():
 
 
 class BPETokenizer:
-    """merges: ordered list of (left, right, result) with result >= 256."""
+    """merges: ordered list of (left, right, result) with result >= 256.
 
-    def __init__(self, merges):
+    `special_tokens`: ordered list of literal strings (e.g. "<|eos|>",
+    "<|im_start|>") assigned ids AFTER the BPE vocab, in order.  Specials
+    never merge with surrounding text: encode() splits the input on the
+    literals (longest-first) and BPE-encodes only the segments between
+    them; decode() renders their literal strings back.  This is the
+    tiktoken/HF "added tokens" convention — the ids are stable, the
+    literals round-trip, and SFT/chat markup survives tokenization."""
+
+    def __init__(self, merges, special_tokens=()):
         self.merges = [(int(l), int(r), int(t)) for l, r, t in merges]
         self._ranks = {(l, r): (rank, t) for rank, (l, r, t) in enumerate(self.merges)}
         # id -> bytes, built incrementally from the merges
@@ -38,6 +46,14 @@ class BPETokenizer:
             if t != len(self._bytes):
                 raise ValueError(f"merge result ids must be dense from 256; got {t}")
             self._bytes.append(self._bytes[l] + self._bytes[r])
+        self.special_tokens = list(special_tokens)
+        if len(set(self.special_tokens)) != len(self.special_tokens):
+            raise ValueError("duplicate special tokens")
+        self._special_id = {s: len(self._bytes) + i
+                            for i, s in enumerate(self.special_tokens)}
+        # longest-first: overlapping literals resolve to the longest match
+        self._special_order = sorted(self.special_tokens, key=len,
+                                     reverse=True)
         self._handle = None
         lib = _lib()
         if lib is not None:
@@ -57,6 +73,7 @@ class BPETokenizer:
         the smaller pair for determinism."""
         if vocab_size < 256:
             raise ValueError("vocab_size must be >= 256 (byte-level)")
+        # (specials are added post-training via with_special_tokens)
         data = corpus.encode("utf-8") if isinstance(corpus, str) else bytes(corpus)
         ids = np.frombuffer(data, np.uint8).astype(np.int64)
         merges = []
@@ -94,13 +111,34 @@ class BPETokenizer:
 
     @property
     def vocab_size(self) -> int:
-        return len(self._bytes)
+        return len(self._bytes) + len(self.special_tokens)
+
+    def special_id(self, literal: str) -> int:
+        """Token id of a registered special literal (KeyError if absent)."""
+        return self._special_id[literal]
 
     def token_bytes(self, tok: int) -> bytes:
+        if tok >= len(self._bytes):
+            return self.special_tokens[tok - len(self._bytes)].encode("utf-8")
         return self._bytes[tok]
 
-    def encode(self, text) -> np.ndarray:
-        """str (utf-8) or bytes -> int32 token ids."""
+    def encode(self, text, allow_special: bool = True) -> np.ndarray:
+        """str (utf-8) or bytes -> int32 token ids.  With allow_special
+        (default) occurrences of registered special literals become their
+        single ids (longest match first) and never merge across their
+        boundaries; allow_special=False treats them as plain text."""
+        if (allow_special and self.special_tokens
+                and isinstance(text, str)):
+            parts = self._split_special(text)
+            if len(parts) > 1 or (parts and isinstance(parts[0], int)):
+                out = []
+                for p in parts:
+                    if isinstance(p, int):
+                        out.append(np.asarray([p], np.int32))
+                    else:
+                        out.append(self.encode(p, allow_special=False))
+                return (np.concatenate(out) if out
+                        else np.zeros((0,), np.int32))
         data = text.encode("utf-8") if isinstance(text, str) else bytes(text)
         if not data:
             return np.zeros((0,), np.int32)
@@ -115,6 +153,24 @@ class BPETokenizer:
             return out[:n].copy()
         return self._encode_py(data)
 
+    def _split_special(self, text: str):
+        """[str | special_id] pieces, literals matched longest-first."""
+        parts = [text]
+        for lit in self._special_order:
+            nxt = []
+            for p in parts:
+                if isinstance(p, int) or lit not in p:
+                    nxt.append(p)
+                    continue
+                segs = p.split(lit)
+                for i, seg in enumerate(segs):
+                    if i:
+                        nxt.append(self._special_id[lit])
+                    if seg:
+                        nxt.append(seg)
+            parts = nxt
+        return parts
+
     def decode(self, ids, errors: str = "replace") -> str:
         return self.decode_bytes(ids).decode("utf-8", errors=errors)
 
@@ -122,6 +178,21 @@ class BPETokenizer:
         ids = np.asarray(ids, np.int32)
         if ids.size == 0:
             return b""
+        if self.special_tokens and bool((ids >= len(self._bytes)).any()):
+            # split runs at special ids: BPE-decode the runs natively,
+            # splice the literals
+            out, run = [], []
+            for t_ in ids.tolist():
+                if t_ >= len(self._bytes):
+                    if run:
+                        out.append(self.decode_bytes(np.asarray(run, np.int32)))
+                        run = []
+                    out.append(self.token_bytes(t_))
+                else:
+                    run.append(t_)
+            if run:
+                out.append(self.decode_bytes(np.asarray(run, np.int32)))
+            return b"".join(out)
         if self._handle is not None:
             lib = _lib()
             idp = ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
@@ -160,7 +231,8 @@ class BPETokenizer:
 
     def save(self, path: str) -> None:
         with open(path, "w") as f:
-            json.dump({"format": "kfunca-bpe-v1", "merges": self.merges}, f)
+            json.dump({"format": "kfunca-bpe-v1", "merges": self.merges,
+                       "special_tokens": self.special_tokens}, f)
 
     @classmethod
     def load(cls, path: str) -> "BPETokenizer":
@@ -168,7 +240,13 @@ class BPETokenizer:
             d = json.load(f)
         if d.get("format") != "kfunca-bpe-v1":
             raise ValueError(f"not a kfunca bpe file: {path}")
-        return cls(d["merges"])
+        return cls(d["merges"], d.get("special_tokens", ()))
+
+    def with_special_tokens(self, special_tokens) -> "BPETokenizer":
+        """A new tokenizer sharing the merges with `special_tokens`
+        appended after the BPE vocab (the post-training registration
+        step — ids of existing text tokens are unchanged)."""
+        return BPETokenizer(self.merges, special_tokens)
 
     def __del__(self):
         if getattr(self, "_handle", None) is not None:

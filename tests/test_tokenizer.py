@@ -90,3 +90,67 @@ class TestPersistence:
         p.write_text('{"something": 1}')
         with pytest.raises(ValueError, match="not a kfunca bpe"):
             BPETokenizer.load(str(p))
+
+
+class TestSpecialTokens:
+    def _tk(self):
+        from kfunca_tpu.models.tokenizer import BPETokenizer
+
+        base = BPETokenizer.train("the sea rose and the wind sang " * 30, 300)
+        return base.with_special_tokens(["<|eos|>", "<|im_start|>",
+                                         "<|im_start|>user"])
+
+    def test_roundtrip_and_ids(self):
+        tk = self._tk()
+        base = tk.vocab_size - 3  # BPE training may stop early on a
+        eos = tk.special_id("<|eos|>")  # small corpus; ids stay dense
+        assert eos == base
+        text = "the sea<|eos|>the wind<|eos|>"
+        ids = tk.encode(text)
+        assert list(ids).count(eos) == 2
+        assert tk.decode(ids) == text
+
+    def test_longest_match_wins(self):
+        tk = self._tk()
+        ids = tk.encode("<|im_start|>user hello")
+        assert ids[0] == tk.special_id("<|im_start|>user")
+        assert tk.special_id("<|im_start|>") not in ids[:1]
+        assert tk.decode(ids) == "<|im_start|>user hello"
+
+    def test_no_merge_across_boundary(self):
+        """Text adjacent to a special literal encodes exactly like the
+        standalone segments (the literal is a hard split point)."""
+        tk = self._tk()
+        a = tk.encode("the sea")
+        b = tk.encode("the wind")
+        joined = tk.encode("the sea<|eos|>the wind")
+        want = list(a) + [tk.special_id("<|eos|>")] + list(b)
+        assert list(joined) == want
+
+    def test_allow_special_false_is_plain_text(self):
+        tk = self._tk()
+        ids = tk.encode("<|eos|>", allow_special=False)
+        assert tk.special_id("<|eos|>") not in ids
+        assert tk.decode(ids) == "<|eos|>"
+
+    def test_save_load_preserves_specials(self, tmp_path):
+        tk = self._tk()
+        p = str(tmp_path / "tok.json")
+        tk.save(p)
+        from kfunca_tpu.models.tokenizer import BPETokenizer
+
+        tk2 = BPETokenizer.load(p)
+        assert tk2.special_tokens == tk.special_tokens
+        text = "the sea<|eos|>"
+        import numpy as np
+
+        np.testing.assert_array_equal(tk.encode(text), tk2.encode(text))
+
+    def test_duplicate_specials_rejected(self):
+        import pytest
+
+        from kfunca_tpu.models.tokenizer import BPETokenizer
+
+        base = BPETokenizer.train("ab " * 200, 258)
+        with pytest.raises(ValueError, match="duplicate"):
+            base.with_special_tokens(["<|a|>", "<|a|>"])
