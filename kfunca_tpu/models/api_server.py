@@ -62,6 +62,26 @@ class _Utf8Carry:
         return self._dec.getstate()[0]
 
 
+CHAT_SPECIALS = ("<|im_start|>", "<|im_end|>")
+
+
+def chatml_prompt(tokenizer, messages) -> "np.ndarray":
+    """Render [{"role", "content"}] as ChatML and encode it:
+
+        <|im_start|>role\ncontent<|im_end|>\n ... <|im_start|>assistant\n
+
+    The tokenizer must register CHAT_SPECIALS (e.g.
+    `tok.with_special_tokens(["<|im_start|>", "<|im_end|>"])`) so the
+    markers are single hard-boundary tokens the model can learn/stop on."""
+    for lit in CHAT_SPECIALS:
+        tokenizer.special_id(lit)  # KeyError -> clear failure mode
+    text = "".join(
+        f"<|im_start|>{m['role']}\n{m['content']}<|im_end|>\n"
+        for m in messages)
+    text += "<|im_start|>assistant\n"
+    return tokenizer.encode(text)
+
+
 class ApiServer:
     """HTTP API around an InferenceServer.  start() spins the engine
     thread + HTTP listener; shutdown() stops both.  `port=0` binds an
@@ -230,7 +250,26 @@ def _make_handler(api: ApiServer):
             if self.path == "/v1/cancel":
                 return self._json(
                     200, {"cancelled": api.cancel(int(body.get("id", -1)))})
-            if self.path != "/v1/completions":
+            if self.path == "/v1/chat/completions":
+                if api.tokenizer is None:
+                    return self._json(400, {
+                        "error": "chat needs a server tokenizer"})
+                msgs = body.get("messages")
+                if not isinstance(msgs, list) or not all(
+                        isinstance(m, dict) and "role" in m and "content" in m
+                        for m in msgs):
+                    return self._json(400, {
+                        "error": "messages: [{role, content}, ...]"})
+                try:
+                    body["prompt"] = chatml_prompt(api.tokenizer,
+                                                   msgs).tolist()
+                except KeyError as e:
+                    return self._json(400, {
+                        "error": f"tokenizer lacks chat special token {e}"})
+                # default stop: the end-of-turn marker
+                body.setdefault("stop", [[int(api.tokenizer.special_id(
+                    "<|im_end|>"))]])
+            elif self.path != "/v1/completions":
                 return self._json(404, {"error": f"unknown path {self.path}"})
 
             prompt = body.get("prompt")
@@ -284,8 +323,16 @@ def _make_handler(api: ApiServer):
                       "finish_reason": reason}
             if api.tokenizer is not None:
                 choice["text"] = api.tokenizer.decode(tokens)
+            is_chat = self.path == "/v1/chat/completions"
+            if is_chat:
+                end_id = api.tokenizer.special_id("<|im_end|>")
+                shown = tokens[:-1] if (tokens and tokens[-1] == end_id) \
+                    else tokens
+                choice["message"] = {"role": "assistant",
+                                     "content": api.tokenizer.decode(shown)}
             self._json(200, {
-                "id": rid, "object": "text_completion",
+                "id": rid,
+                "object": "chat.completion" if is_chat else "text_completion",
                 "choices": [choice],
                 "usage": {"prompt_tokens": int(prompt_ids.size),
                           "completion_tokens": len(tokens),

@@ -207,3 +207,58 @@ class TestUtf8Carry:
     def test_malformed_byte_flushes_replacement(self):
         c = _Utf8Carry()
         assert c.feed(b"ok\xff!") == "ok�!" or c.feed(b"") == "!"
+
+
+class TestChat:
+    def test_chat_completions_endpoint(self):
+        cfg = small_cfg(vocab_size=300)
+        params = init_params(jax.random.PRNGKey(2), cfg)
+        tk = BPETokenizer.train("the sea rose and the wind sang " * 20,
+                                296).with_special_tokens(
+            ["<|im_start|>", "<|im_end|>"])
+        assert tk.vocab_size <= 300
+        srv = ApiServer(make_engine(cfg, params), tokenizer=tk,
+                        port=0).start()
+        try:
+            out = post(srv, "/v1/chat/completions",
+                       {"messages": [
+                           {"role": "system", "content": "be brief"},
+                           {"role": "user", "content": "the sea?"}],
+                        "max_tokens": 8})
+            assert out["object"] == "chat.completion"
+            msg = out["choices"][0]["message"]
+            assert msg["role"] == "assistant"
+            # content excludes the end-of-turn marker
+            assert "<|im_end|>" not in msg["content"]
+            # template round-trip: the prompt the engine saw decodes back
+            # to the ChatML rendering
+            from kfunca_tpu.models.api_server import chatml_prompt
+
+            ids = chatml_prompt(tk, [
+                {"role": "system", "content": "be brief"},
+                {"role": "user", "content": "the sea?"}])
+            want = ("<|im_start|>system\nbe brief<|im_end|>\n"
+                    "<|im_start|>user\nthe sea?<|im_end|>\n"
+                    "<|im_start|>assistant\n")
+            assert tk.decode(ids) == want
+            # bad messages shape -> 400
+            with pytest.raises(urllib.error.HTTPError) as e:
+                post(srv, "/v1/chat/completions", {"messages": "hi"})
+            assert e.value.code == 400
+        finally:
+            srv.shutdown()
+
+    def test_chat_requires_chat_specials(self):
+        cfg = small_cfg(vocab_size=300)
+        params = init_params(jax.random.PRNGKey(2), cfg)
+        tk = BPETokenizer.train("the sea " * 30, 280)  # no specials
+        srv = ApiServer(make_engine(cfg, params), tokenizer=tk,
+                        port=0).start()
+        try:
+            with pytest.raises(urllib.error.HTTPError) as e:
+                post(srv, "/v1/chat/completions",
+                     {"messages": [{"role": "user", "content": "x"}]})
+            assert e.value.code == 400
+            assert "special token" in json.loads(e.value.read())["error"]
+        finally:
+            srv.shutdown()
