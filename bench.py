@@ -444,6 +444,32 @@ def bench_serving(L=8, dm=1024, h=16, page=None, ctx=960, capacity=1024):
                           ("pallas_w8kv8", chain("pallas", q8=True, kv8=True))):
             dt = slope_time(ch, k1=4, k2=16, label=f"decode-{label}-B{B}", reps=2)
             results[f"{label}_B{B}_tokens_per_s"] = round(B / dt, 1)
+
+    # prefill throughput: the full-prompt forward the engine's admission
+    # pays per request (B=1, the scheduler prefills one request at a
+    # time).  The chain threads cache and a logits-dependent bump through
+    # each iteration so XLA cannot CSE the identical prefills.
+    from kfunca_tpu.models.generate import forward_with_cache, init_kv_cache
+
+    cache0 = init_kv_cache(cfg, 1, ctx + 64)
+    ptoks = jax.random.randint(jax.random.PRNGKey(9), (1, ctx), 0,
+                               cfg.vocab_size, jnp.int32)
+
+    def chain_prefill(K):
+        @jax.jit
+        def f(prm, cache, t):
+            def body(_, carry):
+                cache, t = carry
+                lg, cache = forward_with_cache(prm, t, cache, jnp.int32(0), cfg)
+                bump = (lg[0, 0, 0] > jnp.float32(1e30)).astype(t.dtype)
+                return cache, t + bump
+            cache, t = lax.fori_loop(0, K, body, (cache, t))
+            return t
+        return lambda: f(params, cache0, ptoks)
+
+    dt_pf = slope_time(chain_prefill, k1=2, k2=8, label="prefill", reps=2)
+    results["prefill_tokens_per_s"] = round(ctx / dt_pf, 1)
+    results["prefill_ctx"] = ctx
     return results
 
 
