@@ -15,13 +15,15 @@ analog of the reference Launcher's runtime toggles, launcher_cuda.h:245-255).
 from __future__ import annotations
 
 import os
-from functools import lru_cache
 
 import jax
 
 
-@lru_cache(maxsize=1)
 def backend() -> str:
+    # NOT cached here: jax's own get_backend cache makes this a few dict
+    # lookups, and a process-lifetime lru_cache goes stale across backend
+    # resets (entry() on the real TPU followed by dryrun_multichip's
+    # virtual CPU mesh dispatched TPU Pallas kernels on CPU — r3 bug)
     return jax.default_backend()
 
 
