@@ -1,0 +1,169 @@
+"""DiT diffusion family: adaLN-Zero identity at init, schedule invariants,
+training convergence on a synthetic dataset, DDIM sampler determinism +
+classifier-free-guidance wiring."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from kfunca_tpu.models.dit import (
+    DiTConfig,
+    alphas_bar,
+    ddim_sample,
+    dit_forward,
+    dit_loss,
+    init_dit_params,
+    make_dit_train_step,
+    q_sample,
+    unpatchify,
+)
+from kfunca_tpu.models.vision import patchify
+
+
+def small_cfg(**kw):
+    kw.setdefault("image_size", 16)
+    kw.setdefault("patch_size", 4)
+    kw.setdefault("channels", 3)
+    kw.setdefault("d_model", 64)
+    kw.setdefault("n_heads", 2)
+    kw.setdefault("n_layers", 2)
+    kw.setdefault("d_ff", 128)
+    kw.setdefault("n_classes", 4)
+    kw.setdefault("timesteps", 100)
+    kw.setdefault("dtype", "float32")
+    return DiTConfig(**kw)
+
+
+class TestModel:
+    def test_adaln_zero_init_output_is_zero(self):
+        """Zero-init modulation + zero-init final projection: the model
+        output at init is exactly 0 everywhere, for every (t, y)."""
+        cfg = small_cfg()
+        params = init_dit_params(jax.random.PRNGKey(0), cfg)
+        x = jax.random.normal(jax.random.PRNGKey(1),
+                              (2, 16, 16, 3), jnp.float32)
+        t = jnp.asarray([0, 50], jnp.int32)
+        y = jnp.asarray([1, cfg.null_class], jnp.int32)
+        out = np.asarray(dit_forward(params, x, t, y, cfg))
+        assert out.shape == (2, 16, 16, 3)
+        np.testing.assert_array_equal(out, 0.0)
+
+    def test_conditioning_wired(self):
+        """After perturbing params off the zero init, output must depend
+        on t and on y."""
+        cfg = small_cfg()
+        params = init_dit_params(jax.random.PRNGKey(0), cfg)
+        params = jax.tree.map(
+            lambda a: a + 0.05 * jax.random.normal(
+                jax.random.PRNGKey(hash(a.shape) % 1000), a.shape, a.dtype),
+            params)
+        x = jax.random.normal(jax.random.PRNGKey(1), (1, 16, 16, 3))
+        f = lambda t, y: np.asarray(dit_forward(  # noqa: E731
+            params, x, jnp.asarray([t], jnp.int32),
+            jnp.asarray([y], jnp.int32), cfg))
+        assert np.abs(f(0, 1) - f(90, 1)).max() > 1e-5  # t matters
+        assert np.abs(f(0, 1) - f(0, 2)).max() > 1e-5  # y matters
+
+    def test_unpatchify_inverts_patchify(self):
+        cfg = small_cfg()
+        x = jax.random.normal(jax.random.PRNGKey(2), (2, 16, 16, 3))
+        np.testing.assert_array_equal(
+            np.asarray(unpatchify(patchify(x, cfg.vit()), cfg)),
+            np.asarray(x))
+
+
+class TestSchedule:
+    def test_alphas_bar_monotone(self):
+        ab = np.asarray(alphas_bar(small_cfg()))
+        assert (np.diff(ab) < 0).all() and 0 < ab[-1] < ab[0] < 1
+
+    def test_q_sample_endpoints(self):
+        cfg = small_cfg()
+        ab = alphas_bar(cfg)
+        x0 = jax.random.normal(jax.random.PRNGKey(3), (2, 16, 16, 3))
+        eps = jax.random.normal(jax.random.PRNGKey(4), (2, 16, 16, 3))
+        t0 = jnp.zeros((2,), jnp.int32)
+        xt = np.asarray(q_sample(x0, t0, eps, ab))
+        ref = np.sqrt(float(ab[0])) * np.asarray(x0) + np.sqrt(
+            1 - float(ab[0])) * np.asarray(eps)
+        np.testing.assert_allclose(xt, ref, rtol=1e-6, atol=1e-6)
+        # at t=T-1 the exact mixture holds and noise dominates signal
+        tT = jnp.full((2,), cfg.timesteps - 1, jnp.int32)
+        xT = np.asarray(q_sample(x0, tT, eps, ab))
+        aT = float(ab[-1])
+        refT = np.sqrt(aT) * np.asarray(x0) + np.sqrt(1 - aT) * np.asarray(eps)
+        np.testing.assert_allclose(xT, refT, rtol=1e-6, atol=1e-6)
+        assert 1 - aT > aT  # the noise coefficient exceeds the signal's
+
+
+class TestTraining:
+    def test_loss_converges(self):
+        """On a two-class synthetic dataset the eps-MSE must fall well
+        below the trivial predict-zero loss (=1.0 for unit noise)."""
+        cfg = small_cfg()
+        params = init_dit_params(jax.random.PRNGKey(0), cfg)
+        from kfunca_tpu.models.train import OptConfig, init_opt_state
+
+        step = jax.jit(make_dit_train_step(cfg, OptConfig(
+            lr=3e-3, weight_decay=0.0)))
+        opt = init_opt_state(params)
+        rng = np.random.RandomState(0)
+        base = rng.normal(size=(2, 16, 16, 3)).astype(np.float32)
+        losses = []
+        for i in range(80):
+            lab = jnp.asarray([i % 2, (i + 1) % 2], jnp.int32)
+            img = jnp.asarray(base[np.asarray(lab)])
+            params, opt, loss = step(params, opt,
+                                     jax.random.PRNGKey(i), img, lab)
+            losses.append(float(loss))
+        assert all(np.isfinite(losses))
+        # predicting eps=0 scores exactly 1.0 in expectation; the model
+        # must beat it clearly once past the zero-init phase
+        assert np.mean(losses[-10:]) < 0.6 * np.mean(losses[:3])
+
+    def test_loss_finite_at_init(self):
+        cfg = small_cfg()
+        params = init_dit_params(jax.random.PRNGKey(0), cfg)
+        img = jax.random.normal(jax.random.PRNGKey(5), (2, 16, 16, 3))
+        loss = float(dit_loss(params, jax.random.PRNGKey(6), img,
+                              jnp.asarray([0, 1], jnp.int32), cfg))
+        # with zero output, the loss is E|eps|^2 ~ 1
+        assert 0.5 < loss < 2.0
+
+
+class TestSampler:
+    def test_ddim_deterministic_and_shaped(self):
+        cfg = small_cfg()
+        params = init_dit_params(jax.random.PRNGKey(0), cfg)
+        lab = jnp.asarray([0, 1], jnp.int32)
+        a = np.asarray(ddim_sample(params, jax.random.PRNGKey(7), lab, cfg,
+                                   steps=8))
+        b = np.asarray(ddim_sample(params, jax.random.PRNGKey(7), lab, cfg,
+                                   steps=8))
+        c = np.asarray(ddim_sample(params, jax.random.PRNGKey(8), lab, cfg,
+                                   steps=8))
+        assert a.shape == (2, 16, 16, 3)
+        np.testing.assert_array_equal(a, b)  # same key -> same sample
+        assert np.abs(a - c).max() > 1e-6  # noise seed matters
+
+    def test_cfg_guidance_wired(self):
+        """guidance != 1 must change the sample (cond/uncond branches both
+        live); at the zero init both branches agree so CFG is a no-op."""
+        cfg = small_cfg()
+        params = init_dit_params(jax.random.PRNGKey(0), cfg)
+        lab = jnp.asarray([1], jnp.int32)
+        a0 = np.asarray(ddim_sample(params, jax.random.PRNGKey(9), lab, cfg,
+                                    steps=4, guidance=1.0))
+        b0 = np.asarray(ddim_sample(params, jax.random.PRNGKey(9), lab, cfg,
+                                    steps=4, guidance=3.0))
+        np.testing.assert_allclose(a0, b0, atol=1e-5)  # zero init: no-op
+        params = jax.tree.map(
+            lambda a: a + 0.05 * jax.random.normal(
+                jax.random.PRNGKey(hash(a.shape) % 1000), a.shape, a.dtype),
+            params)
+        a = np.asarray(ddim_sample(params, jax.random.PRNGKey(9), lab, cfg,
+                                   steps=4, guidance=1.0))
+        b = np.asarray(ddim_sample(params, jax.random.PRNGKey(9), lab, cfg,
+                                   steps=4, guidance=3.0))
+        assert np.abs(a - b).max() > 1e-6
