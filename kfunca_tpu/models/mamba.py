@@ -374,3 +374,44 @@ def to_hf_mamba(params, cfg: MambaConfig) -> dict:
         sd[f"{m}.D"] = np.asarray(p["D"], np.float32)
         sd[f"{m}.out_proj.weight"] = np.asarray(p["out_proj"], np.float32).T
     return sd
+
+
+# ---------------------------------------------------------------------------
+# mesh parallelism (dp x tp)
+# ---------------------------------------------------------------------------
+
+
+def mamba_param_specs(params) -> dict:
+    """Channel-parallel TP over d_inner — the SSM analog of Megatron
+    column/row pairs: in_proj/conv/dt_proj/A_log/D shard their d_inner
+    axis over tp (the scan itself is elementwise in d_inner, so it runs
+    fully sharded with zero collectives); x_proj and out_proj are the two
+    row-parallel reduction points where GSPMD inserts the all-reduce.
+    in_proj's 2*d_inner output splits [hidden|gate] at the midpoint,
+    which stays shard-aligned because tp divides d_inner.  Forward parity
+    pinned on the 8-device CPU mesh (tests/test_mamba.py::TestMesh)."""
+    from jax.sharding import PartitionSpec as P
+
+    layers = [{
+        "norm": P(),
+        "in_proj": P(None, "tp"),
+        "conv_w": P(None, "tp"),
+        "conv_b": P("tp"),
+        "x_proj": P("tp", None),  # row-parallel: dt/B/C all-reduce
+        "dt_proj": P(None, "tp"),
+        "dt_bias": P("tp"),
+        "A_log": P("tp", None),
+        "D": P("tp"),
+        "out_proj": P("tp", None),  # row-parallel: block-output all-reduce
+    } for _ in params["layers"]]
+    return {"embed": P(None, "tp"), "final_norm": P(), "layers": layers}
+
+
+def shard_mamba_params(params, mesh):
+    from jax.sharding import NamedSharding
+
+    specs = mamba_param_specs(params)
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        params, specs,
+        is_leaf=lambda x: not isinstance(x, (dict, list)))

@@ -598,3 +598,56 @@ def to_hf_t5(params, cfg: T5Config) -> dict:
             p["mlp_norm"], np.float32)
         put_mlp(f"{b}.layer.2.DenseReluDense", p["mlp"])
     return sd
+
+
+# ---------------------------------------------------------------------------
+# mesh parallelism (dp x tp)
+# ---------------------------------------------------------------------------
+
+
+def t5_param_specs(params, cfg: T5Config) -> dict:
+    """Megatron-style TP sharding over the (dp, tp) mesh
+    (parallel/mesh.py): q/k/v column-parallel (heads over tp), o
+    row-parallel, MLP wi* column / wo row, relative-bias tables sharded
+    over their head axis, norms replicated.  GSPMD inserts the
+    all-reduces; forward parity is pinned on the 8-device CPU mesh
+    (tests/test_t5.py::TestMesh)."""
+    from jax.sharding import PartitionSpec as P
+
+    def attn_spec():
+        return {"wq": P(None, "tp"), "wk": P(None, "tp"),
+                "wv": P(None, "tp"), "wo": P("tp", None)}
+
+    def mlp_spec():
+        if cfg.mlp_type == "gated-gelu":
+            return {"wi_0": P(None, "tp"), "wi_1": P(None, "tp"),
+                    "wo": P("tp", None)}
+        return {"wi": P(None, "tp"), "wo": P("tp", None)}
+
+    enc = [{"attn_norm": P(), "attn": attn_spec(), "mlp_norm": P(),
+            "mlp": mlp_spec()} for _ in params["encoder"]]
+    dec = [{"attn_norm": P(), "attn": attn_spec(), "cross_norm": P(),
+            "cross": attn_spec(), "mlp_norm": P(), "mlp": mlp_spec()}
+           for _ in params["decoder"]]
+    out = {
+        "embed": P(None, "tp"),
+        "enc_rel_bias": P(None, "tp"),  # (buckets, H): heads follow tp
+        "dec_rel_bias": P(None, "tp"),
+        "enc_final_norm": P(),
+        "dec_final_norm": P(),
+        "encoder": enc,
+        "decoder": dec,
+    }
+    if "lm_head" in params:
+        out["lm_head"] = P(None, "tp")
+    return out
+
+
+def shard_t5_params(params, mesh, cfg: T5Config):
+    from jax.sharding import NamedSharding
+
+    specs = t5_param_specs(params, cfg)
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        params, specs,
+        is_leaf=lambda x: not isinstance(x, (dict, list)))

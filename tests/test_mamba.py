@@ -159,3 +159,24 @@ class TestHF:
         np.testing.assert_allclose(
             np.asarray(forward(params, t, cfg)),
             np.asarray(forward(params2, t, cfg)), atol=1e-6)
+
+
+class TestMesh:
+    def test_forward_parity_sharded_vs_single(self):
+        """dp2 x tp4 channel-parallel Mamba == single-device forward: the
+        scan runs fully sharded over d_inner; x_proj/out_proj are the two
+        all-reduce points."""
+        from kfunca_tpu.models.mamba import shard_mamba_params
+        from kfunca_tpu.parallel.mesh import make_mesh
+
+        cfg = small_cfg()  # d_inner=64 divisible by tp=4
+        params = init_mamba_params(jax.random.PRNGKey(0), cfg)
+        t = toks(20, 2, 10)
+        ref = forward(params, t, cfg)
+
+        mesh = make_mesh(8)
+        sharded = shard_mamba_params(params, mesh)
+        with mesh:
+            out = jax.jit(lambda p, t_: forward(p, t_, cfg))(sharded, t)
+        np.testing.assert_allclose(
+            np.asarray(ref), np.asarray(out), atol=1e-4, rtol=1e-4)

@@ -229,3 +229,23 @@ class TestHF:
         np.testing.assert_allclose(
             np.asarray(t5_forward(params, enc, dec, cfg)),
             np.asarray(t5_forward(params2, enc, dec, cfg)), atol=1e-6)
+
+
+class TestMesh:
+    def test_forward_parity_sharded_vs_single(self):
+        """dp2 x tp4 Megatron-sharded T5 == the single-device forward."""
+        from kfunca_tpu.models.t5 import shard_t5_params
+        from kfunca_tpu.parallel.mesh import make_mesh
+
+        cfg = small_cfg(d_kv=8, n_heads=4)  # heads divisible by tp=4
+        params = init_t5_params(jax.random.PRNGKey(0), cfg)
+        enc, dec = toks(20, 2, 8), toks(21, 2, 6)
+        ref = t5_forward(params, enc, dec, cfg)
+
+        mesh = make_mesh(8)
+        sharded = shard_t5_params(params, mesh, cfg)
+        with mesh:
+            out = jax.jit(lambda p, e, d: t5_forward(p, e, d, cfg))(
+                sharded, enc, dec)
+        np.testing.assert_allclose(
+            np.asarray(ref), np.asarray(out), atol=1e-4, rtol=1e-4)
