@@ -22,7 +22,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from .transformer import TransformerConfig, apply_norm, lm_head_weight
+from .transformer import TransformerConfig, apply_norm, embed_tokens, lm_head_weight
 
 
 def init_kv_cache(cfg: TransformerConfig, batch: int, max_len: int):
@@ -120,7 +120,7 @@ def _block_with_cache(x, p, layer_cache, start_pos, cfg: TransformerConfig):
 
 def forward_with_cache(params, tokens, cache, start_pos, cfg: TransformerConfig):
     """tokens (B, T) at absolute start_pos -> (logits (B, T, V), new cache)."""
-    x = params["embed"][tokens].astype(cfg.act_dtype)
+    x = embed_tokens(params, tokens, cfg)
     if cfg.pos == "learned":
         pos = start_pos + jnp.arange(tokens.shape[1])
         x = x + jnp.take(params["pos_embed"], pos, axis=0).astype(cfg.act_dtype)

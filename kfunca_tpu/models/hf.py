@@ -106,6 +106,23 @@ def config_from_hf(hf_config, dtype: str = "bfloat16") -> TransformerConfig:
             f"custom head_dim {head_dim} != hidden_size/num_heads "
             f"{d_model // n_heads} is not supported"
         )
+    if get("model_type") == "gemma":
+        # Gemma: sqrt(d) embedding normalizer, (1 + w) RMSNorm, GeGLU MLP
+        # (gelu_pytorch_tanh), tied head; the param layout is Llama's so
+        # params_from_hf/to_hf work unchanged
+        return TransformerConfig(
+            vocab_size=get("vocab_size"),
+            d_model=d_model,
+            n_heads=n_heads,
+            n_layers=get("num_hidden_layers"),
+            d_ff=get("intermediate_size"),
+            max_seq_len=get("max_position_embeddings", 8192),
+            dtype=dtype,
+            rope_theta=float(get("rope_theta", 10000.0)),
+            norm_eps=float(get("rms_norm_eps", 1e-6)),
+            n_kv_heads=get("num_key_value_heads") or n_heads,
+            norm="rms_offset", mlp_type="geglu", embed_scale=True,
+        )
     rope_scaling, rope_type = 1.0, "linear"
     rs = get("rope_scaling")
     if rs:

@@ -114,7 +114,9 @@ def make_loss_fn(cfg: PipelineMoEConfig, mesh):
         b, s = tokens.shape
         m = cfg.n_microbatches
         mb = b // m
-        x = params["embed"][tokens].astype(cfg.act_dtype)  # (B, S, D)
+        from .transformer import embed_tokens
+
+        x = embed_tokens(params, tokens, cfg)  # (B, S, D)
         x_mb = x.reshape(m, mb, s, cfg.d_model)
         y_mb = pipelined(params["stages"], x_mb)  # (M, mb, S, D)
         y = y_mb.reshape(b, s, cfg.d_model)

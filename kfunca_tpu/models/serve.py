@@ -518,7 +518,9 @@ def paged_decode_step(
     Returns (new_tokens (B,), pools_k, pools_v).  Inactive slots decode
     garbage harmlessly (their pages are reserved); callers ignore them.
     """
-    x = params["embed"][last_tokens[:, None]].astype(cfg.act_dtype)  # (B,1,dm)
+    from .transformer import embed_tokens
+
+    x = embed_tokens(params, last_tokens[:, None], cfg)  # (B, 1, dm)
     if cfg.pos == "learned":  # per-slot absolute position (GPT-2 family)
         x = x + jnp.take(params["pos_embed"], positions, axis=0)[
             :, None].astype(cfg.act_dtype)

@@ -82,6 +82,12 @@ class TransformerConfig:
     rope_pct: float = 1.0
     parallel_residual: bool = False
     gelu_exact: bool = False
+    # Gemma-family switches: embed_scale multiplies token embeddings by
+    # sqrt(d_model) (cast to the activation dtype, the HF normalizer);
+    # norm="rms_offset" computes RMSNorm with gain (1 + w) (HF stores w
+    # zero-centered); mlp_type="geglu" is gelu(gate)*up over the same
+    # w_gate/w_up/w_down params as swiglu
+    embed_scale: bool = False
 
     @property
     def kv_heads(self) -> int:
@@ -123,10 +129,12 @@ def _init_linear(key, fan_in, fan_out):
 
 def init_params(key, cfg: TransformerConfig):
     keys = jax.random.split(key, cfg.n_layers * 6 + 2)
+    # rms_offset (Gemma) stores the gain zero-centered: init 0 => gain 1
+    gain0 = 0.0 if cfg.norm == "rms_offset" else 1.0
     params = {
         "embed": jax.random.normal(keys[0], (cfg.vocab_size, cfg.d_model), jnp.float32)
         * 0.02,
-        "final_norm": jnp.ones((cfg.d_model,), jnp.float32),
+        "final_norm": jnp.full((cfg.d_model,), gain0, jnp.float32),
         "blocks": [],
     }
     if cfg.pos == "learned":
@@ -138,10 +146,10 @@ def init_params(key, cfg: TransformerConfig):
     for i in range(cfg.n_layers):
         k = keys[2 + i * 6 : 2 + (i + 1) * 6]
         blk = {
-            "attn_norm": jnp.ones((cfg.d_model,), jnp.float32),
+            "attn_norm": jnp.full((cfg.d_model,), gain0, jnp.float32),
             "wqkv": _init_linear(k[0], cfg.d_model, cfg.qkv_out),
             "wo": _init_linear(k[1], cfg.d_model, cfg.d_model),
-            "mlp_norm": jnp.ones((cfg.d_model,), jnp.float32),
+            "mlp_norm": jnp.full((cfg.d_model,), gain0, jnp.float32),
         }
         if cfg.norm == "layernorm":
             blk["attn_norm_b"] = jnp.zeros((cfg.d_model,), jnp.float32)
@@ -207,6 +215,8 @@ def apply_norm(x, p, name, cfg: TransformerConfig):
     bias from p[name + "_b"]."""
     if cfg.norm == "rms":
         return rms_norm(x, p[name], cfg.norm_eps)
+    if cfg.norm == "rms_offset":  # Gemma: gain is (1 + w), w stored as-is
+        return rms_norm(x, p[name] + 1.0, cfg.norm_eps)
     return layer_norm(x, p[name], p[name + "_b"], cfg.norm_eps)
 
 
@@ -310,7 +320,9 @@ def mlp(y, p, cfg: TransformerConfig, mm=_plain_mm):
 
         gate = mml(y, "w_gate")
         up = mml(y, "w_up")
-        act = (jax.nn.silu(gate) * up).astype(y.dtype)
+        g = (jax.nn.gelu(gate, approximate=True) if cfg.mlp_type == "geglu"
+             else jax.nn.silu(gate))  # geglu: Gemma's gelu_pytorch_tanh
+        act = (g * up).astype(y.dtype)
         return mml(act, "w_down")
     logits = jnp.dot(
         y.astype(jnp.float32), p["router"].astype(jnp.float32)
@@ -365,9 +377,21 @@ def _block(x, p, cfg: TransformerConfig):
     return x
 
 
+def embed_tokens(params, tokens, cfg: TransformerConfig):
+    """Token embedding in the activation dtype; cfg.embed_scale applies
+    Gemma's sqrt(d_model) normalizer (cast to the activation dtype, the
+    HF convention)."""
+    x = params["embed"][tokens].astype(cfg.act_dtype)
+    # getattr: pipeline configs (PipelineMoEConfig) duck-type the fields
+    # embed_tokens reads but predate the Gemma switch
+    if getattr(cfg, "embed_scale", False):
+        x = x * jnp.asarray(math.sqrt(cfg.d_model), cfg.act_dtype)
+    return x
+
+
 def hidden_states(params, tokens, cfg: TransformerConfig):
     """tokens: (B, S) int32 -> final-norm trunk output (B, S, d_model)."""
-    x = params["embed"][tokens].astype(cfg.act_dtype)
+    x = embed_tokens(params, tokens, cfg)
     if cfg.pos == "learned":
         x = x + params["pos_embed"][: tokens.shape[1]].astype(cfg.act_dtype)
     block_fn = _block
