@@ -198,8 +198,17 @@ def dit_forward(params, images, t, y, cfg: DiTConfig):
 
 
 def alphas_bar(cfg: DiTConfig):
-    """DDPM linear-beta schedule's cumulative alpha, (T,) fp32."""
-    betas = jnp.linspace(1e-4, 0.02, cfg.timesteps, dtype=jnp.float32)
+    """DDPM linear-beta schedule's cumulative alpha, (T,) fp32.
+
+    The canonical (1e-4, 0.02) endpoints are calibrated for T=1000; for
+    other T they are scaled by 1000/T (the diffusers convention) so the
+    TERMINAL SNR stays near zero — otherwise short schedules leave
+    ~sqrt(ab_T) signal at t=T-1 and sampling from pure noise starts
+    out-of-distribution (observed as class-unconditional samples in
+    examples/generate_dit.py before the fix)."""
+    scale = 1000.0 / cfg.timesteps
+    betas = jnp.linspace(scale * 1e-4, scale * 0.02, cfg.timesteps,
+                         dtype=jnp.float32)
     return jnp.cumprod(1.0 - betas)
 
 
@@ -244,10 +253,13 @@ def make_dit_train_step(cfg: DiTConfig, oc=None, drop_prob: float = 0.1):
 
 
 def ddim_sample(params, key, labels, cfg: DiTConfig, steps: int = 50,
-                guidance: float = 1.0):
-    """Deterministic DDIM (eta=0) from pure noise, ONE compiled program.
-    labels (B,) int32; guidance > 1 enables CFG (cond/uncond run as one
-    2B-batched forward).  Returns (B, H, W, C) fp32."""
+                guidance: float = 1.0, eta: float = 0.0):
+    """DDIM sampling from pure noise, ONE compiled program.  labels (B,)
+    int32; guidance > 1 enables CFG (cond/uncond run as one 2B-batched
+    forward).  eta interpolates deterministic DDIM (0, default) to
+    ancestral DDPM-like stochastic sampling (1): per-step noise of scale
+    sigma_t = eta * sqrt((1-ab_prev)/(1-ab_t)) * sqrt(1-ab_t/ab_prev)
+    (Song et al. 2021 eq. 16).  Returns (B, H, W, C) fp32."""
     b = labels.shape[0]
     shape = (b, cfg.image_size, cfg.image_size, cfg.channels)
     # static step subset T-1 -> 0 (evenly spaced), ab gathered by index
@@ -256,7 +268,8 @@ def ddim_sample(params, key, labels, cfg: DiTConfig, steps: int = 50,
 
     @jax.jit
     def run(params, key, labels):
-        x = jax.random.normal(key, shape, jnp.float32)
+        key, knoise = jax.random.split(key)
+        x = jax.random.normal(knoise, shape, jnp.float32)
 
         def eps_fn(x, t):
             tb = jnp.full((b,), t, jnp.int32)
@@ -280,7 +293,17 @@ def ddim_sample(params, key, labels, cfg: DiTConfig, steps: int = 50,
             eps = eps_fn(x, t)
             x0 = (x - jnp.sqrt(1.0 - ab_t) * eps) / jnp.sqrt(ab_t)
             x0 = jnp.clip(x0, -1.5, 1.5)
-            x = jnp.sqrt(ab_prev) * x0 + jnp.sqrt(1.0 - ab_prev) * eps
+            if eta == 0.0:
+                x = jnp.sqrt(ab_prev) * x0 + jnp.sqrt(1.0 - ab_prev) * eps
+            else:
+                sigma = (eta
+                         * jnp.sqrt((1.0 - ab_prev) / (1.0 - ab_t))
+                         * jnp.sqrt(1.0 - ab_t / ab_prev))
+                z = jax.random.normal(jax.random.fold_in(key, i), shape,
+                                      jnp.float32)
+                x = (jnp.sqrt(ab_prev) * x0
+                     + jnp.sqrt(jnp.maximum(1.0 - ab_prev - sigma**2, 0.0))
+                     * eps + sigma * z)
             return x, None
 
         x, _ = jax.lax.scan(step, x, jnp.arange(steps))
