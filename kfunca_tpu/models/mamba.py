@@ -35,6 +35,7 @@ from dataclasses import dataclass
 import jax
 import jax.numpy as jnp
 
+from ..utils.errors import check
 from .transformer import _init_linear, _masked_mean, rms_norm
 
 IGNORE = -100
@@ -51,6 +52,16 @@ class MambaConfig:
     dt_rank: int | None = None  # None = ceil(d_model / 16) (HF "auto")
     norm_eps: float = 1e-5
     dtype: str = "bfloat16"
+    # chunked selective scan: sequences longer than this run as a
+    # sequential scan over scan_chunk-step chunks (each chunk a log-depth
+    # associative scan), bounding the (B, chunk, d_inner, N) state blowup
+    # instead of materializing it for the full sequence.  None = always
+    # the single full-sequence scan.  Applied when L % scan_chunk == 0.
+    # 128 measured fastest on v5e (tools_mamba_scan_bench.py, interleaved
+    # 3 rounds: d512 L1024 fwd+bwd 174 ms/step vs naive 186 / chunk256
+    # 228 / chunk512 268; at d768 L2048 the naive scan does NOT fit 16G
+    # HBM while chunk128 trains at 618 ms/step).
+    scan_chunk: int | None = 128
 
     @property
     def d_inner(self) -> int:
@@ -120,7 +131,9 @@ def _causal_conv(x, w, b):
 
 def _ssm_inputs(hidden, p, cfg: MambaConfig):
     """Input-dependent SSM parameters from the conv output `hidden`
-    (B, L, d_inner) -> (dA, dBu, C) all fp32; dA/dBu (B, L, d_inner, N)."""
+    (B, L, d_inner) -> (dt (B, L, di), Bm/C (B, L, N), A (di, N)), fp32.
+    These are the SMALL tensors; the (B, L, di, N) dA/dBu blowup happens
+    per-chunk inside ssm_apply."""
     r, ds = cfg.rank, cfg.d_state
     sp = _mm(hidden, p["x_proj"])  # fp32 (B, L, r + 2N)
     dt = jax.nn.softplus(
@@ -128,23 +141,78 @@ def _ssm_inputs(hidden, p, cfg: MambaConfig):
     Bm = sp[..., r:r + ds]  # (B, L, N)
     C = sp[..., r + ds:]  # (B, L, N)
     A = -jnp.exp(p["A_log"])  # (di, N)
-    dA = jnp.exp(dt[..., None] * A[None, None])  # (B, L, di, N)
-    dBu = (dt * hidden.astype(jnp.float32))[..., None] * Bm[:, :, None, :]
-    return dA, dBu, C
+    return dt, Bm, C, A
+
+
+def _combine(left, right):
+    """First-order linear recurrence h = a*h_prev + b is associative:
+    (a2,b2) o (a1,b1) = (a1*a2, a2*b1 + b2)."""
+    a1, b1 = left
+    a2, b2 = right
+    return a1 * a2, a2 * b1 + b2
 
 
 def selective_scan(dA, dBu):
     """h_t = dA_t * h_{t-1} + dBu_t over axis 1 (the sequence), h_0 = 0,
-    via lax.associative_scan — the first-order linear recurrence combine
-    is associative: (a2,b2) o (a1,b1) = (a1*a2, a2*b1 + b2)."""
-
-    def combine(left, right):
-        a1, b1 = left
-        a2, b2 = right
-        return a1 * a2, a2 * b1 + b2
-
-    _, h = jax.lax.associative_scan(combine, (dA, dBu), axis=1)
+    via lax.associative_scan.  Materializes (B, L, di, N) — fine for
+    short L; mamba_mixer routes long sequences through the chunked
+    ssm_apply instead."""
+    _, h = jax.lax.associative_scan(_combine, (dA, dBu), axis=1)
     return h
+
+
+def ssm_apply(hidden, dt, Bm, C, A, D, chunk: int | None = None):
+    """The selective-SSM readout y = C·h + D*u with h the scanned state,
+    CHUNKED over the sequence: a sequential lax.scan over chunks of
+    `chunk` steps carries the (B, di, N) boundary state, and each chunk
+    runs the log-depth associative scan internally and contracts with C
+    immediately.  Peak memory drops from O(B·L·di·N) (the naive parallel
+    form) to O(B·chunk·di·N), while keeping ~all the VPU parallelism:
+    the sequential depth is L/chunk instead of L.
+
+    Measured on v5e (tools_mamba_scan_bench.py, interleaved, fwd+bwd
+    train steps): chunk=128 is FASTER than the naive scan where both fit
+    (d512 L1024 B4: 174 vs 186 ms/step) and is the only form that fits
+    at d768 L2048 B4 (naive asks 17.5G of 15.75G HBM; chunk128 trains at
+    618 ms/step).  chunk=None (or >= L) falls back to the single
+    full-sequence scan.  Exactness (values AND grads) vs the naive form
+    is pinned in tests/test_mamba.py."""
+    b, L, di = hidden.shape
+    u = dt * hidden.astype(jnp.float32)  # (B, L, di)
+    if chunk is None or chunk >= L:
+        dA = jnp.exp(dt[..., None] * A[None, None])
+        h = selective_scan(dA, u[..., None] * Bm[:, :, None, :])
+        y = jnp.einsum("blin,bln->bli", h, C)
+        return y + hidden.astype(jnp.float32) * D
+
+    check(L % chunk == 0, "sequence length", L,
+          "not divisible by scan chunk", chunk)
+    n = L // chunk
+
+    def to_chunks(x):  # (B, L, ...) -> (n, B, chunk, ...)
+        return x.reshape((b, n, chunk) + x.shape[2:]).swapaxes(0, 1)
+
+    # remat the chunk body: without it, reverse-mode through lax.scan
+    # SAVES the (B, chunk, di, N) intermediates of every chunk — putting
+    # the full O(B·L·di·N) blowup right back (measured: fwd+bwd at d768
+    # L2048 B4 does not fit 16G HBM un-remat'ed at ANY chunk size).
+    # Recomputing a chunk's scan from its small inputs costs one extra
+    # forward pass of cheap VPU work.
+    @jax.checkpoint
+    def body(h0, xs):
+        dt_c, u_c, B_c, C_c = xs  # (B, chunk, ...)
+        dA = jnp.exp(dt_c[..., None] * A[None, None])  # (B, chunk, di, N)
+        dBu = u_c[..., None] * B_c[:, :, None, :]
+        a_cum, b_cum = jax.lax.associative_scan(_combine, (dA, dBu), axis=1)
+        h = a_cum * h0[:, None] + b_cum  # fold in the carried boundary
+        y = jnp.einsum("bcin,bcn->bci", h, C_c)
+        return h[:, -1], y
+
+    h0 = jnp.zeros((b, di, A.shape[-1]), jnp.float32)
+    _, ys = jax.lax.scan(
+        body, h0, (to_chunks(dt), to_chunks(u), to_chunks(Bm), to_chunks(C)))
+    y = ys.swapaxes(0, 1).reshape(b, L, di)
+    return y + hidden.astype(jnp.float32) * D
 
 
 def mamba_mixer(x, p, cfg: MambaConfig):
@@ -153,10 +221,11 @@ def mamba_mixer(x, p, cfg: MambaConfig):
     hidden, gate = jnp.split(proj, 2, axis=-1)
     hidden = jax.nn.silu(_causal_conv(hidden, p["conv_w"], p["conv_b"])
                          ).astype(x.dtype)
-    dA, dBu, C = _ssm_inputs(hidden, p, cfg)
-    h = selective_scan(dA, dBu)  # (B, L, di, N) fp32
-    y = jnp.einsum("blin,bln->bli", h, C)
-    y = y + hidden.astype(jnp.float32) * p["D"]
+    dt, Bm, C, A = _ssm_inputs(hidden, p, cfg)
+    L = x.shape[1]
+    chunk = cfg.scan_chunk if (cfg.scan_chunk and L > cfg.scan_chunk
+                               and L % cfg.scan_chunk == 0) else None
+    y = ssm_apply(hidden, dt, Bm, C, A, p["D"], chunk)
     y = y * jax.nn.silu(gate.astype(jnp.float32))
     return _mm(y.astype(x.dtype), p["out_proj"])
 

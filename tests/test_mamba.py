@@ -180,3 +180,42 @@ class TestMesh:
             out = jax.jit(lambda p, t_: forward(p, t_, cfg))(sharded, t)
         np.testing.assert_allclose(
             np.asarray(ref), np.asarray(out), atol=1e-4, rtol=1e-4)
+
+
+class TestChunkedScan:
+    def test_chunked_matches_naive_values_and_grads(self):
+        """forward with scan_chunk dividing L == the full-sequence scan,
+        for values AND gradients (the chunk boundary carry is exact)."""
+        import dataclasses
+
+        cfg_naive = small_cfg(scan_chunk=None)
+        cfg_chunk = dataclasses.replace(cfg_naive, scan_chunk=4)
+        params = init_mamba_params(jax.random.PRNGKey(2), cfg_naive)
+        t = toks(30, 2, 12)  # 12 % 4 == 0 -> chunked path live
+
+        a = forward(params, t, cfg_naive)
+        b = forward(params, t, cfg_chunk)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
+
+        from kfunca_tpu.models.mamba import loss_fn
+
+        tgt = jnp.roll(t, -1, axis=1)
+        ga = jax.grad(loss_fn)(params, t, tgt, cfg_naive)
+        gb = jax.grad(loss_fn)(params, t, tgt, cfg_chunk)
+        jax.tree_util.tree_map(
+            lambda x, y: np.testing.assert_allclose(
+                np.asarray(x), np.asarray(y), rtol=1e-4, atol=1e-5),
+            ga, gb)
+
+    def test_indivisible_length_falls_back(self):
+        """L not divisible by scan_chunk silently uses the full scan."""
+        import dataclasses
+
+        cfg = dataclasses.replace(small_cfg(), scan_chunk=5)
+        params = init_mamba_params(jax.random.PRNGKey(2), cfg)
+        t = toks(31, 1, 12)  # 12 % 5 != 0
+        ref = forward(params, t, dataclasses.replace(cfg, scan_chunk=None))
+        np.testing.assert_allclose(
+            np.asarray(forward(params, t, cfg)), np.asarray(ref),
+            rtol=1e-6, atol=1e-6)
