@@ -542,6 +542,47 @@ def bench_train_mfu(dm=1024, L=12, h=8, ff=4096, B=8, S=2048, vocab=32000,
     }
 
 
+def bench_mamba_train(dm=512, L_layers=4, B=4, S=1024, vocab=8192):
+    """Mamba-family training throughput on one chip: fwd+bwd+AdamW with
+    the chunked selective scan (scan_chunk=128, the measured v5e default
+    — tools_mamba_scan_bench.py: faster than the naive full-sequence
+    associative scan where both fit, and the only form that fits
+    production shapes).  Same K-step chained-loop slope methodology as
+    bench_train_mfu."""
+    from jax import lax
+
+    from kfunca_tpu.models.mamba import MambaConfig, init_mamba_params, loss_fn
+    from kfunca_tpu.models.train import OptConfig, apply_update, init_opt_state
+
+    cfg = MambaConfig(vocab_size=vocab, d_model=dm, n_layers=L_layers,
+                      d_state=16, dtype="bfloat16")
+    oc = OptConfig(lr=1e-4, weight_decay=0.0)
+    params = init_mamba_params(jax.random.PRNGKey(0), cfg)
+    opt_state = init_opt_state(params, oc)
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (B, S), 2, vocab,
+                                jnp.int32)
+    targets = jnp.roll(tokens, -1, axis=1)
+
+    def mk(K):
+        @jax.jit
+        def f(p, o, t, tg):
+            def body(_, carry):
+                p, o = carry
+                loss, grads = jax.value_and_grad(loss_fn)(p, t, tg, cfg)
+                return apply_update(p, grads, o, oc)
+            p, o = lax.fori_loop(0, K, body, (p, o))
+            return p["final_norm"][:1] + o["step"].astype(jnp.float32)
+        return lambda: f(params, opt_state, tokens, targets)
+
+    dt = slope_time(mk, k1=1, k2=4, iters=3, label="mamba-train", reps=3)
+    return {
+        "step_ms": round(dt * 1e3, 2),
+        "tokens_per_s": round(B * S / dt, 1),
+        "model": f"mamba L{L_layers} d{dm} di{cfg.d_inner} N16 B{B} S{S} "
+                 f"scan_chunk={cfg.scan_chunk}",
+    }
+
+
 def detect_peak_tflops():
     from kfunca_tpu.utils.device_info import _detect_peaks
 
@@ -588,6 +629,7 @@ def main():
     reduce_ab = section("reduce", bench_reduce_engines, {})
     serving = section("serving", bench_serving, {})
     train = section("train_mfu", lambda: bench_train_mfu(peak=peak), {})
+    mamba = section("mamba_train", bench_mamba_train, {})
     # kfunca_tpu.gemm dispatches XLA's dot by default (the vendor-library
     # path, mirroring the reference's CUTLASS call); the Pallas kernel is
     # the KFUNCA_GEMM_ENGINE=pallas alternative. Headline = dispatched.
@@ -617,6 +659,7 @@ def main():
                     "reduce_engine_ms": reduce_ab,
                     "decode_tokens_per_s": serving,
                     "train_step": train,
+                    "mamba_train": mamba,
                     "elementwise_chained_ms_per_op": {
                         "xla": round(ew_xla_ms, 4),
                         "pallas": round(ew_pallas_ms, 4),

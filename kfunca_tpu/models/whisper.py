@@ -472,3 +472,58 @@ def from_hf_whisper(model_or_path, dtype: str = "bfloat16"):
         model = model_or_path
     cfg = config_from_hf_whisper(model.config, dtype=dtype)
     return params_from_hf_whisper(model.state_dict(), cfg), cfg
+
+
+# ---------------------------------------------------------------------------
+# mesh parallelism (dp x tp)
+# ---------------------------------------------------------------------------
+
+
+def whisper_param_specs(params) -> dict:
+    """Megatron-style TP over the (dp, tp) mesh: q/k/v column-parallel
+    (heads over tp; their biases shard with them, except bias-free k),
+    out row-parallel (bias replicated), fc1 column / fc2 row, conv
+    frontend sharded over its OUTPUT channels, norms and position tables
+    replicated.  Forward parity pinned on the 8-device CPU mesh
+    (tests/test_whisper.py::TestMesh)."""
+    from jax.sharding import PartitionSpec as P
+
+    def attn_spec():
+        return {"wq": P(None, "tp"), "bq": P("tp"),
+                "wk": P(None, "tp"),
+                "wv": P(None, "tp"), "bv": P("tp"),
+                "wo": P("tp", None), "bo": P()}
+
+    def mlp_spec():
+        return {"fc1": P(None, "tp"), "fc1_b": P("tp"),
+                "fc2": P("tp", None), "fc2_b": P()}
+
+    def enc_blk():
+        return {"attn": attn_spec(), "mlp": mlp_spec(),
+                "attn_norm": P(), "attn_norm_b": P(),
+                "mlp_norm": P(), "mlp_norm_b": P()}
+
+    def dec_blk():
+        return enc_blk() | {"cross": attn_spec(),
+                            "cross_norm": P(), "cross_norm_b": P()}
+
+    return {
+        "conv1_w": P(None, None, "tp"), "conv1_b": P("tp"),
+        "conv2_w": P(None, "tp", None), "conv2_b": P(),
+        "enc_pos": P(), "dec_pos": P(),
+        "embed": P(None, "tp"),
+        "enc_final_norm": P(), "enc_final_norm_b": P(),
+        "dec_final_norm": P(), "dec_final_norm_b": P(),
+        "encoder": [enc_blk() for _ in params["encoder"]],
+        "decoder": [dec_blk() for _ in params["decoder"]],
+    }
+
+
+def shard_whisper_params(params, mesh):
+    from jax.sharding import NamedSharding
+
+    specs = whisper_param_specs(params)
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        params, specs,
+        is_leaf=lambda x: not isinstance(x, (dict, list)))

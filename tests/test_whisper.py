@@ -173,3 +173,23 @@ class TestHF:
                 if nxt == cfg.eos_id:
                     break
                 dec = np.concatenate([dec, [[nxt]]], axis=1)
+
+
+class TestMesh:
+    def test_forward_parity_sharded_vs_single(self):
+        """dp2 x tp4 Megatron-sharded Whisper == single-device forward."""
+        from kfunca_tpu.models.whisper import shard_whisper_params
+        from kfunca_tpu.parallel.mesh import make_mesh
+
+        cfg = small_cfg(n_heads=4, d_model=64, d_ff=128)
+        params = init_whisper_params(jax.random.PRNGKey(0), cfg)
+        feats, dec = mel(20, 2), toks(21, 2, 5)
+        ref = whisper_forward(params, feats, dec, cfg)
+
+        mesh = make_mesh(8)
+        sharded = shard_whisper_params(params, mesh)
+        with mesh:
+            out = jax.jit(lambda p, f, d: whisper_forward(p, f, d, cfg))(
+                sharded, feats, dec)
+        np.testing.assert_allclose(
+            np.asarray(ref), np.asarray(out), atol=1e-4, rtol=1e-4)
