@@ -543,12 +543,11 @@ def bench_train_mfu(dm=1024, L=12, h=8, ff=4096, B=8, S=2048, vocab=32000,
 
 
 def bench_mamba_train(dm=512, L_layers=4, B=4, S=1024, vocab=8192):
-    """Mamba-family training throughput on one chip: fwd+bwd+AdamW with
-    the chunked selective scan (scan_chunk=128, the measured v5e default
-    — tools_mamba_scan_bench.py: faster than the naive full-sequence
-    associative scan where both fit, and the only form that fits
-    production shapes).  Same K-step chained-loop slope methodology as
-    bench_train_mfu."""
+    """Mamba-family training throughput on one chip: fwd+bwd+AdamW.  On
+    TPU the selective scan dispatches the Pallas scan kernel (measured
+    8.1x over the XLA chunked scan end-to-end: 21.4 vs 174 ms/step at
+    this shape); the chunked XLA form (scan_chunk=128) is the fallback.
+    Same K-step chained-loop slope methodology as bench_train_mfu."""
     from jax import lax
 
     from kfunca_tpu.models.mamba import MambaConfig, init_mamba_params, loss_fn

@@ -3,14 +3,18 @@
 The state-space architecture class (Gu & Dao 2023) rebuilt TPU-first.  The
 CUDA ecosystem implements the selective scan as a hand-fused kernel
 (mamba-ssm's selective_scan_fn) because GPUs lack a cheap parallel scan;
-on TPU the idiomatic form is `lax.associative_scan` over the first-order
-linear recurrence
+on TPU the parallel form is a log-depth scan over the first-order linear
+recurrence
 
     h_t = dA_t * h_{t-1} + dBu_t,   (a2,b2) o (a1,b1) = (a1*a2, a2*b1 + b2)
 
-which XLA lowers to a log-depth tree of fused elementwise ops on the VPU —
-no custom kernel needed, and it parallelizes over the sequence axis the
-way the MXU-bound families parallelize over heads.  Decode is the O(1)
+Production path on real TPU: the PALLAS scan kernel
+(ops/pallas_kernels/ssm_scan.py) — the whole recurrence lives in VMEM,
+HBM sees only inputs/outputs; measured 8.1x on the end-to-end train step
+vs the XLA associative-scan lowering (21.4 vs 174 ms/step at d512 L1024
+B4 on v5e, grads matching to ~1e-7).  The XLA form (chunked for memory,
+models/mamba.ssm_apply) remains the CPU/fallback engine and the parity
+oracle.  Decode is the O(1)
 recurrent step: a (B, d_inner, d_state) SSM state plus a (k-1)-deep conv
 tail, scanned into one compiled program (no KV cache, constant memory in
 sequence length — the architecture's serving advantage).
@@ -161,7 +165,8 @@ def selective_scan(dA, dBu):
     return h
 
 
-def ssm_apply(hidden, dt, Bm, C, A, D, chunk: int | None = None):
+def ssm_apply(hidden, dt, Bm, C, A, D, chunk: int | None = None,
+              engine: str = "xla"):
     """The selective-SSM readout y = C·h + D*u with h the scanned state,
     CHUNKED over the sequence: a sequential lax.scan over chunks of
     `chunk` steps carries the (B, di, N) boundary state, and each chunk
@@ -172,13 +177,24 @@ def ssm_apply(hidden, dt, Bm, C, A, D, chunk: int | None = None):
 
     Measured on v5e (tools_mamba_scan_bench.py, interleaved, fwd+bwd
     train steps): chunk=128 is FASTER than the naive scan where both fit
-    (d512 L1024 B4: 174 vs 186 ms/step) and is the only form that fits
-    at d768 L2048 B4 (naive asks 17.5G of 15.75G HBM; chunk128 trains at
-    618 ms/step).  chunk=None (or >= L) falls back to the single
+    (d512 L1024 B4: 174 vs 186 ms/step) and is the only XLA form that
+    fits at d768 L2048 B4 (naive asks 17.5G of 15.75G HBM; chunk128
+    trains at 618 ms/step).  On real TPU, engine="pallas" (the
+    _ssm_engine default) bypasses chunking entirely: the Pallas kernels
+    measure 8.1x faster end-to-end (tools_ssm_isolate.py / /tmp ssm_e2e:
+    21.4 vs 174 ms/step).  chunk=None (or >= L) falls back to the single
     full-sequence scan.  Exactness (values AND grads) vs the naive form
     is pinned in tests/test_mamba.py."""
     b, L, di = hidden.shape
     u = dt * hidden.astype(jnp.float32)  # (B, L, di)
+    if engine == "pallas":
+        # Pallas fwd+bwd kernels: the whole recurrence lives in VMEM, HBM
+        # sees only inputs/outputs (ops/pallas_kernels/ssm_scan.py)
+        from ..ops.pallas_kernels.ssm_scan import ssm_scan
+
+        lb, dib = _pallas_ssm_blocks(L, di)
+        y = ssm_scan(dt, u, Bm, C, jnp.transpose(A), lb, dib)
+        return y + hidden.astype(jnp.float32) * D
     if chunk is None or chunk >= L:
         dA = jnp.exp(dt[..., None] * A[None, None])
         h = selective_scan(dA, u[..., None] * Bm[:, :, None, :])
@@ -215,6 +231,33 @@ def ssm_apply(hidden, dt, Bm, C, A, D, chunk: int | None = None):
     return y + hidden.astype(jnp.float32) * D
 
 
+def _pallas_ssm_blocks(L, di):
+    """(lb, dib) block sizes for the Pallas scan kernel, or (0, 0) when
+    the shape can't tile (callers fall back to XLA)."""
+    lb = 32 if L % 32 == 0 else (16 if L % 16 == 0 else 0)
+    dib = 512 if di % 512 == 0 else (di if di in (128, 256, 384) else 0)
+    return lb, dib
+
+
+def _ssm_engine(cfg, L, di):
+    """Dispatch-time engine choice (house rule: env read per call).
+    Pallas on real TPU when the shape tiles; KFUNCA_SSM_ENGINE/
+    KFUNCA_FORCE_XLA override."""
+    import os
+
+    from ..runtime.backend import backend
+
+    eng = os.environ.get("KFUNCA_SSM_ENGINE")
+    if eng:
+        return eng
+    if os.environ.get("KFUNCA_FORCE_XLA") == "1":
+        return "xla"
+    lb, dib = _pallas_ssm_blocks(L, di)
+    if backend() == "tpu" and lb and dib and L > lb:
+        return "pallas"
+    return "xla"
+
+
 def mamba_mixer(x, p, cfg: MambaConfig):
     """One mixer over (B, L, d_model) -> (B, L, d_model), parallel form."""
     proj = _mm(x, p["in_proj"]).astype(x.dtype)
@@ -225,7 +268,8 @@ def mamba_mixer(x, p, cfg: MambaConfig):
     L = x.shape[1]
     chunk = cfg.scan_chunk if (cfg.scan_chunk and L > cfg.scan_chunk
                                and L % cfg.scan_chunk == 0) else None
-    y = ssm_apply(hidden, dt, Bm, C, A, p["D"], chunk)
+    y = ssm_apply(hidden, dt, Bm, C, A, p["D"], chunk,
+                  engine=_ssm_engine(cfg, L, hidden.shape[-1]))
     y = y * jax.nn.silu(gate.astype(jnp.float32))
     return _mm(y.astype(x.dtype), p["out_proj"])
 

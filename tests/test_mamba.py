@@ -219,3 +219,29 @@ class TestChunkedScan:
         np.testing.assert_allclose(
             np.asarray(forward(params, t, cfg)), np.asarray(ref),
             rtol=1e-6, atol=1e-6)
+
+
+class TestPallasEngine:
+    def test_pallas_composition_matches_xla(self):
+        """The exact composition mamba_mixer's pallas branch performs
+        (u = dt*hidden, A transpose, + hidden*D readout) over the
+        interpret-mode kernel == ssm_apply's XLA path."""
+        from kfunca_tpu.models.mamba import ssm_apply
+        from kfunca_tpu.ops.pallas_kernels.ssm_scan import ssm_scan_fwd
+
+        rng = np.random.RandomState(0)
+        b, L, di, n = 2, 16, 128, 8
+        hidden = jnp.asarray(rng.normal(size=(b, L, di)) * 0.3, jnp.float32)
+        dt = jnp.asarray(rng.uniform(0.001, 0.1, (b, L, di)), jnp.float32)
+        Bm = jnp.asarray(rng.normal(size=(b, L, n)), jnp.float32)
+        C = jnp.asarray(rng.normal(size=(b, L, n)), jnp.float32)
+        A = jnp.asarray(-rng.uniform(0.5, 2.0, (di, n)), jnp.float32)
+        D = jnp.asarray(rng.normal(size=(di,)), jnp.float32)
+
+        ref = ssm_apply(hidden, dt, Bm, C, A, D, None, engine="xla")
+        u = dt * hidden
+        y, _ = ssm_scan_fwd(dt, u, Bm, C, jnp.transpose(A), lb=4, dib=128,
+                            interpret=True)
+        got = y + hidden * D
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)

@@ -310,3 +310,84 @@ class TestGQAWindow:
         assert len(iq) < len(full_iq)
         biq, bik, bfl = _bwd_tables(8, 8, 128, 128, window=128)
         assert len(biq) <= 3 * 8
+
+
+class TestSSMScan:
+    """Selective-scan kernel vs the sequential recurrence oracle
+    (interpret mode; fwd values and ALL five input grads)."""
+
+    def _inputs(self, b=2, L=16, di=128, n=8, seed=0):
+        rng = np.random.RandomState(seed)
+        dt = jnp.asarray(rng.uniform(0.001, 0.1, (b, L, di)), jnp.float32)
+        u = jnp.asarray(rng.normal(size=(b, L, di)), jnp.float32)
+        bm = jnp.asarray(rng.normal(size=(b, L, n)), jnp.float32)
+        c = jnp.asarray(rng.normal(size=(b, L, n)), jnp.float32)
+        a_t = jnp.asarray(-rng.uniform(0.5, 2.0, (n, di)), jnp.float32)
+        return dt, u, bm, c, a_t
+
+    @staticmethod
+    def _oracle(dt, u, bm, c, a_t):
+        dA = jnp.exp(dt[..., None] * a_t.T[None, None])  # (b, L, di, n)
+        dBu = u[..., None] * bm[:, :, None, :]
+
+        def combine(lft, rgt):
+            return lft[0] * rgt[0], rgt[0] * lft[1] + rgt[1]
+
+        _, h = jax.lax.associative_scan(combine, (dA, dBu), axis=1)
+        return jnp.einsum("blin,bln->bli", h, c)
+
+    def test_forward_matches_oracle(self):
+        from kfunca_tpu.ops.pallas_kernels.ssm_scan import ssm_scan_fwd
+
+        dt, u, bm, c, a_t = self._inputs()
+        y, hb = ssm_scan_fwd(dt, u, bm, c, a_t, lb=4, dib=128,
+                             interpret=True)
+        ref = self._oracle(dt, u, bm, c, a_t)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+        # boundary states: hb[:, k] is the state ENTERING block k
+        assert hb.shape == (2, 4, 8, 128)
+        np.testing.assert_allclose(np.asarray(hb[:, 0]), 0.0)
+
+    def test_grads_match_oracle(self):
+        from kfunca_tpu.ops.pallas_kernels.ssm_scan import (
+            ssm_scan_bwd, ssm_scan_fwd)
+
+        dt, u, bm, c, a_t = self._inputs()
+        g = jnp.asarray(np.random.RandomState(9).normal(
+            size=(2, 16, 128)), jnp.float32)
+
+        def ref_loss(dt, u, bm, c, a_t):
+            return jnp.sum(self._oracle(dt, u, bm, c, a_t) * g)
+
+        refs = jax.grad(ref_loss, argnums=(0, 1, 2, 3, 4))(dt, u, bm, c,
+                                                           a_t)
+        _, hb = ssm_scan_fwd(dt, u, bm, c, a_t, lb=4, dib=128,
+                             interpret=True)
+        outs = ssm_scan_bwd(dt, u, bm, c, a_t, hb, g, lb=4, dib=128,
+                            interpret=True)
+        for got, want, name in zip(outs, refs,
+                                   ("ddt", "du", "dbm", "dc", "da_t")):
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4,
+                err_msg=name)
+
+    def test_multi_ditile_grads(self):
+        """di spanning two tiles exercises the partial-sum reassembly."""
+        from kfunca_tpu.ops.pallas_kernels.ssm_scan import (
+            ssm_scan_bwd, ssm_scan_fwd)
+
+        dt, u, bm, c, a_t = self._inputs(b=1, L=8, di=256, n=8, seed=3)
+        g = jnp.asarray(np.random.RandomState(4).normal(
+            size=(1, 8, 256)), jnp.float32)
+        refs = jax.grad(lambda *a: jnp.sum(self._oracle(*a) * g),
+                        argnums=(0, 1, 2, 3, 4))(dt, u, bm, c, a_t)
+        _, hb = ssm_scan_fwd(dt, u, bm, c, a_t, lb=4, dib=128,
+                             interpret=True)
+        outs = ssm_scan_bwd(dt, u, bm, c, a_t, hb, g, lb=4, dib=128,
+                            interpret=True)
+        for got, want, name in zip(outs, refs,
+                                   ("ddt", "du", "dbm", "dc", "da_t")):
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4,
+                err_msg=name)
