@@ -502,7 +502,12 @@ def mamba_param_specs(params) -> dict:
     row-parallel reduction points where GSPMD inserts the all-reduce.
     in_proj's 2*d_inner output splits [hidden|gate] at the midpoint,
     which stays shard-aligned because tp divides d_inner.  Forward parity
-    pinned on the 8-device CPU mesh (tests/test_mamba.py::TestMesh)."""
+    pinned on the 8-device CPU mesh (tests/test_mamba.py::TestMesh).
+
+    NOTE: under GSPMD tensor parallelism set KFUNCA_SSM_ENGINE=xla —
+    pallas_call does not partition automatically; the XLA scan engine
+    shards cleanly (the scan is elementwise in d_inner).  Single-chip
+    training keeps the Pallas kernel's 8.1x."""
     from jax.sharding import PartitionSpec as P
 
     layers = [{

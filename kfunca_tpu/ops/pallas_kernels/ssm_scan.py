@@ -6,7 +6,9 @@ Why a kernel: XLA lowers `lax.associative_scan` to a log-depth tree whose
 against an HBM floor of ~0.05 ms.  This kernel measures 0.1-1 ms fwd and
 1.75 ms fwd+bwd on the same shape (tools_ssm_isolate.py) — ~20x — and
 lifts the full Mamba train step 8.1x end-to-end (21.4 vs 174 ms/step,
-191k vs 23.5k tok/s at d512 L1024 B4, interleaved 3 rounds; grads match
+191k vs 23.5k tok/s at d512 L1024 B4, interleaved 3 rounds; at d768
+L2048 — where the naive XLA scan cannot even compile — 55 ms/step =
+149k tok/s vs 618 ms for the chunked XLA form, 11.2x; grads match
 the XLA path to ~1e-7 relative on the real chip).  The kernel
 keeps the whole recurrence in VMEM: per (batch, di-tile) it walks the
 sequence in L-blocks, runs the log-depth combine on the block INSIDE
