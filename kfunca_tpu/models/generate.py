@@ -26,6 +26,10 @@ from .transformer import TransformerConfig, apply_norm, embed_tokens, lm_head_we
 
 
 def init_kv_cache(cfg: TransformerConfig, batch: int, max_len: int):
+    if cfg.attention == "mla":  # compressed latent cache (models/mla.py)
+        from .mla import init_mla_cache
+
+        return init_mla_cache(cfg, batch, max_len)
     # GQA: the cache holds only kv_heads — the memory win that motivates it
     shape = (batch, cfg.kv_heads, max_len, cfg.head_dim)
     return [
@@ -61,6 +65,10 @@ def _rope_at(x, positions, theta: float, pos_scale: float = 1.0,
 def _block_with_cache(x, p, layer_cache, start_pos, cfg: TransformerConfig):
     """Apply one block over T new tokens at absolute position start_pos,
     reading/writing the KV cache. Returns (x, new_layer_cache)."""
+    if cfg.attention == "mla":  # absorbed-form latent decode (models/mla.py)
+        from .mla import mla_block_with_cache
+
+        return mla_block_with_cache(x, p, layer_cache, start_pos, cfg)
     b, t, dm = x.shape
     h, hd = cfg.n_heads, cfg.head_dim
     max_len = layer_cache["k"].shape[2]

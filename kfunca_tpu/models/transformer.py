@@ -88,6 +88,19 @@ class TransformerConfig:
     # zero-centered); mlp_type="geglu" is gelu(gate)*up over the same
     # w_gate/w_up/w_down params as swiglu
     embed_scale: bool = False
+    # multi-head latent attention (DeepSeek-V2/V3; models/mla.py):
+    # K/V low-rank factored through a shared per-position latent of
+    # kv_lora_rank floats (+ a decoupled shared rope key of
+    # qk_rope_head_dim) — the decode cache shrinks ~2*h*head_dim /
+    # (kv_rank + rope) and decode runs in the absorbed form.  The default
+    # head geometry (nope 64 + rope 64 = v 128) keeps q/k/v head dims
+    # equal so training attention stays on the fused flash kernel.
+    attention: str = "mha"  # "mha" | "mla"
+    q_lora_rank: int = 0  # 0 = direct q projection (no query compression)
+    kv_lora_rank: int = 256
+    qk_nope_head_dim: int = 64
+    qk_rope_head_dim: int = 64
+    v_head_dim: int | None = None  # None -> qk_nope + qk_rope
 
     @property
     def kv_heads(self) -> int:
@@ -145,12 +158,21 @@ def init_params(key, cfg: TransformerConfig):
         params["final_norm_b"] = jnp.zeros((cfg.d_model,), jnp.float32)
     for i in range(cfg.n_layers):
         k = keys[2 + i * 6 : 2 + (i + 1) * 6]
-        blk = {
-            "attn_norm": jnp.full((cfg.d_model,), gain0, jnp.float32),
-            "wqkv": _init_linear(k[0], cfg.d_model, cfg.qkv_out),
-            "wo": _init_linear(k[1], cfg.d_model, cfg.d_model),
-            "mlp_norm": jnp.full((cfg.d_model,), gain0, jnp.float32),
-        }
+        if cfg.attention == "mla":
+            from .mla import init_mla_block
+
+            blk = {
+                "attn_norm": jnp.full((cfg.d_model,), gain0, jnp.float32),
+                "mlp_norm": jnp.full((cfg.d_model,), gain0, jnp.float32),
+                **init_mla_block(k[0], cfg),
+            }
+        else:
+            blk = {
+                "attn_norm": jnp.full((cfg.d_model,), gain0, jnp.float32),
+                "wqkv": _init_linear(k[0], cfg.d_model, cfg.qkv_out),
+                "wo": _init_linear(k[1], cfg.d_model, cfg.d_model),
+                "mlp_norm": jnp.full((cfg.d_model,), gain0, jnp.float32),
+            }
         if cfg.norm == "layernorm":
             blk["attn_norm_b"] = jnp.zeros((cfg.d_model,), jnp.float32)
             blk["mlp_norm_b"] = jnp.zeros((cfg.d_model,), jnp.float32)
@@ -347,6 +369,16 @@ def _block(x, p, cfg: TransformerConfig):
 
     # attention
     y = apply_norm(x, p, "attn_norm", cfg)
+    if cfg.attention == "mla":
+        from .mla import mla_attention
+
+        o = mla_attention(y, p, cfg)  # includes the wo projection
+        if cfg.parallel_residual:
+            y = apply_norm(x, p, "mlp_norm", cfg)
+            return x + o.astype(x.dtype) + mlp(y, p, cfg).astype(x.dtype)
+        x = x + o.astype(x.dtype)
+        y = apply_norm(x, p, "mlp_norm", cfg)
+        return x + mlp(y, p, cfg).astype(x.dtype)
     qkv = _mm_with_lora(y, p["wqkv"], p, "wqkv")
     if "bqkv" in p:  # optional QKV bias (Qwen2/GPT-2-family)
         qkv = qkv + p["bqkv"]

@@ -78,10 +78,25 @@ def param_specs(params, fsdp: bool = False) -> dict:
     def block_spec(blk):
         s = {
             "attn_norm": P(),
-            "wqkv": maybe_dp(P(None, "tp")),
             "wo": maybe_dp(P("tp", None)),
             "mlp_norm": P(),
         }
+        if "w_dkv" in blk:  # MLA (models/mla.py): down-projections to the
+            # shared latent replicate (their outputs are per-position, not
+            # per-head); up-projections are column-parallel over heads,
+            # wo row-parallel — the Megatron pattern on the expanded side
+            s["w_dkv"] = maybe_dp(P(None, None))
+            s["kv_norm"] = P()
+            s["w_uk"] = maybe_dp(P(None, "tp"))
+            s["w_uv"] = maybe_dp(P(None, "tp"))
+            if "w_q" in blk:
+                s["w_q"] = maybe_dp(P(None, "tp"))
+            else:
+                s["w_dq"] = maybe_dp(P(None, None))
+                s["q_norm"] = P()
+                s["w_uq"] = maybe_dp(P(None, "tp"))
+        else:
+            s["wqkv"] = maybe_dp(P(None, "tp"))
         if "experts" in blk:  # MoE: each expert shards like a dense MLP;
             s["router"] = P()  # the tiny router replicates
             s["experts"] = [
