@@ -62,18 +62,16 @@ def _rope_at(x, positions, theta: float, pos_scale: float = 1.0,
     return jnp.concatenate([r1, r2], axis=-1).astype(x.dtype)
 
 
-def _block_with_cache(x, p, layer_cache, start_pos, cfg: TransformerConfig):
-    """Apply one block over T new tokens at absolute position start_pos,
-    reading/writing the KV cache. Returns (x, new_layer_cache)."""
-    if cfg.attention == "mla":  # absorbed-form latent decode (models/mla.py)
-        from .mla import mla_block_with_cache
-
-        return mla_block_with_cache(x, p, layer_cache, start_pos, cfg)
-    b, t, dm = x.shape
+def cached_attention_mixer(y, p, layer_cache, start_pos,
+                           cfg: TransformerConfig):
+    """Causal attention over T new tokens at absolute start_pos, reading/
+    writing the KV cache: y (B, T, d) normed input -> (o (B, T, d) fp32,
+    new_layer_cache).  Factored out of _block_with_cache so heterogeneous
+    stacks (models/hybrid.py) can reuse the exact decode mixer."""
+    b, t, dm = y.shape
     h, hd = cfg.n_heads, cfg.head_dim
     max_len = layer_cache["k"].shape[2]
 
-    y = apply_norm(x, p, "attn_norm", cfg)
     qkv = jnp.dot(y, p["wqkv"].astype(y.dtype), preferred_element_type=jnp.float32)
     if "bqkv" in p:  # optional QKV bias (Qwen2/GPT-2-family HF imports)
         qkv = qkv + p["bqkv"]
@@ -108,22 +106,34 @@ def _block_with_cache(x, p, layer_cache, start_pos, cfg: TransformerConfig):
         mask = mask & (l_pos > q_pos - cfg.attention_window)
     s = jnp.where(mask, s, jnp.float32(-1e30))
     prob = jax.nn.softmax(s, axis=-1)
-    attn = jnp.einsum("bkgtl,bkld->bkgtd", prob, vc.astype(jnp.float32)).astype(x.dtype)
+    attn = jnp.einsum("bkgtl,bkld->bkgtd", prob, vc.astype(jnp.float32)).astype(y.dtype)
     attn = attn.reshape(b, h, t, hd).transpose(0, 2, 1, 3).reshape(b, t, dm)
     o = jnp.dot(attn, p["wo"].astype(attn.dtype),
                 preferred_element_type=jnp.float32)
     if "bo" in p:  # optional output-projection bias (GPT-2/NeoX family)
         o = o + p["bo"]
+    return o, {"k": kc, "v": vc}
+
+
+def _block_with_cache(x, p, layer_cache, start_pos, cfg: TransformerConfig):
+    """Apply one block over T new tokens at absolute position start_pos,
+    reading/writing the KV cache. Returns (x, new_layer_cache)."""
+    if cfg.attention == "mla":  # absorbed-form latent decode (models/mla.py)
+        from .mla import mla_block_with_cache
+
+        return mla_block_with_cache(x, p, layer_cache, start_pos, cfg)
+    y = apply_norm(x, p, "attn_norm", cfg)
+    o, new_cache = cached_attention_mixer(y, p, layer_cache, start_pos, cfg)
     from .transformer import mlp
 
     if cfg.parallel_residual:  # GPT-NeoX/GPT-J: branches share the input
         y = apply_norm(x, p, "mlp_norm", cfg)
         return (x + o.astype(x.dtype) + mlp(y, p, cfg).astype(x.dtype),
-                {"k": kc, "v": vc})
+                new_cache)
     x = x + o.astype(x.dtype)
     y = apply_norm(x, p, "mlp_norm", cfg)
     x = x + mlp(y, p, cfg).astype(x.dtype)
-    return x, {"k": kc, "v": vc}
+    return x, new_cache
 
 
 def forward_with_cache(params, tokens, cache, start_pos, cfg: TransformerConfig):

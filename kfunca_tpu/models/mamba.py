@@ -81,6 +81,32 @@ class MambaConfig:
         return jnp.dtype(self.dtype)
 
 
+def init_mamba_mixer(key, cfg: MambaConfig):
+    """One mixer's params (no norm) — shared by the pure-Mamba stack and
+    the heterogeneous attention+SSM stack (models/hybrid.py)."""
+    k = jax.random.split(key, 6)
+    di, ds, r = cfg.d_inner, cfg.d_state, cfg.rank
+    # dt_proj bias init so softplus(bias) lands in [1e-3, 1e-1]
+    # (the S4/Mamba dt init recipe)
+    u = jax.random.uniform(k[4], (di,), jnp.float32)
+    dt0 = jnp.exp(u * (math.log(0.1) - math.log(1e-3)) + math.log(1e-3))
+    dt_bias = dt0 + jnp.log(-jnp.expm1(-dt0))  # inverse softplus
+    return {
+        "in_proj": _init_linear(k[0], cfg.d_model, 2 * di),
+        "conv_w": jax.random.normal(k[1], (cfg.d_conv, di),
+                                    jnp.float32) * (1 / math.sqrt(cfg.d_conv)),
+        "conv_b": jnp.zeros((di,), jnp.float32),
+        "x_proj": _init_linear(k[2], di, r + 2 * ds),
+        "dt_proj": _init_linear(k[3], r, di),
+        "dt_bias": dt_bias,
+        # S4D-real initialization: A_n = n+1 per state column
+        "A_log": jnp.log(jnp.broadcast_to(
+            jnp.arange(1, ds + 1, dtype=jnp.float32), (di, ds))),
+        "D": jnp.ones((di,), jnp.float32),
+        "out_proj": _init_linear(k[5], di, cfg.d_model),
+    }
+
+
 def init_mamba_params(key, cfg: MambaConfig):
     keys = jax.random.split(key, cfg.n_layers + 1)
     params = {
@@ -90,27 +116,9 @@ def init_mamba_params(key, cfg: MambaConfig):
         "layers": [],
     }
     for i in range(cfg.n_layers):
-        k = jax.random.split(keys[1 + i], 6)
-        di, ds, r = cfg.d_inner, cfg.d_state, cfg.rank
-        # dt_proj bias init so softplus(bias) lands in [1e-3, 1e-1]
-        # (the S4/Mamba dt init recipe)
-        u = jax.random.uniform(k[4], (di,), jnp.float32)
-        dt0 = jnp.exp(u * (math.log(0.1) - math.log(1e-3)) + math.log(1e-3))
-        dt_bias = dt0 + jnp.log(-jnp.expm1(-dt0))  # inverse softplus
         params["layers"].append({
             "norm": jnp.ones((cfg.d_model,), jnp.float32),
-            "in_proj": _init_linear(k[0], cfg.d_model, 2 * di),
-            "conv_w": jax.random.normal(k[1], (cfg.d_conv, di),
-                                        jnp.float32) * (1 / math.sqrt(cfg.d_conv)),
-            "conv_b": jnp.zeros((di,), jnp.float32),
-            "x_proj": _init_linear(k[2], di, r + 2 * ds),
-            "dt_proj": _init_linear(k[3], r, di),
-            "dt_bias": dt_bias,
-            # S4D-real initialization: A_n = n+1 per state column
-            "A_log": jnp.log(jnp.broadcast_to(
-                jnp.arange(1, ds + 1, dtype=jnp.float32), (di, ds))),
-            "D": jnp.ones((di,), jnp.float32),
-            "out_proj": _init_linear(k[5], di, cfg.d_model),
+            **init_mamba_mixer(keys[1 + i], cfg),
         })
     return params
 

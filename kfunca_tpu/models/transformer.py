@@ -364,21 +364,16 @@ def mlp(y, p, cfg: TransformerConfig, mm=_plain_mm):
     return out
 
 
-def _block(x, p, cfg: TransformerConfig):
-    b, s, dm = x.shape
-
-    # attention
-    y = apply_norm(x, p, "attn_norm", cfg)
+def attention_mixer(y, p, cfg: TransformerConfig):
+    """Causal self-attention over the normed block input y (B, S, d):
+    fused QKV projection -> RoPE -> flash kernel -> output projection.
+    Returns the post-wo output (B, S, d) fp32.  Factored out of _block so
+    heterogeneous stacks (models/hybrid.py) can reuse the exact mixer."""
+    b, s, dm = y.shape
     if cfg.attention == "mla":
         from .mla import mla_attention
 
-        o = mla_attention(y, p, cfg)  # includes the wo projection
-        if cfg.parallel_residual:
-            y = apply_norm(x, p, "mlp_norm", cfg)
-            return x + o.astype(x.dtype) + mlp(y, p, cfg).astype(x.dtype)
-        x = x + o.astype(x.dtype)
-        y = apply_norm(x, p, "mlp_norm", cfg)
-        return x + mlp(y, p, cfg).astype(x.dtype)
+        return mla_attention(y, p, cfg)  # includes the wo projection
     qkv = _mm_with_lora(y, p["wqkv"], p, "wqkv")
     if "bqkv" in p:  # optional QKV bias (Qwen2/GPT-2-family)
         qkv = qkv + p["bqkv"]
@@ -397,6 +392,13 @@ def _block(x, p, cfg: TransformerConfig):
     o = _mm_with_lora(attn, p["wo"], p, "wo")
     if "bo" in p:  # optional output-projection bias (GPT-2/NeoX family)
         o = o + p["bo"]
+    return o
+
+
+def _block(x, p, cfg: TransformerConfig):
+    # attention
+    y = apply_norm(x, p, "attn_norm", cfg)
+    o = attention_mixer(y, p, cfg)
 
     # MLP (SwiGLU, GELU, or MoE — see mlp()).  parallel_residual
     # (GPT-NeoX/GPT-J): both branches read the SAME block input
