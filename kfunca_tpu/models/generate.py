@@ -75,9 +75,10 @@ def cached_attention_mixer(y, p, layer_cache, start_pos,
     qkv = jnp.dot(y, p["wqkv"].astype(y.dtype), preferred_element_type=jnp.float32)
     if "bqkv" in p:  # optional QKV bias (Qwen2/GPT-2-family HF imports)
         qkv = qkv + p["bqkv"]
-    from .transformer import split_qkv
+    from .transformer import apply_qk_norm, split_qkv
 
     q, k, v = split_qkv(qkv.astype(y.dtype), cfg)  # q (B,H,..), k/v (B,Hkv,..)
+    q, k = apply_qk_norm(q, k, p, cfg)  # Qwen3-family per-head q/k norm
     positions = start_pos + jnp.arange(t)
     if cfg.pos == "rope":
         theta, pscale = cfg.rope_params()

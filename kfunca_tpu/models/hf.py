@@ -138,6 +138,9 @@ def config_from_hf(hf_config, dtype: str = "bfloat16") -> TransformerConfig:
         window = None  # Qwen2-style gate: configured but disabled
     n_experts = get("num_local_experts") or 0  # Mixtral-family MoE
     return TransformerConfig(
+        # Qwen3: per-head q/k RMSNorm before RoPE (and no QKV bias —
+        # the bias keys are simply absent from its state dict)
+        qk_norm=get("model_type") == "qwen3",
         n_experts=n_experts,
         moe_top_k=get("num_experts_per_tok") or 2,
         vocab_size=get("vocab_size"),
@@ -282,6 +285,9 @@ def params_from_hf(state_dict, cfg: TransformerConfig, tied: bool | None = None)
             blk["w_gate"] = W(p + "mlp.gate_proj.weight")
             blk["w_up"] = W(p + "mlp.up_proj.weight")
             blk["w_down"] = W(p + "mlp.down_proj.weight")
+        if cfg.qk_norm:  # Qwen3: per-head (head_dim,) q/k norm gains
+            blk["q_norm"] = jnp.asarray(_np(sd[p + "self_attn.q_norm.weight"]))
+            blk["k_norm"] = jnp.asarray(_np(sd[p + "self_attn.k_norm.weight"]))
         if p + "self_attn.q_proj.bias" in sd:  # Qwen2-family QKV bias
             blk["bqkv"] = jnp.concatenate(
                 [jnp.asarray(_np(sd[p + f"self_attn.{n}_proj.bias"]))
@@ -386,6 +392,9 @@ def to_hf(params, cfg: TransformerConfig) -> dict:
             sd[p + "self_attn.q_proj.bias"] = A(bq)
             sd[p + "self_attn.k_proj.bias"] = A(bk)
             sd[p + "self_attn.v_proj.bias"] = A(bv)
+        if "q_norm" in blk and cfg.qk_norm:  # Qwen3 per-head q/k norms
+            sd[p + "self_attn.q_norm.weight"] = A(blk["q_norm"])
+            sd[p + "self_attn.k_norm.weight"] = A(blk["k_norm"])
         sd[p + "self_attn.o_proj.weight"] = T(blk["wo"])
         sd[p + "post_attention_layernorm.weight"] = A(blk["mlp_norm"])
         if "experts" in blk:  # Mixtral layout

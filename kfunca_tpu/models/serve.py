@@ -394,9 +394,10 @@ def _paged_block(x, p, pool_k, pool_v, page_tables, positions, cfg, page_size, e
         A, B_, ids = lora
         ya = jnp.einsum("btd,bdr->btr", y.astype(jnp.float32), A[ids])
         qkv = qkv + jnp.einsum("btr,bro->bto", ya, B_[ids])
-    from .transformer import split_qkv
+    from .transformer import apply_qk_norm, split_qkv
 
     q, k, v = split_qkv(qkv.astype(y.dtype), cfg)  # q (B,H,1,hd), k/v (B,Hkv,1,hd)
+    q, k = apply_qk_norm(q, k, p, cfg)  # Qwen3-family per-head q/k norm
     hkv = cfg.kv_heads
 
     if cfg.pos == "rope":

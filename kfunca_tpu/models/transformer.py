@@ -59,6 +59,37 @@ class TransformerConfig:
     # convention).  0 = dense (default).
     n_experts: int = 0
     moe_top_k: int = 2
+    # DeepSeek-family MoE extensions (V2/V3, HF modeling_deepseek_v3):
+    #   n_shared_experts — always-on experts beside the routed set; stored
+    #     as ONE dense SwiGLU "shared" with hidden n_shared * moe_d_ff
+    #     (the HF DeepseekV3MoE.shared_experts layout)
+    #   moe_d_ff — per-routed-expert hidden width (fine-grained experts,
+    #     HF moe_intermediate_size); None = d_ff
+    #   moe_score — router scoring: "softmax" (Mixtral) | "sigmoid" (V3)
+    #   moe_norm_topk — renormalize the selected weights to sum 1
+    #   moe_routed_scale — multiply routed weights (HF routed_scaling_factor)
+    #   moe_n_group / moe_topk_group — group-limited routing: experts in
+    #     n_group groups, selection restricted to the topk_group groups
+    #     with the largest top-2-score sum (the V3 "noaux" device-limited
+    #     routing)
+    #   moe_score_bias — a per-expert bias ("router_bias", HF
+    #     e_score_correction_bias) added for SELECTION only; the mixing
+    #     weights stay the raw sigmoid scores
+    #   moe_first_dense — the first k layers keep a dense MLP (HF
+    #     first_k_dense_replace)
+    n_shared_experts: int = 0
+    moe_d_ff: int | None = None
+    moe_score: str = "softmax"
+    moe_norm_topk: bool = True
+    moe_routed_scale: float = 1.0
+    moe_n_group: int = 1
+    moe_topk_group: int = 1
+    moe_score_bias: bool = False
+    moe_first_dense: int = 0
+    # MLA rope pairing convention: False = half-split (llama rotate_half),
+    # True = interleaved (x[2i], x[2i+1]) pairs — HF DeepseekV3 default
+    # (config.rope_interleave).  Consumed only by models/mla.py.
+    rope_interleave: bool = False
     # architecture family switches (GPT-2/OPT-style models):
     #   norm: "rms" (RMSNorm, no bias) | "layernorm" (mean-centered, with
     #     bias params <name>_b — the GPT-2/BERT convention)
@@ -82,6 +113,11 @@ class TransformerConfig:
     rope_pct: float = 1.0
     parallel_residual: bool = False
     gelu_exact: bool = False
+    # Qwen3/OLMo2-family: per-head RMSNorm on q and k (gain over head_dim,
+    # params "q_norm"/"k_norm" per block) applied after the head split and
+    # BEFORE RoPE — the HF Qwen3Attention order.  Stabilizes attention
+    # logits without the QK-clip tricks older families need.
+    qk_norm: bool = False
     # Gemma-family switches: embed_scale multiplies token embeddings by
     # sqrt(d_model) (cast to the activation dtype, the HF normalizer);
     # norm="rms_offset" computes RMSNorm with gain (1 + w) (HF stores w
@@ -173,6 +209,9 @@ def init_params(key, cfg: TransformerConfig):
                 "wo": _init_linear(k[1], cfg.d_model, cfg.d_model),
                 "mlp_norm": jnp.full((cfg.d_model,), gain0, jnp.float32),
             }
+        if cfg.qk_norm:
+            blk["q_norm"] = jnp.ones((cfg.head_dim,), jnp.float32)
+            blk["k_norm"] = jnp.ones((cfg.head_dim,), jnp.float32)
         if cfg.norm == "layernorm":
             blk["attn_norm_b"] = jnp.zeros((cfg.d_model,), jnp.float32)
             blk["mlp_norm_b"] = jnp.zeros((cfg.d_model,), jnp.float32)
@@ -274,6 +313,18 @@ def split_qkv(qkv, cfg: TransformerConfig):
     k = qkv[..., h * hd : (h + hkv) * hd].reshape(b, s, hkv, hd).transpose(0, 2, 1, 3)
     v = qkv[..., (h + hkv) * hd :].reshape(b, s, hkv, hd).transpose(0, 2, 1, 3)
     return q, k, v
+
+
+def apply_qk_norm(q, k, p, cfg: TransformerConfig):
+    """Per-head q/k RMSNorm (cfg.qk_norm, Qwen3/OLMo2): normalizes over the
+    head dim with the per-block (head_dim,) gains "q_norm"/"k_norm", after
+    the head split, before RoPE.  No-op when the switch is off.  (MLA
+    blocks reuse the "q_norm" key for the query-latent norm; they never
+    reach this helper — cfg.attention="mla" bypasses the MHA mixers.)"""
+    if not cfg.qk_norm:
+        return q, k
+    return (rms_norm(q, p["q_norm"], cfg.norm_eps),
+            rms_norm(k, p["k_norm"], cfg.norm_eps))
 
 
 def _plain_mm(y, w):
@@ -378,6 +429,7 @@ def attention_mixer(y, p, cfg: TransformerConfig):
     if "bqkv" in p:  # optional QKV bias (Qwen2/GPT-2-family)
         qkv = qkv + p["bqkv"]
     q, k, v = split_qkv(qkv.astype(y.dtype), cfg)
+    q, k = apply_qk_norm(q, k, p, cfg)
     if cfg.pos == "rope":
         theta, pscale = cfg.rope_params()
         q = _rope(q, theta, pscale, cfg.rope_pct)

@@ -163,6 +163,75 @@ class TestQwen2Import:
         assert np.allclose(a, b, atol=1e-5)
 
 
+class TestQwen3Import:
+    def _mk(self, seed=7):
+        from transformers import Qwen3Config, Qwen3ForCausalLM
+
+        cfg = Qwen3Config(
+            vocab_size=128, hidden_size=64, intermediate_size=128,
+            num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+            head_dim=16,  # == hidden/heads (the supported geometry)
+            max_position_embeddings=128, rms_norm_eps=1e-5,
+            tie_word_embeddings=True, attn_implementation="eager",
+        )
+        torch.manual_seed(seed)
+        return Qwen3ForCausalLM(cfg).eval()
+
+    def test_qk_norm_logits_match(self):
+        """Qwen3's per-head q/k RMSNorm (before RoPE): imported q_norm/
+        k_norm gains must reproduce the HF logits through dense forward."""
+        model = self._mk()
+        params, kcfg = from_hf(model, dtype="float32")
+        assert kcfg.qk_norm and "q_norm" in params["blocks"][0]
+        rng = np.random.default_rng(7)
+        tokens = rng.integers(0, 128, (2, 16)).astype(np.int32)
+        with torch.no_grad():
+            want = model(torch.tensor(tokens)).logits.float().numpy()
+        got = np.asarray(forward(params, jnp.asarray(tokens), kcfg))
+        assert np.allclose(got, want, atol=2e-4), np.abs(got - want).max()
+
+    def test_greedy_generation_and_serving_match(self):
+        """qk-norm must flow through the cached decode path AND the paged
+        serving path: greedy tokens match transformers' exactly."""
+        from kfunca_tpu.models.serve import InferenceServer
+
+        model = self._mk(seed=8)
+        params, kcfg = from_hf(model, dtype="float32")
+        prompt = np.asarray([[3, 17, 42, 9, 81]], np.int32)
+        with torch.no_grad():
+            want = model.generate(
+                torch.tensor(prompt), max_new_tokens=8, do_sample=False,
+                pad_token_id=0,
+            ).numpy()[0, prompt.shape[1]:]
+        got = np.asarray(
+            generate(params, jnp.asarray(prompt), kcfg, max_new=8))[0]
+        assert np.array_equal(got, want), (got, want)
+        srv = InferenceServer(params, kcfg, batch_slots=2, page_size=4,
+                              n_pages=32, max_pages_per_seq=8)
+        rid = srv.submit(list(prompt[0]), max_new=8)
+        out = srv.run()[rid]
+        assert np.array_equal(np.asarray(out, np.int64), want), (out, want)
+
+    def test_qk_norm_roundtrip_export(self):
+        """to_hf must carry the q/k norm gains back out: reimporting the
+        exported state dict reproduces the logits."""
+        from transformers import Qwen3ForCausalLM
+
+        from kfunca_tpu.models.hf import params_from_hf, to_hf
+
+        model = self._mk(seed=9)
+        params, kcfg = from_hf(model, dtype="float32")
+        sd = to_hf(params, kcfg)
+        model2 = Qwen3ForCausalLM(model.config).eval()
+        missing, unexpected = model2.load_state_dict(sd, strict=False)
+        assert not unexpected, unexpected
+        toks = np.asarray([[1, 2, 3, 4, 5, 6]], np.int32)
+        with torch.no_grad():
+            a = model(torch.tensor(toks)).logits.float().numpy()
+            b = model2(torch.tensor(toks)).logits.float().numpy()
+        assert np.allclose(a, b, atol=1e-5)
+
+
 class TestMistralImport:
     def test_sliding_window_logits_match(self):
         from transformers import MistralConfig, MistralForCausalLM
