@@ -98,6 +98,45 @@ def config_from_hf(hf_config, dtype: str = "bfloat16") -> TransformerConfig:
             norm="layernorm", pos="learned", mlp_type="gelu",
             proj_bias=True,
         )
+    if get("model_type") == "deepseek_v3":
+        # DeepSeek-V3: MLA attention (q/kv low-rank latents, decoupled
+        # rope key) + fine-grained sigmoid-routed MoE with shared experts
+        # and group-limited ("noaux") selection; the first
+        # first_k_dense_replace layers keep a dense MLP.
+        if get("rope_scaling"):
+            raise NotImplementedError(
+                "deepseek_v3 yarn rope_scaling not supported")
+        if get("attention_bias"):
+            raise NotImplementedError("deepseek_v3 attention_bias")
+        return TransformerConfig(
+            vocab_size=get("vocab_size"),
+            d_model=get("hidden_size"),
+            n_heads=get("num_attention_heads"),
+            n_layers=get("num_hidden_layers"),
+            d_ff=get("intermediate_size"),
+            max_seq_len=get("max_position_embeddings", 4096),
+            dtype=dtype,
+            rope_theta=float(get("rope_theta", 10000.0)),
+            norm_eps=float(get("rms_norm_eps", 1e-6)),
+            attention="mla",
+            q_lora_rank=get("q_lora_rank") or 0,
+            kv_lora_rank=get("kv_lora_rank"),
+            qk_nope_head_dim=get("qk_nope_head_dim"),
+            qk_rope_head_dim=get("qk_rope_head_dim"),
+            v_head_dim=get("v_head_dim"),
+            rope_interleave=bool(get("rope_interleave", True)),
+            n_experts=get("n_routed_experts") or 0,
+            moe_top_k=get("num_experts_per_tok") or 8,
+            n_shared_experts=get("n_shared_experts") or 0,
+            moe_d_ff=get("moe_intermediate_size"),
+            moe_score="sigmoid",
+            moe_norm_topk=bool(get("norm_topk_prob", True)),
+            moe_routed_scale=float(get("routed_scaling_factor", 1.0)),
+            moe_n_group=get("n_group") or 1,
+            moe_topk_group=get("topk_group") or 1,
+            moe_score_bias=True,
+            moe_first_dense=get("first_k_dense_replace") or 0,
+        )
     d_model = get("hidden_size")
     n_heads = get("num_attention_heads")
     head_dim = get("head_dim") or d_model // n_heads
@@ -264,14 +303,58 @@ def params_from_hf(state_dict, cfg: TransformerConfig, tied: bool | None = None)
         p = f"layers.{i}."
         blk = {
             "attn_norm": jnp.asarray(_np(sd[p + "input_layernorm.weight"])),
-            "wqkv": jnp.concatenate(
-                [W(p + "self_attn.q_proj.weight"),
-                 W(p + "self_attn.k_proj.weight"),
-                 W(p + "self_attn.v_proj.weight")], axis=1),
             "wo": W(p + "self_attn.o_proj.weight"),
             "mlp_norm": jnp.asarray(_np(sd[p + "post_attention_layernorm.weight"])),
         }
-        if cfg.n_experts:  # Mixtral: block_sparse_moe.{gate, experts.N.w1/w3/w2}
+        if cfg.attention == "mla":  # DeepSeek-V2/V3 latent attention
+            h = cfg.n_heads
+            nope, rope = cfg.qk_nope_head_dim, cfg.qk_rope_head_dim
+            v_dim = cfg.v_head_dim or (nope + rope)
+            d_c = cfg.kv_lora_rank
+            if cfg.q_lora_rank:
+                blk["w_dq"] = W(p + "self_attn.q_a_proj.weight")
+                blk["q_norm"] = jnp.asarray(
+                    _np(sd[p + "self_attn.q_a_layernorm.weight"]))
+                blk["w_uq"] = W(p + "self_attn.q_b_proj.weight")
+            else:
+                blk["w_q"] = W(p + "self_attn.q_proj.weight")
+            blk["w_dkv"] = W(p + "self_attn.kv_a_proj_with_mqa.weight")
+            blk["kv_norm"] = jnp.asarray(
+                _np(sd[p + "self_attn.kv_a_layernorm.weight"]))
+            # kv_b_proj packs [k_nope | v] per head along its output dim
+            wkv = W(p + "self_attn.kv_b_proj.weight").reshape(
+                d_c, h, nope + v_dim)
+            blk["w_uk"] = wkv[..., :nope].reshape(d_c, h * nope)
+            blk["w_uv"] = wkv[..., nope:].reshape(d_c, h * v_dim)
+        else:
+            blk["wqkv"] = jnp.concatenate(
+                [W(p + "self_attn.q_proj.weight"),
+                 W(p + "self_attn.k_proj.weight"),
+                 W(p + "self_attn.v_proj.weight")], axis=1)
+        if p + "mlp.gate.weight" in sd:
+            # DeepSeek MoE layout: mlp.{gate, experts.N.*_proj,
+            # shared_experts.*_proj}; dense first_k_dense_replace layers
+            # fall through to the plain mlp.*_proj branch below
+            blk["router"] = W(p + "mlp.gate.weight")
+            if p + "mlp.gate.e_score_correction_bias" in sd:
+                blk["router_bias"] = jnp.asarray(
+                    _np(sd[p + "mlp.gate.e_score_correction_bias"]))
+            blk["experts"] = [
+                {
+                    "w_gate": W(p + f"mlp.experts.{e}.gate_proj.weight"),
+                    "w_up": W(p + f"mlp.experts.{e}.up_proj.weight"),
+                    "w_down": W(p + f"mlp.experts.{e}.down_proj.weight"),
+                }
+                for e in range(cfg.n_experts)
+            ]
+            if p + "mlp.shared_experts.gate_proj.weight" in sd:
+                blk["shared"] = {
+                    "w_gate": W(p + "mlp.shared_experts.gate_proj.weight"),
+                    "w_up": W(p + "mlp.shared_experts.up_proj.weight"),
+                    "w_down": W(p + "mlp.shared_experts.down_proj.weight"),
+                }
+        elif cfg.n_experts and p + "block_sparse_moe.gate.weight" in sd:
+            # Mixtral: block_sparse_moe.{gate, experts.N.w1/w3/w2}
             blk["router"] = W(p + "block_sparse_moe.gate.weight")
             blk["experts"] = [
                 {

@@ -87,6 +87,29 @@ def _mm(y, w):
                    preferred_element_type=jnp.float32).astype(y.dtype)
 
 
+def _pe_rope(x, cfg: TransformerConfig, positions=None):
+    """RoPE on the decoupled rope dims, honoring cfg.rope_interleave.
+
+    Half-split (llama rotate_half, default) pairs dims (i, i+d/2);
+    interleaved (HF DeepseekV3 rope_interleave=True) pairs (2i, 2i+1).
+    The interleaved form is computed by de-interleaving into half-split
+    layout, applying the shared rotation, and re-interleaving — exact,
+    and it keeps one rotation implementation."""
+    theta, pscale = cfg.rope_params()
+
+    def base(xx):
+        if positions is None:
+            return _rope(xx, theta, pscale)
+        return _rope_at_1h(xx, positions, theta, pscale)
+
+    if not cfg.rope_interleave:
+        return base(x)
+    half = x.shape[-1] // 2
+    xe = jnp.concatenate([x[..., 0::2], x[..., 1::2]], axis=-1)
+    r = base(xe)
+    return jnp.stack([r[..., :half], r[..., half:]], axis=-1).reshape(x.shape)
+
+
 def _project_q(y, p, cfg: TransformerConfig):
     """y (B,S,d) -> (q_nope (B,h,S,nope), q_pe (B,h,S,rope)), pre-rope."""
     h, qk, nope, _, _, _ = mla_dims(cfg)
@@ -121,9 +144,8 @@ def mla_attention(y, p, cfg: TransformerConfig):
     b, s, dm = y.shape
     q_nope, q_pe = _project_q(y, p, cfg)
     c, k_pe = _project_latent(y, p, cfg)
-    theta, pscale = cfg.rope_params()
-    q_pe = _rope(q_pe, theta, pscale)
-    k_pe = _rope(k_pe, theta, pscale)
+    q_pe = _pe_rope(q_pe, cfg)
+    k_pe = _pe_rope(k_pe, cfg)
 
     k_nope = _mm(c, p["w_uk"]).reshape(b, s, h, nope).transpose(0, 2, 1, 3)
     v = _mm(c, p["w_uv"]).reshape(b, s, h, v_dim).transpose(0, 2, 1, 3)
@@ -174,12 +196,11 @@ def mla_attend_cached(y, p, layer_cache, start_pos, cfg: TransformerConfig):
     b, t, dm = y.shape
     max_len = layer_cache["ckv"].shape[1]
     positions = start_pos + jnp.arange(t)
-    theta, pscale = cfg.rope_params()
 
     q_nope, q_pe = _project_q(y, p, cfg)
-    q_pe = _rope_at_1h(q_pe, positions, theta, pscale)
+    q_pe = _pe_rope(q_pe, cfg, positions)
     c, k_pe = _project_latent(y, p, cfg)
-    k_pe = _rope_at_1h(k_pe, positions, theta, pscale)[:, 0]  # (B,T,rope)
+    k_pe = _pe_rope(k_pe, cfg, positions)[:, 0]  # (B,T,rope)
 
     zero = jnp.int32(0)
     sp = start_pos.astype(jnp.int32)

@@ -226,19 +226,32 @@ def init_params(key, cfg: TransformerConfig):
                 blk["b_proj"] = jnp.zeros((cfg.d_model,), jnp.float32)
             params["blocks"].append(blk)
             continue
-        if cfg.n_experts:
+        if cfg.n_experts and i >= cfg.moe_first_dense:
+            d_ex = cfg.moe_d_ff or cfg.d_ff  # fine-grained expert width
             blk["router"] = _init_linear(k[5], cfg.d_model, cfg.n_experts)
+            if cfg.moe_score_bias:
+                blk["router_bias"] = jnp.zeros((cfg.n_experts,), jnp.float32)
             blk["experts"] = [
                 {
                     "w_gate": _init_linear(
-                        jax.random.fold_in(k[2], e), cfg.d_model, cfg.d_ff),
+                        jax.random.fold_in(k[2], e), cfg.d_model, d_ex),
                     "w_up": _init_linear(
-                        jax.random.fold_in(k[3], e), cfg.d_model, cfg.d_ff),
+                        jax.random.fold_in(k[3], e), cfg.d_model, d_ex),
                     "w_down": _init_linear(
-                        jax.random.fold_in(k[4], e), cfg.d_ff, cfg.d_model),
+                        jax.random.fold_in(k[4], e), d_ex, cfg.d_model),
                 }
                 for e in range(cfg.n_experts)
             ]
+            if cfg.n_shared_experts:  # one fused always-on SwiGLU
+                ds = d_ex * cfg.n_shared_experts
+                blk["shared"] = {
+                    "w_gate": _init_linear(
+                        jax.random.fold_in(k[2], -1), cfg.d_model, ds),
+                    "w_up": _init_linear(
+                        jax.random.fold_in(k[3], -1), cfg.d_model, ds),
+                    "w_down": _init_linear(
+                        jax.random.fold_in(k[4], -1), ds, cfg.d_model),
+                }
         else:
             blk["w_gate"] = _init_linear(k[2], cfg.d_model, cfg.d_ff)
             blk["w_up"] = _init_linear(k[3], cfg.d_model, cfg.d_ff)
@@ -385,7 +398,8 @@ def mlp(y, p, cfg: TransformerConfig, mm=_plain_mm):
         if "b_proj" in p:
             out = out + p["b_proj"]
         return out
-    if not cfg.n_experts:
+    if not (cfg.n_experts and "experts" in p):  # dense (incl. the
+        # first moe_first_dense layers of a DeepSeek-style stack)
         def mml(x_, name):  # base matmul + optional LoRA delta
             out = mm(x_, p[name])
             d = _lora_delta(x_, p, name)
@@ -400,9 +414,35 @@ def mlp(y, p, cfg: TransformerConfig, mm=_plain_mm):
     logits = jnp.dot(
         y.astype(jnp.float32), p["router"].astype(jnp.float32)
     )  # (..., E) fp32 routing
-    probs = jax.nn.softmax(logits, axis=-1)
-    topv, topi = jax.lax.top_k(probs, cfg.moe_top_k)
-    topv = topv / jnp.sum(topv, axis=-1, keepdims=True)
+    if cfg.moe_score == "sigmoid":  # DeepSeek-V3 scoring
+        scores = jax.nn.sigmoid(logits)
+    else:
+        scores = jax.nn.softmax(logits, axis=-1)
+    # selection scores: optional per-expert correction bias (V3's
+    # e_score_correction_bias — biases WHICH experts are picked, not the
+    # mixing weights), then optional group-limited masking
+    choice = scores + p["router_bias"] if "router_bias" in p else scores
+    if cfg.moe_n_group > 1:
+        e_per_g = cfg.n_experts // cfg.moe_n_group
+        gs = choice.reshape(*choice.shape[:-1], cfg.moe_n_group, e_per_g)
+        # group score = sum of its top-2 expert choice-scores (HF V3)
+        group_scores = jnp.sum(jax.lax.top_k(gs, 2)[0], axis=-1)
+        _, gsel = jax.lax.top_k(group_scores, cfg.moe_topk_group)
+        gmask = jnp.sum(
+            jax.nn.one_hot(gsel, cfg.moe_n_group, dtype=jnp.float32),
+            axis=-2)  # (..., n_group) in {0,1}
+        choice = jnp.where(
+            jnp.repeat(gmask, e_per_g, axis=-1) > 0, choice, 0.0)
+    _, topi = jax.lax.top_k(choice, cfg.moe_top_k)
+    # mixing weights come from the RAW scores at the selected experts
+    topv = jnp.take_along_axis(scores, topi, axis=-1)
+    if cfg.moe_norm_topk:
+        denom = jnp.sum(topv, axis=-1, keepdims=True)
+        if cfg.moe_score == "sigmoid":
+            denom = denom + 1e-20  # HF V3 epsilon
+        topv = topv / denom
+    if cfg.moe_routed_scale != 1.0:
+        topv = topv * jnp.float32(cfg.moe_routed_scale)
     onehot = jax.nn.one_hot(topi, cfg.n_experts, dtype=jnp.float32)
     w = jnp.einsum("...k,...ke->...e", topv, onehot)
     out = None
@@ -412,6 +452,12 @@ def mlp(y, p, cfg: TransformerConfig, mm=_plain_mm):
         act = (jax.nn.silu(g) * u).astype(y.dtype)
         oe = mm(act, pe["w_down"]).astype(jnp.float32) * w[..., e : e + 1]
         out = oe if out is None else out + oe
+    if "shared" in p:  # DeepSeek always-on shared experts (one SwiGLU)
+        ps = p["shared"]
+        g = mm(y, ps["w_gate"])
+        u = mm(y, ps["w_up"])
+        act = (jax.nn.silu(g) * u).astype(y.dtype)
+        out = out + mm(act, ps["w_down"]).astype(jnp.float32)
     return out
 
 

@@ -232,6 +232,83 @@ class TestQwen3Import:
         assert np.allclose(a, b, atol=1e-5)
 
 
+class TestDeepseekV3Import:
+    """Full DeepSeek-V3 stack parity: MLA (q/kv latents, decoupled
+    interleaved rope, unequal v_head_dim) + sigmoid-routed fine-grained
+    MoE with correction-bias group-limited selection, shared experts, and
+    first-k-dense layers — all pinned against transformers' DeepseekV3."""
+
+    def _mk(self, seed=11, **kw):
+        from transformers import DeepseekV3Config, DeepseekV3ForCausalLM
+
+        defaults = dict(
+            vocab_size=128, hidden_size=64, intermediate_size=128,
+            moe_intermediate_size=32, num_hidden_layers=3,
+            first_k_dense_replace=1, num_attention_heads=4,
+            num_key_value_heads=4, n_routed_experts=8,
+            num_experts_per_tok=2, n_shared_experts=1, n_group=4,
+            topk_group=2, norm_topk_prob=True, routed_scaling_factor=2.5,
+            q_lora_rank=32, kv_lora_rank=16, qk_nope_head_dim=16,
+            qk_rope_head_dim=8, v_head_dim=16, max_position_embeddings=128,
+            rms_norm_eps=1e-5, rope_scaling=None, tie_word_embeddings=True,
+            attn_implementation="eager",
+        )
+        defaults.update(kw)
+        cfg = DeepseekV3Config(**defaults)
+        torch.manual_seed(seed)
+        model = DeepseekV3ForCausalLM(cfg).eval()
+        with torch.no_grad():  # make the selection-bias path non-trivial
+            for layer in model.model.layers[cfg.first_k_dense_replace:]:
+                layer.mlp.gate.e_score_correction_bias.uniform_(-0.05, 0.05)
+        return model
+
+    def test_logits_match(self):
+        model = self._mk()
+        params, kcfg = from_hf(model, dtype="float32")
+        assert kcfg.attention == "mla" and kcfg.rope_interleave
+        assert kcfg.moe_score == "sigmoid" and kcfg.moe_first_dense == 1
+        blocks = params["blocks"]
+        assert "w_gate" in blocks[0] and "experts" not in blocks[0]  # dense
+        assert "experts" in blocks[1] and "shared" in blocks[1]
+        assert "router_bias" in blocks[1]
+        rng = np.random.default_rng(11)
+        tokens = rng.integers(0, 128, (2, 16)).astype(np.int32)
+        with torch.no_grad():
+            want = model(torch.tensor(tokens)).logits.float().numpy()
+        got = np.asarray(forward(params, jnp.asarray(tokens), kcfg))
+        assert np.allclose(got, want, atol=3e-4), np.abs(got - want).max()
+
+    def test_greedy_generation_matches(self):
+        """The absorbed-form MLA decode + MoE routing reproduce HF's
+        greedy tokens through the compressed latent cache."""
+        model = self._mk(seed=12)
+        params, kcfg = from_hf(model, dtype="float32")
+        prompt = np.asarray([[3, 17, 42, 9, 81]], np.int32)
+        with torch.no_grad():
+            want = model.generate(
+                torch.tensor(prompt), max_new_tokens=8, do_sample=False,
+                pad_token_id=0,
+            ).numpy()[0, prompt.shape[1]:]
+        got = np.asarray(
+            generate(params, jnp.asarray(prompt), kcfg, max_new=8))[0]
+        assert np.array_equal(got, want), (got, want)
+
+    def test_halfsplit_rope_and_direct_q(self):
+        """q_lora_rank=None (direct q projection) + rope_interleave=False
+        (half-split pairing) — the other MLA geometry corners."""
+        model = self._mk(seed=13, q_lora_rank=None, rope_interleave=False,
+                         qk_nope_head_dim=8, qk_rope_head_dim=8)
+        params, kcfg = from_hf(model, dtype="float32")
+        assert kcfg.q_lora_rank == 0 and not kcfg.rope_interleave
+        assert "w_q" in params["blocks"][0]
+        rng = np.random.default_rng(13)
+        tokens = rng.integers(0, 128, (2, 12)).astype(np.int32)
+        with torch.no_grad():
+            want = model(torch.tensor(tokens)).logits.float().numpy()
+        got = np.asarray(forward(params, jnp.asarray(tokens), kcfg))
+        assert np.allclose(got, want, atol=3e-4), np.abs(got - want).max()
+
+
 class TestMistralImport:
     def test_sliding_window_logits_match(self):
         from transformers import MistralConfig, MistralForCausalLM
