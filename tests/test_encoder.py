@@ -120,3 +120,89 @@ class TestPooled:
         want /= np.linalg.norm(want, axis=-1, keepdims=True)
         np.testing.assert_allclose(np.asarray(emb), want, rtol=1e-4,
                                    atol=1e-5)
+
+
+class TestBertImport:
+    """HF BERT parity: the post-norm arch="bert" path must reproduce
+    transformers' BertModel hidden states and pooler output."""
+
+    def _mk(self, seed=4):
+        import pytest as _pytest
+
+        torch = _pytest.importorskip("torch")
+        _pytest.importorskip("transformers")
+        from transformers import BertConfig, BertModel
+
+        hc = BertConfig(
+            vocab_size=128, hidden_size=64, num_hidden_layers=2,
+            num_attention_heads=4, intermediate_size=128,
+            max_position_embeddings=64, type_vocab_size=2,
+            hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+            attn_implementation="eager",
+        )
+        torch.manual_seed(seed)
+        return torch, BertModel(hc).eval()
+
+    def test_hidden_states_match(self):
+        from kfunca_tpu.models.encoder import from_hf_bert
+
+        torch, model = self._mk()
+        params, cfg = from_hf_bert(model)
+        assert cfg.arch == "bert" and cfg.type_vocab == 2
+        rng = np.random.default_rng(4)
+        tokens = rng.integers(0, 128, (2, 16)).astype(np.int32)
+        tt = rng.integers(0, 2, (2, 16)).astype(np.int32)
+        with torch.no_grad():
+            want = model(torch.tensor(np.asarray(tokens, np.int64)),
+                         token_type_ids=torch.tensor(np.asarray(tt, np.int64)))
+        got = np.asarray(encode(params, jnp.asarray(tokens), cfg,
+                                token_type=jnp.asarray(tt)))
+        ref = want.last_hidden_state.float().numpy()
+        assert np.allclose(got, ref, atol=2e-4), np.abs(got - ref).max()
+
+    def test_padding_mask_and_pooler_match(self):
+        from kfunca_tpu.models.encoder import bert_pooled, from_hf_bert
+
+        torch, model = self._mk(seed=5)
+        params, cfg = from_hf_bert(model)
+        rng = np.random.default_rng(5)
+        tokens = rng.integers(0, 128, (2, 12)).astype(np.int32)
+        am = np.asarray([[1] * 12, [1] * 7 + [0] * 5], np.int64)
+        with torch.no_grad():
+            want = model(torch.tensor(np.asarray(tokens, np.int64)),
+                         attention_mask=torch.tensor(am))
+        valid = jnp.asarray(am.astype(bool))
+        got = np.asarray(encode(params, jnp.asarray(tokens), cfg, valid=valid))
+        ref = want.last_hidden_state.float().numpy()
+        # compare only VALID positions (HF still computes padded ones
+        # attending over valid keys; ours matches there too, but only
+        # valid positions are meaningful downstream)
+        m = am.astype(bool)
+        assert np.allclose(got[m], ref[m], atol=2e-4), \
+            np.abs(got[m] - ref[m]).max()
+        pooled = np.asarray(bert_pooled(params, jnp.asarray(tokens), cfg,
+                                        valid=valid))
+        refp = want.pooler_output.float().numpy()
+        assert np.allclose(pooled, refp, atol=2e-4), \
+            np.abs(pooled - refp).max()
+
+    def test_scratch_bert_trains_mlm(self):
+        """arch="bert" composes with the existing MLM pipeline: scratch
+        init + mlm train steps drive the loss down."""
+        from kfunca_tpu.models.encoder import init_bert_params, make_mlm_train_step
+
+        cfg = EncoderConfig(vocab_size=96, d_model=32, n_heads=2,
+                            n_layers=2, d_ff=64, max_seq_len=32,
+                            dtype="float32", arch="bert", type_vocab=2)
+        params = init_bert_params(jax.random.PRNGKey(0), cfg)
+        opt = init_opt_state(params)
+        step = jax.jit(make_mlm_train_step(cfg, vocab_chunk=48))
+        key = jax.random.PRNGKey(1)
+        tok = (jnp.arange(4 * 24, dtype=jnp.int32).reshape(4, 24) * 11) % 96
+        losses = []
+        for i in range(30):
+            params, opt, loss = step(params, opt,
+                                     jax.random.fold_in(key, i), tok)
+            losses.append(float(loss))
+        assert all(np.isfinite(losses))
+        assert np.mean(losses[-5:]) < np.mean(losses[:5])
