@@ -175,13 +175,21 @@ def config_from_hf(hf_config, dtype: str = "bfloat16") -> TransformerConfig:
     window = get("sliding_window")
     if window is not None and get("use_sliding_window") is False:
         window = None  # Qwen2-style gate: configured but disabled
-    n_experts = get("num_local_experts") or 0  # Mixtral-family MoE
+    # Mixtral-family MoE (num_local_experts) or Qwen3-MoE (num_experts,
+    # fine-grained moe_intermediate_size, optional top-k renorm)
+    n_experts = get("num_local_experts") or get("num_experts") or 0
+    if get("model_type") == "qwen3_moe":
+        if get("mlp_only_layers") or get("decoder_sparse_step", 1) != 1:
+            raise NotImplementedError(
+                "qwen3_moe heterogeneous dense/sparse layer patterns")
     return TransformerConfig(
-        # Qwen3: per-head q/k RMSNorm before RoPE (and no QKV bias —
-        # the bias keys are simply absent from its state dict)
-        qk_norm=get("model_type") == "qwen3",
+        # Qwen3/Qwen3-MoE: per-head q/k RMSNorm before RoPE (and no QKV
+        # bias — the bias keys are simply absent from its state dict)
+        qk_norm=get("model_type") in ("qwen3", "qwen3_moe"),
         n_experts=n_experts,
         moe_top_k=get("num_experts_per_tok") or 2,
+        moe_d_ff=get("moe_intermediate_size"),
+        moe_norm_topk=bool(get("norm_topk_prob", True)),
         vocab_size=get("vocab_size"),
         d_model=d_model,
         n_heads=n_heads,

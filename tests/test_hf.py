@@ -232,6 +232,45 @@ class TestQwen3Import:
         assert np.allclose(a, b, atol=1e-5)
 
 
+class TestQwen3MoeImport:
+    def test_logits_and_generation_match(self):
+        """Qwen3-MoE: qk-norm attention + fine-grained softmax-routed MoE
+        WITHOUT top-k renormalization (norm_topk_prob=False — the raw
+        softmax probs are the mixing weights)."""
+        from transformers import Qwen3MoeConfig, Qwen3MoeForCausalLM
+
+        hc = Qwen3MoeConfig(
+            vocab_size=128, hidden_size=64, intermediate_size=128,
+            moe_intermediate_size=32, num_hidden_layers=2,
+            num_attention_heads=4, num_key_value_heads=2, head_dim=16,
+            num_experts=8, num_experts_per_tok=2, norm_topk_prob=False,
+            max_position_embeddings=128, rms_norm_eps=1e-5,
+            tie_word_embeddings=True, attn_implementation="eager",
+        )
+        torch.manual_seed(21)
+        model = Qwen3MoeForCausalLM(hc).eval()
+        params, kcfg = from_hf(model, dtype="float32")
+        assert kcfg.qk_norm and kcfg.n_experts == 8
+        assert kcfg.moe_d_ff == 32 and not kcfg.moe_norm_topk
+        assert "experts" in params["blocks"][0]
+        assert "shared" not in params["blocks"][0]
+        rng = np.random.default_rng(21)
+        tokens = rng.integers(0, 128, (2, 16)).astype(np.int32)
+        with torch.no_grad():
+            want = model(torch.tensor(tokens)).logits.float().numpy()
+        got = np.asarray(forward(params, jnp.asarray(tokens), kcfg))
+        assert np.allclose(got, want, atol=3e-4), np.abs(got - want).max()
+        prompt = np.asarray([[3, 17, 42, 9, 81]], np.int32)
+        with torch.no_grad():
+            wgen = model.generate(
+                torch.tensor(prompt), max_new_tokens=8, do_sample=False,
+                pad_token_id=0,
+            ).numpy()[0, prompt.shape[1]:]
+        ggen = np.asarray(
+            generate(params, jnp.asarray(prompt), kcfg, max_new=8))[0]
+        assert np.array_equal(ggen, wgen), (ggen, wgen)
+
+
 class TestDeepseekV3Import:
     """Full DeepSeek-V3 stack parity: MLA (q/kv latents, decoupled
     interleaved rope, unequal v_head_dim) + sigmoid-routed fine-grained
