@@ -244,13 +244,14 @@ def init_params(key, cfg: TransformerConfig):
             ]
             if cfg.n_shared_experts:  # one fused always-on SwiGLU
                 ds = d_ex * cfg.n_shared_experts
+                e1 = cfg.n_experts  # fold index one past the routed set
                 blk["shared"] = {
                     "w_gate": _init_linear(
-                        jax.random.fold_in(k[2], -1), cfg.d_model, ds),
+                        jax.random.fold_in(k[2], e1), cfg.d_model, ds),
                     "w_up": _init_linear(
-                        jax.random.fold_in(k[3], -1), cfg.d_model, ds),
+                        jax.random.fold_in(k[3], e1), cfg.d_model, ds),
                     "w_down": _init_linear(
-                        jax.random.fold_in(k[4], -1), ds, cfg.d_model),
+                        jax.random.fold_in(k[4], e1), ds, cfg.d_model),
                 }
         else:
             blk["w_gate"] = _init_linear(k[2], cfg.d_model, cfg.d_ff)

@@ -97,8 +97,13 @@ def param_specs(params, fsdp: bool = False) -> dict:
                 s["w_uq"] = maybe_dp(P(None, "tp"))
         else:
             s["wqkv"] = maybe_dp(P(None, "tp"))
+            if "q_norm" in blk:  # Qwen3 per-head q/k norms: (head_dim,)
+                s["q_norm"] = P()  # shared by every head -> replicate
+                s["k_norm"] = P()
         if "experts" in blk:  # MoE: each expert shards like a dense MLP;
             s["router"] = P()  # the tiny router replicates
+            if "router_bias" in blk:  # DeepSeek selection bias: tiny
+                s["router_bias"] = P()
             s["experts"] = [
                 {
                     "w_gate": maybe_dp(P(None, "tp")),
@@ -107,6 +112,12 @@ def param_specs(params, fsdp: bool = False) -> dict:
                 }
                 for _ in blk["experts"]
             ]
+            if "shared" in blk:  # DeepSeek shared experts: dense MLP pair
+                s["shared"] = {
+                    "w_gate": maybe_dp(P(None, "tp")),
+                    "w_up": maybe_dp(P(None, "tp")),
+                    "w_down": maybe_dp(P("tp", None)),
+                }
         elif "w_fc" in blk:  # GPT-2-family GELU MLP
             s["w_fc"] = maybe_dp(P(None, "tp"))
             s["w_proj"] = maybe_dp(P("tp", None))

@@ -40,6 +40,29 @@ class TestDenseSharding:
             out = jax.jit(lambda p, t: forward(p, t, cfg))(sharded, tokens)
         assert np.allclose(np.asarray(ref), np.asarray(out), atol=1e-4, rtol=1e-4)
 
+    def test_forward_parity_qwen3_and_deepseek_shapes(self):
+        """param_specs must cover the session-8 param keys: qk_norm's
+        per-head gains, DeepSeek's router_bias / shared experts /
+        fine-grained MoE, and the first-k-dense layer mix."""
+        for cfg in (
+            tiny_cfg(qk_norm=True),
+            tiny_cfg(n_experts=4, moe_top_k=2, moe_d_ff=32,
+                     n_shared_experts=1, moe_score="sigmoid",
+                     moe_score_bias=True, moe_n_group=2, moe_topk_group=1,
+                     moe_routed_scale=1.5, moe_first_dense=1),
+        ):
+            params = init_params(jax.random.PRNGKey(1), cfg)
+            tokens = (jnp.arange(2 * 16, dtype=jnp.int32).reshape(2, 16)
+                      % cfg.vocab_size)
+            ref = forward(params, tokens, cfg)
+            mesh = make_mesh(8)
+            sharded = shard_params(params, mesh)
+            with mesh:
+                out = jax.jit(lambda p, t, c=cfg: forward(p, t, c))(
+                    sharded, tokens)
+            assert np.allclose(np.asarray(ref), np.asarray(out),
+                               atol=1e-4, rtol=1e-4)
+
     @pytest.mark.slow
     def test_sharded_train_step_decreases_loss(self):
         cfg = tiny_cfg()
