@@ -741,6 +741,13 @@ class InferenceServer:
                 "prefix caching with sliding windows is not supported (a "
                 "window invalidates shared-prefix reuse beyond the window)"
             )
+        if cfg.attention == "mla":
+            raise NotImplementedError(
+                "paged serving of MLA models is not supported yet (the "
+                "page pools hold per-head K/V; MLA needs a compressed-"
+                "latent pool) — use models.generate.generate(), which "
+                "decodes MLA in the absorbed form"
+            )
         self.params = params
         self.cfg = cfg
         self.B = batch_slots

@@ -199,3 +199,17 @@ class TestMlaTraining:
         want = rms_norm(raw, p["kv_norm"], MLA_CFG.norm_eps)
         np.testing.assert_allclose(np.asarray(c), np.asarray(want),
                                    rtol=1e-6)
+
+
+def test_paged_serving_rejects_mla_clearly():
+    """InferenceServer's page pools are per-head K/V; MLA needs a
+    compressed-latent pool.  The constructor must say so instead of
+    KeyError-ing on a missing wqkv deep in the decode trace."""
+    import pytest
+
+    from kfunca_tpu.models.serve import InferenceServer
+
+    params = init_params(jax.random.PRNGKey(0), MLA_CFG)
+    with pytest.raises(NotImplementedError, match="MLA"):
+        InferenceServer(params, MLA_CFG, batch_slots=2, page_size=4,
+                        n_pages=16)
