@@ -244,3 +244,57 @@ def mla_block_with_cache(x, p, layer_cache, start_pos,
     x = x + o.astype(x.dtype)
     y = apply_norm(x, p, "mlp_norm", cfg)
     return x + mlp(y, p, cfg).astype(x.dtype), new_cache
+
+
+def _pe_rope_perslot(x, cfg: TransformerConfig, positions):
+    """_pe_rope for one token per slot at per-slot absolute positions:
+    x (B, H, 1, D), positions (B,) -> same shape, each batch row rotated
+    at its own position (the serving layout, where slots run unrelated
+    sequences)."""
+    return jax.vmap(
+        lambda xx, pos: _pe_rope(xx[None], cfg, pos[None])[0])(x, positions)
+
+
+def mla_attend_cached_perslot(y, p, layer_cache, positions,
+                              cfg: TransformerConfig):
+    """Absorbed-form MLA decode of ONE token per slot.
+
+    y (B, 1, d) normed inputs, positions (B,) per-slot absolute positions
+    (continuous batching: every slot is a different sequence).  Scatters
+    this step's latent/rope-key into each slot's cache row at its own
+    position, scores against the slot's latent history with a per-slot
+    causal mask, and re-expands values after the weighted sum — the
+    serving counterpart of mla_attend_cached (which assumes one shared
+    start_pos).  Returns (o (B, 1, d) fp32, new_layer_cache)."""
+    h, qk, nope, rope, v_dim, d_c = mla_dims(cfg)
+    b = y.shape[0]
+    max_len = layer_cache["ckv"].shape[1]
+    pos = jnp.minimum(positions.astype(jnp.int32), max_len - 1)
+
+    q_nope, q_pe = _project_q(y, p, cfg)  # (B, h, 1, nope/rope)
+    q_pe = _pe_rope_perslot(q_pe, cfg, pos)
+    c, k_pe = _project_latent(y, p, cfg)  # c (B,1,d_c), k_pe (B,1,1,rope)
+    k_pe = _pe_rope_perslot(k_pe, cfg, pos)[:, 0]  # (B, 1, rope)
+
+    bi = jnp.arange(b)
+    ckv = layer_cache["ckv"].at[bi, pos].set(
+        c[:, 0].astype(layer_cache["ckv"].dtype))
+    kpe = layer_cache["kpe"].at[bi, pos].set(
+        k_pe[:, 0].astype(layer_cache["kpe"].dtype))
+
+    w_uk = p["w_uk"].reshape(d_c, h, nope)
+    q_abs = jnp.einsum("bhtn,chn->bhtc", q_nope.astype(jnp.float32),
+                       w_uk.astype(jnp.float32))
+    s = jnp.einsum("bhtc,blc->bhtl", q_abs, ckv.astype(jnp.float32))
+    s = s + jnp.einsum("bhtr,blr->bhtl", q_pe.astype(jnp.float32),
+                       kpe.astype(jnp.float32))
+    s = s * jnp.float32(1.0 / math.sqrt(qk))
+    l_pos = jnp.arange(max_len)[None, None, None, :]  # (1,1,1,L)
+    s = jnp.where(l_pos <= pos[:, None, None, None], s, jnp.float32(-1e30))
+    prob = jax.nn.softmax(s, axis=-1)
+    ol = jnp.einsum("bhtl,blc->bhtc", prob, ckv.astype(jnp.float32))
+    w_uv = p["w_uv"].reshape(d_c, h, v_dim)
+    out = jnp.einsum("bhtc,chv->bthv", ol, w_uv.astype(jnp.float32))
+    out = out.reshape(b, 1, h * v_dim).astype(y.dtype)
+    o = _mm_with_lora(out, p["wo"], p, "wo")
+    return o, {"ckv": ckv, "kpe": kpe}

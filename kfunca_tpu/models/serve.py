@@ -743,10 +743,10 @@ class InferenceServer:
             )
         if cfg.attention == "mla":
             raise NotImplementedError(
-                "paged serving of MLA models is not supported yet (the "
-                "page pools hold per-head K/V; MLA needs a compressed-"
-                "latent pool) — use models.generate.generate(), which "
-                "decodes MLA in the absorbed form"
+                "this engine's page pools hold per-head K/V; MLA models "
+                "are served by models.mla_serve.MLAServer (continuous "
+                "batching over compressed-latent slots, absorbed-form "
+                "decode) or decoded via models.generate.generate()"
             )
         self.params = params
         self.cfg = cfg
