@@ -269,6 +269,14 @@ class TestQwen3MoeImport:
         ggen = np.asarray(
             generate(params, jnp.asarray(prompt), kcfg, max_new=8))[0]
         assert np.array_equal(ggen, wgen), (ggen, wgen)
+        # the routed MoE must flow through the paged serving engine too
+        from kfunca_tpu.models.serve import InferenceServer
+
+        srv = InferenceServer(params, kcfg, batch_slots=2, page_size=4,
+                              n_pages=32, max_pages_per_seq=8)
+        rid = srv.submit(list(prompt[0]), max_new=8)
+        out = srv.run()[rid]
+        assert np.array_equal(np.asarray(out, np.int64), wgen), (out, wgen)
 
 
 class TestDeepseekV3Import:
