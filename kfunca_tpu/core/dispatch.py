@@ -164,11 +164,18 @@ def _fused_program(
 
 
 # scalar-operand cache: repeated scalar values (loop constants, 2.0, 1.0...)
-# reuse one on-device 0-d array instead of paying a host->device transfer per
-# call (significant through the relayed TPU).  Keyed by raw bits so NaN hits
-# the cache too; bounded FIFO so unbounded value streams (lr schedules) stay
-# cheap without growing host memory.
+# reuse one on-device 0-d array.  Keyed by raw bits so NaN hits the cache
+# too; bounded FIFO so unbounded value streams (lr schedules) stay cheap
+# without growing host memory.
+#
+# A NEVER-seen value does NOT pay a Python-side jnp.asarray (~170 us of
+# pure dispatch machinery, round-4 measurement; the round-3 bench showed
+# scalar_mul_varying at 484 us/op because every LR-schedule value missed):
+# the raw 0-d numpy array is handed straight to the jitted program, whose
+# C++ argument path converts it in ~14 us.  Only a value seen TWICE (a
+# recurring constant) is promoted to a cached device array.
 _SCALAR_CACHE: dict = {}
+_SCALAR_SEEN: dict = {}
 _SCALAR_CACHE_MAX = 1024
 
 
@@ -176,11 +183,17 @@ def _scalar_operand(value, dt):
     arr = np.asarray(value, dtype=dt)
     key = (arr.tobytes(), arr.dtype.str)
     cached = _SCALAR_CACHE.get(key)
-    if cached is None:
+    if cached is not None:
+        return cached
+    if key in _SCALAR_SEEN:  # second sight: recurring constant, promote
         if len(_SCALAR_CACHE) >= _SCALAR_CACHE_MAX:
             _SCALAR_CACHE.pop(next(iter(_SCALAR_CACHE)))
         cached = _SCALAR_CACHE[key] = jnp.asarray(arr)
-    return cached
+        return cached
+    if len(_SCALAR_SEEN) >= _SCALAR_CACHE_MAX:
+        _SCALAR_SEEN.pop(next(iter(_SCALAR_SEEN)))
+    _SCALAR_SEEN[key] = True
+    return arr  # one-shot value: the jit C++ arg path converts it
 
 
 def _storage_slots(tensors):

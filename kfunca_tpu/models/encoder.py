@@ -63,6 +63,13 @@ class EncoderConfig:
 
 
 def init_encoder_params(key, cfg: EncoderConfig):
+    if cfg.arch == "bert":
+        # encode() dispatches on cfg.arch, so init must match: the bert
+        # layout needs embed_norm/token-type/biased projections that the
+        # preln pytree below lacks (a mismatch only surfaces as a KeyError
+        # deep inside bert_encode).
+        return init_bert_params(key, cfg)
+    assert cfg.arch == "preln", cfg.arch
     keys = jax.random.split(key, cfg.n_layers * 5 + 2)
     params = {
         "embed": jax.random.normal(

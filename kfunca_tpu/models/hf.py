@@ -176,8 +176,22 @@ def config_from_hf(hf_config, dtype: str = "bfloat16") -> TransformerConfig:
     if window is not None and get("use_sliding_window") is False:
         window = None  # Qwen2-style gate: configured but disabled
     # Mixtral-family MoE (num_local_experts) or Qwen3-MoE (num_experts,
-    # fine-grained moe_intermediate_size, optional top-k renorm)
-    n_experts = get("num_local_experts") or get("num_experts") or 0
+    # fine-grained moe_intermediate_size, optional top-k renorm).  The
+    # generic "num_experts" key is accepted ONLY for qwen3_moe: Qwen2-MoE
+    # and OLMoE also publish it but carry always-on shared experts
+    # (mlp.shared_expert.* + shared_expert_gate) / per-head q-k norms that
+    # this importer does not map — importing them silently would drop those
+    # weights and produce wrong logits, so they must fail loudly here.
+    n_experts = get("num_local_experts") or 0
+    if not n_experts and get("num_experts"):
+        mt = get("model_type")
+        if mt == "qwen3_moe":
+            n_experts = get("num_experts")
+        else:
+            raise NotImplementedError(
+                f"MoE model_type {mt!r} with num_experts is not supported "
+                "(shared-expert layouts like qwen2_moe/olmoe are not mapped); "
+                "supported MoE families: mixtral (num_local_experts), qwen3_moe")
     if get("model_type") == "qwen3_moe":
         if get("mlp_only_layers") or get("decoder_sparse_step", 1) != 1:
             raise NotImplementedError(
@@ -463,32 +477,72 @@ def to_hf(params, cfg: TransformerConfig) -> dict:
             sd[p + "mlp.c_proj.bias"] = A(blk["b_proj"])
         return sd
 
-    h, hkv, hd = cfg.n_heads, cfg.kv_heads, cfg.head_dim
+    h = cfg.n_heads
+    if cfg.attention != "mla":  # head_dim asserts d_model % n_heads
+        hkv, hd = cfg.kv_heads, cfg.head_dim
     sd = {
         "model.embed_tokens.weight": A(params["embed"]),
         "model.norm.weight": A(params["final_norm"]),
     }
     for i, blk in enumerate(params["blocks"]):
         p = f"model.layers.{i}."
-        q, k, v = (blk["wqkv"][:, : h * hd], blk["wqkv"][:, h * hd : (h + hkv) * hd],
-                   blk["wqkv"][:, (h + hkv) * hd :])
         sd[p + "input_layernorm.weight"] = A(blk["attn_norm"])
-        sd[p + "self_attn.q_proj.weight"] = T(q)
-        sd[p + "self_attn.k_proj.weight"] = T(k)
-        sd[p + "self_attn.v_proj.weight"] = T(v)
-        if "bqkv" in blk:
-            bq, bk, bv = (blk["bqkv"][: h * hd],
-                          blk["bqkv"][h * hd : (h + hkv) * hd],
-                          blk["bqkv"][(h + hkv) * hd :])
-            sd[p + "self_attn.q_proj.bias"] = A(bq)
-            sd[p + "self_attn.k_proj.bias"] = A(bk)
-            sd[p + "self_attn.v_proj.bias"] = A(bv)
+        if cfg.attention == "mla":  # DeepSeek-V2/V3 latent attention
+            # inverse of the params_from_hf kv_b_proj unpack: re-interleave
+            # [k_nope | v] per head along the output dim
+            nope, rope = cfg.qk_nope_head_dim, cfg.qk_rope_head_dim
+            v_dim = cfg.v_head_dim or (nope + rope)
+            d_c = cfg.kv_lora_rank
+            if "w_dq" in blk:  # q LoRA (V2/V3 large)
+                sd[p + "self_attn.q_a_proj.weight"] = T(blk["w_dq"])
+                sd[p + "self_attn.q_a_layernorm.weight"] = A(blk["q_norm"])
+                sd[p + "self_attn.q_b_proj.weight"] = T(blk["w_uq"])
+            else:
+                sd[p + "self_attn.q_proj.weight"] = T(blk["w_q"])
+            sd[p + "self_attn.kv_a_proj_with_mqa.weight"] = T(blk["w_dkv"])
+            sd[p + "self_attn.kv_a_layernorm.weight"] = A(blk["kv_norm"])
+            wkv = np.concatenate(
+                [np.asarray(blk["w_uk"], np.float32).reshape(d_c, h, nope),
+                 np.asarray(blk["w_uv"], np.float32).reshape(d_c, h, v_dim)],
+                axis=-1).reshape(d_c, h * (nope + v_dim))
+            sd[p + "self_attn.kv_b_proj.weight"] = T(wkv)
+        else:
+            q, k, v = (blk["wqkv"][:, : h * hd],
+                       blk["wqkv"][:, h * hd : (h + hkv) * hd],
+                       blk["wqkv"][:, (h + hkv) * hd :])
+            sd[p + "self_attn.q_proj.weight"] = T(q)
+            sd[p + "self_attn.k_proj.weight"] = T(k)
+            sd[p + "self_attn.v_proj.weight"] = T(v)
+            if "bqkv" in blk:
+                bq, bk, bv = (blk["bqkv"][: h * hd],
+                              blk["bqkv"][h * hd : (h + hkv) * hd],
+                              blk["bqkv"][(h + hkv) * hd :])
+                sd[p + "self_attn.q_proj.bias"] = A(bq)
+                sd[p + "self_attn.k_proj.bias"] = A(bk)
+                sd[p + "self_attn.v_proj.bias"] = A(bv)
         if "q_norm" in blk and cfg.qk_norm:  # Qwen3 per-head q/k norms
             sd[p + "self_attn.q_norm.weight"] = A(blk["q_norm"])
             sd[p + "self_attn.k_norm.weight"] = A(blk["k_norm"])
         sd[p + "self_attn.o_proj.weight"] = T(blk["wo"])
         sd[p + "post_attention_layernorm.weight"] = A(blk["mlp_norm"])
-        if "experts" in blk:  # Mixtral layout
+        if "experts" in blk and (cfg.attention == "mla" or cfg.qk_norm
+                                 or "shared" in blk or "router_bias" in blk):
+            # DeepSeek / Qwen3-MoE layout: mlp.{gate, experts.N.*_proj,
+            # shared_experts.*} — the inverse of the mlp.gate import branch
+            sd[p + "mlp.gate.weight"] = T(blk["router"])
+            if "router_bias" in blk:
+                sd[p + "mlp.gate.e_score_correction_bias"] = A(blk["router_bias"])
+            for e, ex in enumerate(blk["experts"]):
+                ep = p + f"mlp.experts.{e}."
+                sd[ep + "gate_proj.weight"] = T(ex["w_gate"])
+                sd[ep + "up_proj.weight"] = T(ex["w_up"])
+                sd[ep + "down_proj.weight"] = T(ex["w_down"])
+            if "shared" in blk:
+                sp = p + "mlp.shared_experts."
+                sd[sp + "gate_proj.weight"] = T(blk["shared"]["w_gate"])
+                sd[sp + "up_proj.weight"] = T(blk["shared"]["w_up"])
+                sd[sp + "down_proj.weight"] = T(blk["shared"]["w_down"])
+        elif "experts" in blk:  # Mixtral layout
             sd[p + "block_sparse_moe.gate.weight"] = T(blk["router"])
             for e, ex in enumerate(blk["experts"]):
                 ep = p + f"block_sparse_moe.experts.{e}."

@@ -134,7 +134,12 @@ class MLAServer:
                 continue
             req = self._queue.pop(0)
             n = len(req["prompt"])
-            bucket = 1 << max(0, (n - 1)).bit_length()
+            # Clamp the pow2 bucket to the cache length: with a non-pow2
+            # max_seq_len (say 100) a 70-token prompt passes the submit()
+            # guard but would bucket to 128, and mla_attend_cached's
+            # dynamic_update_slice of a (1,128,·) update into a (1,100,·)
+            # cache is a trace-time crash.
+            bucket = min(1 << max(0, (n - 1)).bit_length(), self.max_len)
             if bucket not in self._prefill_cache:
                 self._prefill_cache[bucket] = self._prefill_fn(bucket)
             padded = np.zeros((1, bucket), np.int32)

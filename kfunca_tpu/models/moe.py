@@ -183,14 +183,16 @@ def moe_ffn_ep_spmd(x_local, params_local, cfg: MoEConfig, *, axis: str = "ep"):
 
     # local expert queues for ALL experts: (E, cap, D)
     expert_in = jnp.einsum("tec,td->ecd", dispatch, xt.astype(jnp.float32))
-    # explicit dispatch all-to-all: split the expert dim across devices,
-    # gather the sender dim -> (E_local, n_dev, cap, D) on each device
-    expert_in = jax.lax.all_to_all(
-        expert_in.reshape(n_dev, e // n_dev, cap, d),
-        axis, split_axis=0, concat_axis=1, tiled=False,
-    )  # (E_local, n_dev, cap, D) after split/concat bookkeeping
+    # explicit dispatch all-to-all, tiled form: the expert dim (E =
+    # n_dev * E_local, device-major) splits across devices and every
+    # sender's queues concatenate along the capacity dim ->
+    # (E_local, n_dev * cap, D).  (The tiled=False + reshape spelling is
+    # forward-equivalent but its TRANSPOSE miscomputes shapes when
+    # E_local > 1 — a lowering verifier error under jax.grad.)
     el = e // n_dev
-    expert_in = expert_in.reshape(el, n_dev * cap, d)
+    expert_in = jax.lax.all_to_all(
+        expert_in, axis, split_axis=0, concat_axis=1, tiled=True,
+    )  # (E_local, n_dev * cap, D)
 
     h = jax.nn.gelu(
         jnp.einsum(
@@ -202,12 +204,11 @@ def moe_ffn_ep_spmd(x_local, params_local, cfg: MoEConfig, *, axis: str = "ep"):
         "ecf,efd->ecd", h, params_local["w_out"], preferred_element_type=jnp.float32
     )
 
-    # reverse all-to-all: return each sender's slots -> (E, cap, D) locally
+    # reverse all-to-all (tiled): each sender's cap-slice returns home and
+    # the expert dim re-concatenates device-major -> (E, cap, D) locally
     expert_out = jax.lax.all_to_all(
-        expert_out.reshape(el, n_dev, cap, d),
-        axis, split_axis=1, concat_axis=0, tiled=False,
+        expert_out, axis, split_axis=1, concat_axis=0, tiled=True,
     )
-    expert_out = expert_out.reshape(e, cap, d)
 
     out = jnp.einsum("tec,ecd->td", combine, expert_out)
     frac_tokens = jnp.mean(onehot1, axis=0)

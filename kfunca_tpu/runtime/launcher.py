@@ -81,11 +81,13 @@ class Launcher:
     # -- launches ----------------------------------------------------------
 
     def sync(self, value) -> None:
-        """Force completion with a 1-element device fetch (reliable even
-        under relayed dispatch where block_until_ready returns early)."""
+        """Force completion with a 1-element device fetch PER LEAF
+        (reliable even under relayed dispatch where block_until_ready
+        returns early; fetching only the first leaf could under-measure
+        multi-output programs whose other outputs were still in flight)."""
         leaves = jax.tree_util.tree_leaves(value)
         if leaves:
-            np.asarray(jax.device_get(jax.numpy.ravel(leaves[0])[:1]))
+            jax.device_get([jax.numpy.ravel(leaf)[:1] for leaf in leaves])
 
     def submit(self, fn, *args, name: str | None = None):
         """Run a compiled callable under the current sync/profiling policy."""

@@ -415,3 +415,92 @@ class TestExport:
             want = model(torch.tensor(tokens)).logits.float().numpy()
         got = np.asarray(forward(params, jnp.asarray(tokens), kcfg))
         assert np.allclose(got, want, atol=2e-4), np.abs(got - want).max()
+
+
+from kfunca_tpu.models.transformer import (  # noqa: E402
+    TransformerConfig,
+    init_params,
+)
+
+
+class TestToHfNewFamilies:
+    """Round-trip export coverage for the families added in round 3:
+    MLA (DeepSeek kv_b_proj repack) and the mlp.gate MoE layout with
+    shared experts + e_score_correction_bias (reference parity: the
+    export is the inverse of params_from_hf's import mapping)."""
+
+    def _roundtrip(self, cfg, seed=0):
+        from kfunca_tpu.models.hf import params_from_hf, to_hf
+
+        params = init_params(jax.random.PRNGKey(seed), cfg)
+        sd = to_hf(params, cfg)
+        back = params_from_hf(sd, cfg)
+        flat_a, _ = jax.tree.flatten(params)
+        flat_b, treedef_b = jax.tree.flatten(back)
+        treedef_a = jax.tree.structure(params)
+        assert treedef_a == treedef_b, (treedef_a, treedef_b)
+        for a, b in zip(flat_a, flat_b):
+            assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    def test_mla_roundtrip(self):
+        cfg = TransformerConfig(
+            vocab_size=67, d_model=32, n_heads=2, n_layers=2, d_ff=48,
+            max_seq_len=64, dtype="float32", attention="mla",
+            kv_lora_rank=16, qk_nope_head_dim=8, qk_rope_head_dim=8,
+        )
+        self._roundtrip(cfg)
+
+    def test_mla_qlora_roundtrip(self):
+        cfg = TransformerConfig(
+            vocab_size=67, d_model=32, n_heads=2, n_layers=1, d_ff=48,
+            max_seq_len=64, dtype="float32", attention="mla",
+            kv_lora_rank=16, q_lora_rank=24,
+            qk_nope_head_dim=8, qk_rope_head_dim=8, v_head_dim=12,
+        )
+        self._roundtrip(cfg, seed=1)
+
+    def test_deepseek_moe_roundtrip(self):
+        cfg = TransformerConfig(
+            vocab_size=67, d_model=32, n_heads=2, n_layers=2, d_ff=48,
+            max_seq_len=64, dtype="float32", attention="mla",
+            kv_lora_rank=16, qk_nope_head_dim=8, qk_rope_head_dim=8,
+            n_experts=4, moe_top_k=2, moe_d_ff=16, n_shared_experts=1,
+            moe_score="sigmoid", moe_score_bias=True, moe_first_dense=1,
+        )
+        self._roundtrip(cfg, seed=2)
+
+    def test_qwen3_moe_roundtrip(self):
+        cfg = TransformerConfig(
+            vocab_size=67, d_model=32, n_heads=2, n_layers=2, d_ff=48,
+            max_seq_len=64, dtype="float32", qk_norm=True,
+            n_experts=4, moe_top_k=2, moe_d_ff=16,
+        )
+        self._roundtrip(cfg, seed=3)
+
+
+class TestUnsupportedMoeFamilies:
+    """Shared-expert MoE layouts this importer does not map must fail
+    loudly at config time, not import silently-wrong logits."""
+
+    def test_qwen2_moe_rejected(self):
+        from kfunca_tpu.models.hf import config_from_hf
+
+        with pytest.raises(NotImplementedError, match="qwen2_moe"):
+            config_from_hf({
+                "model_type": "qwen2_moe", "vocab_size": 100,
+                "hidden_size": 64, "num_attention_heads": 4,
+                "num_hidden_layers": 2, "intermediate_size": 128,
+                "num_experts": 8, "num_experts_per_tok": 2,
+                "moe_intermediate_size": 32,
+            })
+
+    def test_olmoe_rejected(self):
+        from kfunca_tpu.models.hf import config_from_hf
+
+        with pytest.raises(NotImplementedError, match="olmoe"):
+            config_from_hf({
+                "model_type": "olmoe", "vocab_size": 100,
+                "hidden_size": 64, "num_attention_heads": 4,
+                "num_hidden_layers": 2, "intermediate_size": 128,
+                "num_experts": 8, "num_experts_per_tok": 2,
+            })

@@ -76,3 +76,18 @@ class TestMLAServer:
 
         with pytest.raises(ValueError, match="max_seq_len"):
             srv.submit(list(range(30)), max_new=8)
+
+    def test_non_pow2_max_seq_len_bucket_clamped(self):
+        """A prompt longer than max_seq_len//2 used to bucket PAST a
+        non-pow2 cache length (prompt 20, max 24 -> bucket 32 vs cache 24),
+        crashing at trace time inside dynamic_update_slice.  The bucket is
+        clamped to the cache length instead."""
+        cfg = mla_cfg()
+        params = init_params(jax.random.PRNGKey(2), cfg)
+        prompt = list(range(3, 23))  # 20 tokens
+        want = list(np.asarray(generate(
+            params, jnp.asarray([prompt], jnp.int32), cfg, max_new=4))[0])
+        srv = MLAServer(params, cfg, batch_slots=1, max_seq_len=24)
+        rid = srv.submit(prompt, max_new=4)
+        out = srv.run()
+        assert [int(t) for t in out[rid]] == [int(t) for t in want]

@@ -391,3 +391,56 @@ class TestSSMScan:
             np.testing.assert_allclose(
                 np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4,
                 err_msg=name)
+
+
+class TestFp16AttentionDispatch:
+    """fp16 storage rides the fp32 flash kernel (round-4: fp16 embeds
+    exactly in fp32; previously fp16 silently fell back to the O(S^2)
+    einsum).  Patch the dispatch gate on and run the kernels in interpret
+    mode; outputs/grads must come back fp16 and match the fp32 oracle to
+    fp16 precision."""
+
+    def test_fp16_vjp_through_kernel_path(self, monkeypatch):
+        import functools
+
+        import kfunca_tpu.ops.attention as attn_mod
+        from kfunca_tpu.ops.pallas_kernels import flash_attention as fa
+
+        monkeypatch.setattr(attn_mod, "use_pallas", lambda: True)
+        monkeypatch.setattr(
+            attn_mod, "_tuned_blocks",
+            lambda op, q, k: {"bq": 128, "bk": 128})
+        # route the kernels through interpret mode (CPU)
+        orig_stats = fa.flash_attention_fwd_stats
+        orig_fwd = fa.flash_attention_forward
+        orig_bwd = fa.flash_attention_backward
+        monkeypatch.setattr(
+            fa, "flash_attention_fwd_stats",
+            functools.partial(orig_stats, interpret=True))
+        monkeypatch.setattr(
+            fa, "flash_attention_forward",
+            functools.partial(orig_fwd, interpret=True))
+        monkeypatch.setattr(
+            fa, "flash_attention_backward",
+            functools.partial(orig_bwd, interpret=True))
+
+        rng = np.random.default_rng(7)
+        b, h, s, d = 1, 2, 128, 128
+        q = jnp.asarray(rng.uniform(-1, 1, (b, h, s, d)), jnp.float16)
+        k = jnp.asarray(rng.uniform(-1, 1, (b, h, s, d)), jnp.float16)
+        v = jnp.asarray(rng.uniform(-1, 1, (b, h, s, d)), jnp.float16)
+        g = jnp.asarray(rng.uniform(-1, 1, (b, h, s, d)), jnp.float16)
+
+        out, vjp = jax.vjp(attn_mod.causal_attention_fn, q, k, v)
+        dq, dk, dv = vjp(g)
+        assert out.dtype == jnp.float16
+        assert dq.dtype == dk.dtype == dv.dtype == jnp.float16
+
+        qf, kf, vf = (x.astype(jnp.float32) for x in (q, k, v))
+        ref, rvjp = jax.vjp(attn_mod._sdpa_xla, qf, kf, vf)
+        rq, rk, rv = rvjp(g.astype(jnp.float32))
+        assert np.allclose(np.asarray(out, np.float32), np.asarray(ref),
+                           atol=2e-3)
+        for got, want in ((dq, rq), (dk, rk), (dv, rv)):
+            assert np.allclose(np.asarray(got, np.float32), np.asarray(want),
+                               atol=2e-2)
