@@ -247,7 +247,13 @@ def bench_reduce_engines():
     from kfunca_tpu.ops.pallas_kernels.welford import welford_norm_stat
 
     key = jax.random.PRNGKey(5)
-    A = jax.random.normal(key, (4096, 4096), jnp.float32)
+    # The sum operand must NOT fit in VMEM: round-3 used 4096^2 fp32
+    # (64 MB) and XLA kept it VMEM-resident across the chain, so every
+    # arm measured near-zero marginal cost ("sum-xla: 0.0" in BENCH_r03 —
+    # physically impossible as HBM traffic, entirely possible as VMEM
+    # re-reads).  16384^2 fp32 = 1 GB forces real HBM traffic
+    # (tools_r4_reduce_fix.py postmortem).
+    A = jax.random.normal(key, (16384, 16384), jnp.float32)
     B = jax.random.normal(key, (16387, 16387), jnp.float32)
 
     # NB the iteration dependency must be NON-LINEAR in x (`x = x + bump`
@@ -439,11 +445,28 @@ def bench_serving(L=8, dm=1024, h=16, page=None, ctx=960, capacity=1024):
                 return lambda: f(prm_in, pk_in, pv_in, positions0, tokens0)
             return mk
 
+        # HBM-roofline accounting per decode step (VERDICT r3 missing #5):
+        # every step must read all matmul weights once (batch-amortized)
+        # plus each slot's live KV pages; tokens/s_roofline = B / (bytes /
+        # HBM_GBps) and the reported pct says how close the measured
+        # number is to what the chip's bandwidth allows.
+        hbm = 819e9  # v5e HBM GB/s (utils/device_info.py)
+        wpar = 16 * dm * dm * L + dm * cfg.vocab_size  # blocks + tied head
+        kv_pos = -(-ctx // page) * page  # pages touched (page granularity)
+        kv_elems = kv_pos * L * h * (dm // h) * 2  # k+v, per slot
         for label, ch in (("pallas", chain("pallas")), ("xla", chain("xla")),
                           ("pallas_w8", chain("pallas", q8=True)),
                           ("pallas_w8kv8", chain("pallas", q8=True, kv8=True))):
             dt = slope_time(ch, k1=4, k2=16, label=f"decode-{label}-B{B}", reps=2)
-            results[f"{label}_B{B}_tokens_per_s"] = round(B / dt, 1)
+            wbytes = wpar * (1 if "w8" in label else 2)
+            kvbytes = B * kv_elems * (1 if "kv8" in label else 2)
+            roofline = B / ((wbytes + kvbytes) / hbm)
+            tps = round(B / dt, 1)
+            results[f"{label}_B{B}_tokens_per_s"] = tps
+            results[f"{label}_B{B}_roofline_pct"] = round(100 * tps / roofline, 1)
+            _log(f"decode {label} B{B}: {tps} tok/s = "
+                 f"{results[f'{label}_B{B}_roofline_pct']}% of HBM roofline "
+                 f"({roofline:.0f} tok/s @ {(wbytes + kvbytes) / 1e6:.0f} MB/step)")
 
     # prefill throughput: the full-prompt forward the engine's admission
     # pays per request (B=1, the scheduler prefills one request at a
@@ -481,8 +504,12 @@ def bench_train_mfu(dm=1024, L=12, h=8, ff=4096, B=8, S=2048, vocab=32000,
     so the chain is inherently non-linear — AdamW's sqrt/divide cannot be
     reassociated away, and every output is consumed as the next carry).
     MFU uses the standard PaLM-style accounting: 6*N_matmul FLOPs/token
-    plus 12*S*d_model attention FLOPs/token (no causal discount), over the
-    chip's bf16 peak.  remat defaults OFF: this model's activations fit
+    plus 12*L*S*d_model attention FLOPs/token (no causal discount), over
+    the chip's bf16 peak.  NB round <= 3 dropped the factor of L on the
+    attention term (12*B*S^2*dm instead of 12*L*B*S^2*dm), undercounting
+    the step's model FLOPs by ~16% at this shape — r3's "0.536" was
+    0.640 under the correct formula; the r4 number is computed correctly
+    and is NOT comparable to BENCH_r<=3 train_step.mfu values.  remat defaults OFF: this model's activations fit
     v5e HBM, and the same-process A/B measured remat at 331 ms/step vs
     282 without (the ~33% forward recompute -> 35.9% vs 42.2% MFU).
     loss_chunk=4096 (the chunked-vocab streamed LM head) measured ~4%
@@ -516,7 +543,10 @@ def bench_train_mfu(dm=1024, L=12, h=8, ff=4096, B=8, S=2048, vocab=32000,
     # exact matmul-weight count (embedding lookup excluded; the tied lm-head
     # projection IS a matmul and is included via vocab*dm)
     n_mm = L * (dm * cfg.qkv_out + dm * dm + 3 * dm * ff) + dm * vocab
-    flops_per_step = 6 * n_mm * B * S + 12 * B * S * S * dm
+    # attention: QK^T + AV are 4*S*dm MACs = 8*S*dm FLOPs fwd per layer
+    # per token-row => 12*L*S*dm per token fwd+bwd (PaLM App. B, no causal
+    # discount — the convention counts the full score matrix)
+    flops_per_step = 6 * n_mm * B * S + 12 * L * B * S * S * dm
 
     def mk(K):
         @jax.jit

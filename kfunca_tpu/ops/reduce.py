@@ -70,18 +70,25 @@ def _pallas_reduce_jit(A, dim, out_dt, mean: bool):
 
 
 def _reduce_engine() -> str:
-    """Reduction engine, read at DISPATCH time.  XLA is the default: the
-    round-3 interleaved A/B (bench.py bench_reduce_engines, v5e, with
-    full-result row-update chains — the earlier inv[0,0] consumer let XLA
-    slice its own arm to one column) measured XLA never slower — 4096^2
-    fp32 column-sum chains are RTT-noise-bounded for both engines, and on
-    the 16387^2 norm_stat shape XLA's two-pass reduction runs 3.0 ms vs
-    5.0 ms for the Pallas Welford kernel (1.7x).
-    KFUNCA_REDUCE_ENGINE=pallas keeps the Pallas kernels dispatchable as
-    the tuning substrate."""
+    """SUM/MEAN engine, read at DISPATCH time.  XLA is the default for
+    plain reductions (round-3/4 A/Bs never measured it slower; NB the
+    round-3 4096^2 chains were VMEM-residency artifacts — see
+    bench_reduce_engines).  norm_stat has its OWN default (below): the
+    round-4 raw-moments Welford kernel measured 1.56 ms vs XLA's 2.97 on
+    the 16387^2 shape (84% of the 1.31 ms HBM floor; the round-3 kernel's
+    5.0 ms was the host pad copy + per-element masking,
+    pallas_kernels/welford.py), so Pallas IS the norm_stat production
+    engine.  KFUNCA_REDUCE_ENGINE overrides both ('pallas' forces the
+    Pallas sum substrate, 'xla' forces XLA everywhere)."""
     import os
 
     return os.environ.get("KFUNCA_REDUCE_ENGINE", "xla")
+
+
+def _norm_stat_engine() -> str:
+    import os
+
+    return os.environ.get("KFUNCA_REDUCE_ENGINE", "pallas")
 
 
 def _reduce_common(t: Tensor, dim: int, mean: bool) -> Tensor:
@@ -165,7 +172,7 @@ def norm_stat(t: Tensor, dim: int):
     plan = plan_reduce(t, dim)
     check(plan.acc_dtype in (ScalarType.Float, ScalarType.Double), "norm_stat: float only")
     if (
-        _reduce_engine() == "pallas"
+        _norm_stat_engine() == "pallas"
         and use_pallas()
         and t.dim() == 2
         and plan.dim == 0

@@ -136,10 +136,13 @@ def _topk_jit(A, k, dim, largest):
     perm = tuple(i for i in range(nd) if i != dim) + (dim,)
     inv = tuple(sorted(range(nd), key=lambda i: perm[i]))
     At = A.transpose(perm)
-    # lax.top_k only for small k: the XLA:TPU TopkEmitter crashes outright
-    # for large k (observed SIGABRT at k=2049 on v5e), and large-k selection
-    # degenerates to a sort anyway.
-    if largest and k <= 256 and not jnp.issubdtype(At.dtype, jnp.integer):
+    # lax.top_k up to k=2048: the XLA:TPU TopkEmitter crashes outright
+    # above that (observed SIGABRT at k=2049 on v5e), but below it the
+    # partial selection beats full-sort+narrow 1.4x (round-4 interleaved
+    # A/B on (64, 65536) f32: 3.2 vs 4.5 ms at k in {512, 1024, 2048},
+    # tools_r4_topk_welford.py; round 3 cut over to sort at k>256, leaving
+    # that margin on the table).
+    if largest and k <= 2048 and not jnp.issubdtype(At.dtype, jnp.integer):
         vals, idx = lax.top_k(At, k)  # VPU-friendly partial selection
     else:
         iota = lax.broadcasted_iota(jnp.int32, At.shape, nd - 1)

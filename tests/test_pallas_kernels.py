@@ -41,6 +41,37 @@ class TestMatmul:
         out = matmul(jnp.asarray(a), jnp.asarray(b), bm=128, bn=128, bk=128, interpret=True)
         assert np.allclose(np.asarray(out), a @ b, atol=1e-4, rtol=1e-4)
 
+    @pytest.mark.parametrize("epi", ["bias", "bias_gelu", "bias_silu",
+                                     "relu", "bias_res", "res"])
+    def test_fused_epilogue(self, epi):
+        """Fused epilogues (round-4: the CUTLASS alpha/beta analog plus
+        activations) applied on the fp32 accumulator at the last k step."""
+        rng = np.random.default_rng(3)
+        m, k, n = 256, 384, 128
+        a = rng.uniform(-1, 1, (m, k)).astype(np.float32)
+        b = rng.uniform(-1, 1, (k, n)).astype(np.float32)
+        bias = rng.uniform(-1, 1, (n,)).astype(np.float32)
+        res = rng.uniform(-1, 1, (m, n)).astype(np.float32)
+        kw = {}
+        want = a @ b
+        if "bias" in epi:
+            kw["bias"] = jnp.asarray(bias)
+            want = want + bias
+        if "gelu" in epi:
+            import jax.nn
+            want = np.asarray(jax.nn.gelu(jnp.asarray(want), approximate=True))
+        elif "silu" in epi:
+            want = want * (1.0 / (1.0 + np.exp(-want)))
+        elif "relu" in epi:
+            want = np.maximum(want, 0.0)
+        if "res" in epi:
+            kw["residual"] = jnp.asarray(res)
+            want = want + res
+        out = matmul(jnp.asarray(a), jnp.asarray(b), epilogue=epi,
+                     bm=128, bn=128, bk=128, interpret=True, **kw)
+        assert np.allclose(np.asarray(out), want, atol=1e-4, rtol=1e-4), (
+            np.abs(np.asarray(out) - want).max())
+
     def test_bf16_fp32_acc(self):
         rng = np.random.default_rng(1)
         a = rng.uniform(-1, 1, (128, 256)).astype(np.float32)
