@@ -371,17 +371,24 @@ def quantize_decode_params(params, bits: int = 8):
     return out
 
 
-def _paged_block(x, p, pool_k, pool_v, page_tables, positions, cfg, page_size, engine,
-                 lora=None):
+def _paged_block(x, p, pools_k, pools_v, li, page_tables, positions, cfg,
+                 page_size, engine, lora=None):
     """One transformer block over B single tokens against paged KV.
 
-    x: (B, 1, dm); pool_k/v: (n_pages, page, H, hd); page_tables:
-    (B, max_pages) int32; positions: (B,) int32 (index of the new token).
+    x: (B, 1, dm); pools_k/v: the FULL (L, n_pages, page, H, hd) stacked
+    pools — the block scatters its new K/V at [li, page, offset] in place
+    (one dynamic-update-slice on the donated buffer) and the attention
+    kernel reads the layer slice.  Keeping the stack intact is load-bearing
+    for throughput: the previous per-layer unstack + jnp.stack restack
+    materialized a full copy of both pools every step (~2.5 ms of the
+    4.4 ms step at B=8, tools_r4_decode_decomp.py — a 2.4x decode tax).
+    page_tables: (B, max_pages) int32; positions: (B,) int32 (index of the
+    new token).
     lora: optional (A (n_adapters, dm, r), B_ (n_adapters, r, 3*dm),
     ids (B,)) — per-SLOT low-rank wqkv deltas (adapter 0 is the zero/base
     adapter); decode applies x @ A[id] @ B[id] batched, so one compiled
     step serves a mixed-adapter batch.
-    Returns (x, new_pool_k, new_pool_v)."""
+    Returns (x, pools_k, pools_v)."""
     b = x.shape[0]
     h, hd = cfg.n_heads, cfg.head_dim
     max_pages = page_tables.shape[1]
@@ -409,24 +416,25 @@ def _paged_block(x, p, pool_k, pool_v, page_tables, positions, cfg, page_size, e
         q = rope(q, positions)
         k = rope(k, positions)
 
-    # scatter the new K/V into the pools at (page_of(pos), pos % page)
+    # scatter the new K/V into the stacked pools at (li, page_of(pos),
+    # pos % page) — an in-place dynamic-update-slice on the donated stack
     page_slot = page_tables[jnp.arange(b), positions // page_size]  # (B,)
     offset = positions % page_size
-    kv_quant = isinstance(pool_k, tuple)  # int8 KV: (pool_q8, scales) pairs
+    kv_quant = isinstance(pools_k, tuple)  # int8 KV: (pool_q8, scales) pairs
     if kv_quant:
         from ..ops.quant import quantize_vecs
 
         qk, sk_new = quantize_vecs(k[:, :, 0])  # (B, Hkv, hd), (B, Hkv)
         qv, sv_new = quantize_vecs(v[:, :, 0])
-        pool_k = (pool_k[0].at[page_slot, offset].set(qk),
-                  pool_k[1].at[page_slot, offset].set(sk_new))
-        pool_v = (pool_v[0].at[page_slot, offset].set(qv),
-                  pool_v[1].at[page_slot, offset].set(sv_new))
+        pools_k = (pools_k[0].at[li, page_slot, offset].set(qk),
+                   pools_k[1].at[li, page_slot, offset].set(sk_new))
+        pools_v = (pools_v[0].at[li, page_slot, offset].set(qv),
+                   pools_v[1].at[li, page_slot, offset].set(sv_new))
     else:
-        newk = k[:, :, 0].astype(pool_k.dtype)  # (B, H, hd)
-        newv = v[:, :, 0].astype(pool_v.dtype)
-        pool_k = pool_k.at[page_slot, offset].set(newk)
-        pool_v = pool_v.at[page_slot, offset].set(newv)
+        newk = k[:, :, 0].astype(pools_k.dtype)  # (B, H, hd)
+        newv = v[:, :, 0].astype(pools_v.dtype)
+        pools_k = pools_k.at[li, page_slot, offset].set(newk)
+        pools_v = pools_v.at[li, page_slot, offset].set(newv)
 
     scale = 1.0 / math.sqrt(hd)
     # engine is a STATIC argument resolved at dispatch time by the caller
@@ -436,22 +444,33 @@ def _paged_block(x, p, pool_k, pool_v, page_tables, positions, cfg, page_size, e
     if engine == "pallas" and x.dtype in (jnp.float32, jnp.bfloat16):
         # ragged paged-attention kernel: reads ONLY live pages via the
         # page table (scalar-prefetched index maps); validated vs the
-        # gather path below (tests + on-chip oracle check)
+        # gather path below (tests + on-chip oracle check).  The kernel
+        # reads layer li's pages straight from the stacked pool via a free
+        # flattened view + page_base — no pools[li] slice copy.
         from ..ops.pallas_kernels.paged_attention import paged_decode_attention
 
+        n_pages = (pools_k[0] if kv_quant else pools_k).shape[1]
+        _flat = lambda a: a.reshape((a.shape[0] * a.shape[1],) + a.shape[2:])
         qs = (q[:, :, 0] * jnp.asarray(scale, q.dtype))  # (B, H, hd)
         if kv_quant:
             attn = paged_decode_attention(
-                qs, pool_k[0], pool_v[0], page_tables, positions,
-                window=cfg.attention_window, scales=(pool_k[1], pool_v[1]),
+                qs, _flat(pools_k[0]), _flat(pools_v[0]), page_tables,
+                positions, window=cfg.attention_window,
+                scales=(_flat(pools_k[1]), _flat(pools_v[1])),
+                page_base=li * n_pages,
             )
         else:
             attn = paged_decode_attention(
-                qs, pool_k, pool_v, page_tables, positions,
-                window=cfg.attention_window,
+                qs, _flat(pools_k), _flat(pools_v), page_tables, positions,
+                window=cfg.attention_window, page_base=li * n_pages,
             )
         attn = attn.astype(x.dtype).reshape(b, 1, h * hd)
     else:
+        # XLA gather path reads the per-layer slices
+        pool_k = ((pools_k[0][li], pools_k[1][li]) if kv_quant
+                  else pools_k[li])
+        pool_v = ((pools_v[0][li], pools_v[1][li]) if kv_quant
+                  else pools_v[li])
         # XLA gather path (oracle + CPU tier): reads the full table width.
         # GQA: grouped queries (B, Hkv, G, 1, hd) against the shared kv head
         group = h // hkv
@@ -489,11 +508,11 @@ def _paged_block(x, p, pool_k, pool_v, page_tables, positions, cfg, page_size, e
     if cfg.parallel_residual:  # GPT-NeoX/GPT-J: branches share the input
         y = apply_norm(x, p, "mlp_norm", cfg)
         return (x + o.astype(x.dtype) + _mlp(y, p, cfg, mm=_mm).astype(x.dtype),
-                pool_k, pool_v)
+                pools_k, pools_v)
     x = x + o.astype(x.dtype)
     y = apply_norm(x, p, "mlp_norm", cfg)
     x = x + _mlp(y, p, cfg, mm=_mm).astype(x.dtype)
-    return x, pool_k, pool_v
+    return x, pools_k, pools_v
 
 
 @partial(
@@ -525,23 +544,16 @@ def paged_decode_step(
     if cfg.pos == "learned":  # per-slot absolute position (GPT-2 family)
         x = x + jnp.take(params["pos_embed"], positions, axis=0)[
             :, None].astype(cfg.act_dtype)
-    # int8 KV pools travel as (q8 pool, scale pool) pairs; slice/stack
-    # componentwise (the structure is trace-time static)
-    _layer = (lambda pool, li: (pool[0][li], pool[1][li])
-              if isinstance(pool, tuple) else pool[li])
-    _stack = (lambda ps: (jnp.stack([t[0] for t in ps]), jnp.stack([t[1] for t in ps]))
-              if isinstance(ps[0], tuple) else jnp.stack(ps))
-    new_k, new_v = [], []
+    # int8 KV pools travel as (q8 pool, scale pool) pairs; each block
+    # scatters into the stacked pools in place (donated buffers) — no
+    # per-layer unstack/restack, which cost a full pool copy per step
+    # (tools_r4_decode_decomp.py: 4.44 -> 1.88 ms/step at B=8 bf16)
     for li, p in enumerate(params["blocks"]):
-        x, pk, pv = _paged_block(
-            x, p, _layer(pools_k, li), _layer(pools_v, li), page_tables, positions,
+        x, pools_k, pools_v = _paged_block(
+            x, p, pools_k, pools_v, li, page_tables, positions,
             cfg, page_size,
             engine, lora=None if lora is None else (lora[0][li], lora[1][li], lora[2]),
         )
-        new_k.append(pk)
-        new_v.append(pv)
-    pools_k = _stack(new_k)
-    pools_v = _stack(new_v)
     x = apply_norm(x, params, "final_norm", cfg)
     if "lm_head" in params:
         # untied HF head (fp array) or the quantized tied/untied head

@@ -122,9 +122,9 @@ def _decode_kernel(
         o_ref[0] = (acc_ref[:] / l_safe).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("window", "interpret"))
+@functools.partial(jax.jit, static_argnames=("window", "interpret", "page_base"))
 def paged_decode_attention(q, pool_k, pool_v, page_tables, positions, window=None,
-                           scales=None, interpret=False):
+                           scales=None, interpret=False, page_base: int = 0):
     """q: (B, H, hd) PRE-SCALED by 1/sqrt(hd); pool_k/v: (n_pages, page, H, hd);
     page_tables: (B, max_pages) int32; positions: (B,) int32 (query's slot).
     Returns (B, H, hd) attention outputs over slots <= position per sequence.
@@ -133,6 +133,13 @@ def paged_decode_attention(q, pool_k, pool_v, page_tables, positions, window=Non
     arrays for int8-quantized pools (models/serve.quantize_kv) — each KV
     vector is stored as int8 * scale; dequantization runs in VMEM after the
     page DMA, so HBM decode traffic drops ~2x vs bf16 (~4x vs fp32) pools.
+
+    page_base: static page-id offset added to every table lookup.  The
+    serving engine stores KV as ONE (L, n_pages, ...) stack; passing the
+    free (L*n_pages, ...) reshaped view with page_base=li*n_pages lets the
+    kernel read layer li's pages straight out of the stack — materializing
+    the pools[li] slice as an XLA copy cost ~0.5 ms/step at B=8
+    (tools_r4_decode_decomp.py).
     """
     bsz, h, hd = q.shape
     n_pages, page, hkv, hd2 = pool_k.shape
@@ -150,7 +157,7 @@ def paged_decode_attention(q, pool_k, pool_v, page_tables, positions, window=Non
                 jax.lax.div(pos - _np.int32(window) + _np.int32(1), _np.int32(page)),
             )
             live_j = jnp.maximum(live_j, first_live)
-        return tables[b, live_j]
+        return tables[b, live_j] + _np.int32(page_base)
 
     def page_idx(b, j, tables, positions):
         return (live_page(b, j, tables, positions),

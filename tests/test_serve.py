@@ -185,6 +185,36 @@ class TestPagedDecodeKernel:
             np.abs(np.asarray(got) - np.asarray(want)).max()
         )
 
+    def test_page_base_reads_stacked_layer(self):
+        """page_base=li*n_pages over the flattened (L*n_pages, ...) view of
+        a stacked pool must equal the kernel on the pools[li] slice — the
+        serving engine's restack-free decode layout (serve._paged_block)."""
+        from kfunca_tpu.ops.pallas_kernels.paged_attention import (
+            paged_decode_attention,
+        )
+
+        rng = np.random.default_rng(3)
+        L, n_pages, page, h, hd = 3, 8, 4, 2, 128
+        bsz, max_pages = 2, 3
+        pools_k = jnp.asarray(
+            rng.standard_normal((L, n_pages, page, h, hd)), jnp.float32)
+        pools_v = jnp.asarray(
+            rng.standard_normal((L, n_pages, page, h, hd)), jnp.float32)
+        tables = jnp.asarray([[1, 2, 7], [4, 7, 7]], jnp.int32)
+        positions = jnp.asarray([6, 3], jnp.int32)
+        q = jnp.asarray(rng.standard_normal((bsz, h, hd)), jnp.float32)
+        q = q / (hd ** 0.5)
+        flat = lambda a: a.reshape((L * n_pages,) + a.shape[2:])
+        for li in range(L):
+            got = paged_decode_attention(
+                q, flat(pools_k), flat(pools_v), tables, positions,
+                interpret=True, page_base=li * n_pages)
+            want = paged_decode_attention(
+                q, pools_k[li], pools_v[li], tables, positions,
+                interpret=True)
+            assert np.allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-6), li
+
     def test_dead_pages_never_read(self):
         """Clamped dead steps must not let trash-page contents leak in:
         fill unreferenced pages with NaN and check the output is finite."""
