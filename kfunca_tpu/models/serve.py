@@ -515,17 +515,13 @@ def _paged_block(x, p, pools_k, pools_v, li, page_tables, positions, cfg,
     return x, pools_k, pools_v
 
 
-@partial(
-    jax.jit,
-    static_argnames=("cfg", "page_size", "temperature", "top_p", "engine"),
-    donate_argnums=(1, 2),
-)
-def paged_decode_step(
+def _decode_step_impl(
     params, pools_k, pools_v, page_tables, positions, last_tokens, key,
     cfg: TransformerConfig, page_size: int, temperature=0.0, top_p=1.0,
     engine="xla", lora=None, sampling=None, penalties=None,
 ):
-    """One batched decode step over paged KV.
+    """One batched decode step over paged KV (trace body — see the jitted
+    paged_decode_step wrapper and the multi-step paged_decode_burst).
 
     `sampling`, when given, is a dict of TRACED (B,) vectors
     {temperature, top_p, top_k, min_p} enabling per-slot sampling params
@@ -578,6 +574,68 @@ def paged_decode_step(
     # (untempered, pre-penalty log-softmax — the vLLM/OpenAI-API convention)
     lp = token_logprobs(raw, tokens)
     return tokens, lp, pools_k, pools_v
+
+
+paged_decode_step = partial(
+    jax.jit,
+    static_argnames=("cfg", "page_size", "temperature", "top_p", "engine"),
+    donate_argnums=(1, 2),
+)(_decode_step_impl)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "page_size", "steps", "temperature", "top_p",
+                     "engine"),
+    donate_argnums=(1, 2),
+)
+def paged_decode_burst(
+    params, pools_k, pools_v, page_tables, positions, last_tokens, key,
+    cfg: TransformerConfig, page_size: int, steps: int, temperature=0.0,
+    top_p=1.0, engine="xla", lora=None, sampling=None, penalties=None,
+):
+    """`steps` decode steps in ONE compiled program (lax.scan).
+
+    The single-step server pays one host->device dispatch per generated
+    token; over a relayed/remote runtime that round-trip, not the device
+    step, bounds throughput.  Bursting amortizes it `steps`-fold — the
+    vLLM "multi-step scheduling" idea.  Host-side bookkeeping (EOS/stop
+    detection, page-table edits, admission) happens AFTER the burst: the
+    scheduler accepts tokens up to each sequence's finish and discards the
+    tail (pages for max_new are reserved at admission, so over-decoding
+    past a finish writes only into pages the slot already owns, and slots
+    past their stop just decode garbage that is never surfaced).
+
+    Repetition/presence/frequency penalty COUNTS are advanced on-device
+    between burst steps; the per-slot penalty coefficients, logit bias and
+    sampling params stay constant within a burst.  Constrained decoding
+    (allowed_fn grammars) needs per-token host callbacks — callers must
+    fall back to single steps (InferenceServer does).
+
+    Returns (tokens (steps, B), logprobs (steps, B), pools_k, pools_v).
+    """
+    bsz = positions.shape[0]
+
+    def body(carry, _):
+        pk, pv, pos, toks, key, counts = carry
+        key, sub = jax.random.split(key)
+        pen = penalties if counts is None else {**penalties, "counts": counts}
+        t, lp, pk, pv = _decode_step_impl(
+            params, pk, pv, page_tables, pos, toks, sub, cfg, page_size,
+            temperature, top_p, engine, lora=lora, sampling=sampling,
+            penalties=pen,
+        )
+        if counts is not None:
+            counts = counts.at[jnp.arange(bsz), t].add(1.0)
+        return (pk, pv, pos + 1, t, key, counts), (t, lp)
+
+    counts0 = None if penalties is None else penalties["counts"].astype(
+        jnp.float32)
+    (pools_k, pools_v, _, _, _, _), (toks, lps) = jax.lax.scan(
+        body, (pools_k, pools_v, positions, last_tokens, key, counts0),
+        None, length=steps,
+    )
+    return toks, lps, pools_k, pools_v
 
 
 def apply_logit_penalties(logits, penalties):
@@ -747,6 +805,7 @@ class InferenceServer:
         quantize_kv: bool = False,
         mesh=None,
         prefill_chunk: int | None = None,
+        decode_burst: int = 1,
     ):
         if cfg.attention_window is not None and prefix_cache:
             raise NotImplementedError(
@@ -871,6 +930,12 @@ class InferenceServer:
                     f"page_size={self.page_size}, got {prefill_chunk}"
                 )
         self.prefill_chunk = prefill_chunk
+        # multi-step scheduling: decode `decode_burst` tokens per dispatch
+        # (paged_decode_burst) when no prefill is in flight and no slot is
+        # grammar-constrained; host bookkeeping trims past each finish
+        if decode_burst < 1:
+            raise ValueError(f"decode_burst must be >= 1, got {decode_burst}")
+        self.decode_burst = int(decode_burst)
         self._prefill_state: dict[int, dict] = {}  # slot -> resumable state
         self.requests: dict[int, Request] = {}
         self._next_id = 0
@@ -1458,16 +1523,28 @@ class InferenceServer:
                 "freq": jnp.asarray(self.slot_freq),
                 "bias": jnp.asarray(self._bias_with_constraints()),
             }
-        tokens, lps, self.pools_k, self.pools_v = paged_decode_step(
-            self._decode_params, self.pools_k, self.pools_v,
-            jnp.asarray(self.page_tables), jnp.asarray(self.positions),
-            jnp.asarray(self.last_tokens), sub,
-            self.cfg, self.page_size, self.temperature, self.top_p,
-            engine="xla" if self.mesh is not None else _decode_engine(),
-            lora=lora, sampling=sampling,
-            penalties=penalties,
-        )
-        tokens = np.asarray(tokens)
+        engine = "xla" if self.mesh is not None else _decode_engine()
+        burst = self._burst_steps()
+        if burst > 1:
+            tokens, lps, self.pools_k, self.pools_v = paged_decode_burst(
+                self._decode_params, self.pools_k, self.pools_v,
+                jnp.asarray(self.page_tables), jnp.asarray(self.positions),
+                jnp.asarray(self.last_tokens), sub,
+                self.cfg, self.page_size, burst, self.temperature,
+                self.top_p, engine=engine, lora=lora, sampling=sampling,
+                penalties=penalties,
+            )
+        else:
+            tokens, lps, self.pools_k, self.pools_v = paged_decode_step(
+                self._decode_params, self.pools_k, self.pools_v,
+                jnp.asarray(self.page_tables), jnp.asarray(self.positions),
+                jnp.asarray(self.last_tokens), sub,
+                self.cfg, self.page_size, self.temperature, self.top_p,
+                engine=engine, lora=lora, sampling=sampling,
+                penalties=penalties,
+            )
+            tokens, lps = tokens[None], lps[None]  # (1, B)
+        tokens = np.asarray(tokens)  # (steps, B)
         lps = np.asarray(lps)
         for slot in range(self.B):
             rid = self.slot_req[slot]
@@ -1475,16 +1552,42 @@ class InferenceServer:
                 continue  # mid-prefill slots decode against trash pages;
                 #           their sampled token is garbage by construction
             req = self.requests[rid]
-            tok = int(tokens[slot])
-            req.tokens.append(tok)
-            req.logprobs.append(float(lps[slot]))
-            self.token_counts[slot, tok] += 1
-            self.positions[slot] += 1
-            self.last_tokens[slot] = tok
-            if self.cfg.attention_window is not None:
-                self._free_behind_window(slot)
-            if self._finished(req, tok):
-                self._release(slot)
+            for i in range(tokens.shape[0]):
+                tok = int(tokens[i, slot])
+                req.tokens.append(tok)
+                req.logprobs.append(float(lps[i, slot]))
+                self.token_counts[slot, tok] += 1
+                self.positions[slot] += 1
+                self.last_tokens[slot] = tok
+                if self.cfg.attention_window is not None:
+                    self._free_behind_window(slot)
+                if self._finished(req, tok):
+                    # burst tail past the finish is discarded: the device
+                    # over-decoded into pages this slot already owned, and
+                    # the next occupant prefills its own content over them
+                    self._release(slot)
+                    break
+
+    def _burst_steps(self) -> int:
+        """Steps for this dispatch: `decode_burst` when bursting is legal —
+        no prefill mid-flight (chunked prefills advance per scheduler
+        iteration), no grammar-constrained slot (allowed_fn needs per-token
+        host callbacks), and every active slot has at least `decode_burst`
+        tokens left (no wasted tail work); else 1.  The burst length is a
+        static jit arg, so only self.decode_burst and 1 ever compile."""
+        k = self.decode_burst
+        if k <= 1 or self._prefill_state:
+            return 1
+        for slot in range(self.B):
+            rid = self.slot_req[slot]
+            if rid is None:
+                continue
+            req = self.requests[rid]
+            if req.allowed_fn is not None:
+                return 1
+            if req.max_new - len(req.tokens) < k:
+                return 1
+        return k
 
     def _free_behind_window(self, slot: int):
         """Sliding window: pages whose every slot fell below the window are

@@ -119,6 +119,44 @@ class TestPagedDecodeParity:
         out = srv.run()[rid]
         assert out[-1] == eos and len(out) <= 4
 
+    def test_decode_burst_matches_single_step(self, model):
+        """Multi-step scheduling (decode_burst) must reproduce the
+        single-step greedy tokens exactly, including EOS mid-burst."""
+        params, cfg = model
+        prompts = [[3, 5, 7], [11, 2, 9, 4], [1], [8, 8]]
+        max_new = 9  # not a multiple of the burst: exercises the 1-step tail
+        kw = dict(batch_slots=2, page_size=4, n_pages=64, max_pages_per_seq=8)
+        one = InferenceServer(params, cfg, **kw)
+        ids1 = [one.submit(p, max_new=max_new) for p in prompts]
+        want = one.run()
+        burst = InferenceServer(params, cfg, decode_burst=4, **kw)
+        ids2 = [burst.submit(p, max_new=max_new) for p in prompts]
+        got = burst.run()
+        for r1, r2 in zip(ids1, ids2):
+            assert want[r1] == got[r2], (want[r1], got[r2])
+        # EOS mid-burst: the tail past the finish must be discarded —
+        # output is the single-step stream truncated at the first EOS
+        eos = want[ids1[0]][1]
+        srv = InferenceServer(params, cfg, decode_burst=4, eos_token=eos,
+                              **kw)
+        rid = srv.submit(prompts[0], max_new=max_new)
+        out = srv.run()[rid]
+        ref = want[ids1[0]]
+        assert out == ref[:ref.index(eos) + 1], (out, ref)
+
+    def test_decode_burst_with_penalties(self, model):
+        """Penalty counts advance on-device between burst steps: greedy
+        repetition-penalized output must match the single-step path."""
+        params, cfg = model
+        kw = dict(batch_slots=2, page_size=4, n_pages=64, max_pages_per_seq=8)
+        outs = []
+        for db in (1, 4):
+            srv = InferenceServer(params, cfg, decode_burst=db, **kw)
+            rid = srv.submit([3, 5, 7], max_new=8, repetition_penalty=1.3,
+                             frequency_penalty=0.1)
+            outs.append(srv.run()[rid])
+        assert outs[0] == outs[1], outs
+
     def test_oversized_request_rejected(self, model):
         params, cfg = model
         srv = InferenceServer(params, cfg, batch_slots=1, page_size=4, n_pages=16,
@@ -214,6 +252,38 @@ class TestPagedDecodeKernel:
                 interpret=True)
             assert np.allclose(np.asarray(got), np.asarray(want),
                                atol=1e-6), li
+
+    def test_fanin_equivalence(self):
+        """Multi-page-per-grid-step (fanin) must be bit-compatible with the
+        one-page kernel, incl. ragged tails (max_pages % fanin != 0) and
+        the sliding-window live range."""
+        from kfunca_tpu.ops.pallas_kernels.paged_attention import (
+            paged_decode_attention,
+        )
+
+        rng = np.random.default_rng(7)
+        n_pages, page, h, hd = 16, 4, 2, 128
+        bsz, max_pages = 3, 5
+        pool_k = jnp.asarray(
+            rng.standard_normal((n_pages, page, h, hd)), jnp.float32)
+        pool_v = jnp.asarray(
+            rng.standard_normal((n_pages, page, h, hd)), jnp.float32)
+        tables = jnp.asarray(
+            [[1, 2, 3, 8, 9], [4, 5, 15, 15, 15], [6, 15, 15, 15, 15]],
+            jnp.int32)
+        positions = jnp.asarray([17, 6, 2], jnp.int32)
+        q = jnp.asarray(rng.standard_normal((bsz, h, hd)),
+                        jnp.float32) / (hd ** 0.5)
+        for window in (None, 6):
+            want = paged_decode_attention(
+                q, pool_k, pool_v, tables, positions, window=window,
+                interpret=True, fanin=1)
+            for fanin in (2, 3, 5):
+                got = paged_decode_attention(
+                    q, pool_k, pool_v, tables, positions, window=window,
+                    interpret=True, fanin=fanin)
+                assert np.allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-6), (window, fanin)
 
     def test_dead_pages_never_read(self):
         """Clamped dead steps must not let trash-page contents leak in:
