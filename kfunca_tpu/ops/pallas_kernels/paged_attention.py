@@ -34,16 +34,21 @@ NEG_INF = _np.float32(-1e30)
 
 
 def _decode_kernel(
-    tables_ref, positions_ref, q_ref, k_ref, v_ref, *rest,
-    page, h, hkv, hd, max_pages, window=None, quantized=False
+    tables_ref, positions_ref, q_ref, *rest,
+    page, h, hkv, hd, max_pages, window=None, quantized=False, fanin=1
 ):
+    # rest layout: k_0..k_{F-1}, v_0..v_{F-1}, [sk_0.., sv_0..,] o, m, l, acc
+    k_refs = rest[:fanin]
+    v_refs = rest[fanin:2 * fanin]
+    at = 2 * fanin
     if quantized:
         # int8 KV pools travel with per-(slot, kv-head) fp32 scales
         # (models/serve.quantize_kv); dequant happens here in VMEM so the
         # HBM page reads stay int8 — the point of the feature
-        sk_ref, sv_ref, o_ref, m_ref, l_ref, acc_ref = rest
-    else:
-        o_ref, m_ref, l_ref, acc_ref = rest
+        sk_refs = rest[at:at + fanin]
+        sv_refs = rest[at + fanin:at + 2 * fanin]
+        at += 2 * fanin
+    o_ref, m_ref, l_ref, acc_ref = rest[at:at + 4]
     b = pl.program_id(0)
     j = pl.program_id(1)
 
@@ -65,66 +70,92 @@ def _decode_kernel(
             jax.lax.div(pos - _np.int32(window) + _np.int32(1), _np.int32(page)),
         )
 
-    @pl.when((j < n_live) & (j >= first_live))
-    def _compute():
-        q = q_ref[0].astype(jnp.float32)  # (H, hd)
-        k = k_ref[0].astype(jnp.float32)  # (page, Hkv, hd)
-        v = v_ref[0].astype(jnp.float32)
-        if quantized:
-            k = k * sk_ref[0][:, :, None]  # (page, Hkv, 1) per-vector scales
-            v = v * sv_ref[0][:, :, None]
-        if hkv == h:
-            # s[h, p] = sum_d q[h, d] * k[p, h, d]
-            s = jnp.sum(q[None, :, :] * k, axis=-1).T  # (H, page)
-        else:
-            # GQA: each group of h//hkv query heads reads one kv head.
-            # Static per-kv-head loop — Mosaic rejects the batched einsum
-            # ("batch dims must be equal"), and hkv is tiny
-            group = h // hkv
-            parts = []
-            for kk in range(hkv):
-                qk = q[kk * group : (kk + 1) * group]  # (group, hd)
-                kp = k[:, kk, :]  # (page, hd)
-                parts.append(jnp.sum(qk[None, :, :] * kp[:, None, :], axis=-1).T)
-            s = jnp.concatenate(parts, axis=0)  # (H, page)
-        # ragged mask: global slot index of column p is j*page + p
-        slot = j * _np.int32(page) + jax.lax.broadcasted_iota(jnp.int32, (h, page), 1)
-        ok = slot <= pos
-        if window is not None:
-            ok = ok & (slot > pos - _np.int32(window))
-        s = jnp.where(ok, s, NEG_INF)
+    # fanin > 1: each grid step consumes `fanin` pages (separate DMA'd
+    # inputs of the same pool, index maps j*fanin+g) — fewer grid steps
+    # amortize the per-step Mosaic overhead that dominates decode at small
+    # page counts (tools_r4_kv8_probe.py)
+    for g in range(fanin):
+        jj = j * _np.int32(fanin) + _np.int32(g)
 
-        m_prev = m_ref[:, 0:1]  # (H, 1)
-        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
-        alpha = jnp.exp(m_prev - m_new)
-        p = jnp.exp(s - m_new)  # masked slots underflow to exact 0
-        l_ref[:] = jnp.broadcast_to(
-            l_ref[:, 0:1] * alpha + jnp.sum(p, axis=1, keepdims=True), l_ref.shape
-        )
-        if hkv == h:
-            # acc[h, d] += sum_p p[h, p] * v[p, h, d]
-            acc_ref[:] = acc_ref[:] * alpha + jnp.sum(
-                p.T[:, :, None] * v, axis=0
+        @pl.when((jj < n_live) & (jj >= first_live))
+        def _compute(g=g, jj=jj):
+            q = q_ref[0].astype(jnp.float32)  # (H, hd)
+            k = k_refs[g][0].astype(jnp.float32)  # (page, Hkv, hd)
+            v = v_refs[g][0].astype(jnp.float32)
+            # int8 scales are FOLDED into the (H, page) score matrix and
+            # the probability weights, not applied element-wise on k/v —
+            # s = (q . k_int8) * sk and p' = p * sv are O(H*page) VPU work
+            # vs O(page*Hkv*hd) for scaling the vectors themselves (the
+            # element-wise form made the int8 kernel 2x SLOWER than bf16
+            # despite half the DMA, tools_r4_kv8_probe.py)
+            sk = sk_refs[g][0] if quantized else None  # (page, Hkv) f32
+            sv = sv_refs[g][0] if quantized else None
+            if hkv == h:
+                # s[h, p] = sum_d q[h, d] * k[p, h, d]
+                s = jnp.sum(q[None, :, :] * k, axis=-1).T  # (H, page)
+                if quantized:
+                    s = s * sk.T
+            else:
+                # GQA: each group of h//hkv query heads reads one kv head.
+                # Static per-kv-head loop — Mosaic rejects the batched
+                # einsum ("batch dims must be equal"), and hkv is tiny
+                group = h // hkv
+                parts = []
+                for kk in range(hkv):
+                    qk = q[kk * group:(kk + 1) * group]  # (group, hd)
+                    kp = k[:, kk, :]  # (page, hd)
+                    part = jnp.sum(qk[None, :, :] * kp[:, None, :], axis=-1).T
+                    if quantized:
+                        part = part * sk[:, kk][None, :]
+                    parts.append(part)
+                s = jnp.concatenate(parts, axis=0)  # (H, page)
+            # ragged mask: global slot index of column p is jj*page + p
+            slot = jj * _np.int32(page) + jax.lax.broadcasted_iota(
+                jnp.int32, (h, page), 1)
+            ok = slot <= pos
+            if window is not None:
+                ok = ok & (slot > pos - _np.int32(window))
+            s = jnp.where(ok, s, NEG_INF)
+
+            m_prev = m_ref[:, 0:1]  # (H, 1)
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+            alpha = jnp.exp(m_prev - m_new)
+            p = jnp.exp(s - m_new)  # masked slots underflow to exact 0
+            l_ref[:] = jnp.broadcast_to(
+                l_ref[:, 0:1] * alpha + jnp.sum(p, axis=1, keepdims=True),
+                l_ref.shape,
             )
-        else:
-            group = h // hkv
-            parts = []
-            for kk in range(hkv):
-                pk = p[kk * group : (kk + 1) * group]  # (group, page)
-                vp = v[:, kk, :]  # (page, hd)
-                parts.append(jnp.sum(pk.T[:, :, None] * vp[:, None, :], axis=0))
-            acc_ref[:] = acc_ref[:] * alpha + jnp.concatenate(parts, axis=0)
-        m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+            if hkv == h:
+                pw = p * sv.T if quantized else p  # fold v-scales into p
+                # acc[h, d] += sum_p pw[h, p] * v[p, h, d]
+                acc_ref[:] = acc_ref[:] * alpha + jnp.sum(
+                    pw.T[:, :, None] * v, axis=0
+                )
+            else:
+                group = h // hkv
+                parts = []
+                for kk in range(hkv):
+                    pk = p[kk * group:(kk + 1) * group]  # (group, page)
+                    if quantized:
+                        pk = pk * sv[:, kk][None, :]
+                    vp = v[:, kk, :]  # (page, hd)
+                    parts.append(
+                        jnp.sum(pk.T[:, :, None] * vp[:, None, :], axis=0))
+                acc_ref[:] = acc_ref[:] * alpha + jnp.concatenate(parts,
+                                                                  axis=0)
+            m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
 
-    @pl.when(j == max_pages - 1)
+    @pl.when(j == pl.num_programs(1) - 1)
     def _store():
         l_safe = jnp.where(l_ref[:, 0:1] == 0.0, _np.float32(1.0), l_ref[:, 0:1])
         o_ref[0] = (acc_ref[:] / l_safe).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("window", "interpret", "page_base"))
+@functools.partial(jax.jit, static_argnames=("window", "interpret",
+                                             "page_base", "fanin"))
 def paged_decode_attention(q, pool_k, pool_v, page_tables, positions, window=None,
-                           scales=None, interpret=False, page_base: int = 0):
+                           scales=None, interpret=False, page_base: int = 0,
+                           fanin: int | None = None):
     """q: (B, H, hd) PRE-SCALED by 1/sqrt(hd); pool_k/v: (n_pages, page, H, hd);
     page_tables: (B, max_pages) int32; positions: (B,) int32 (query's slot).
     Returns (B, H, hd) attention outputs over slots <= position per sequence.
@@ -140,51 +171,75 @@ def paged_decode_attention(q, pool_k, pool_v, page_tables, positions, window=Non
     kernel read layer li's pages straight out of the stack — materializing
     the pools[li] slice as an XLA copy cost ~0.5 ms/step at B=8
     (tools_r4_decode_decomp.py).
+
+    fanin: pages consumed per grid step (None = auto).  Each of the fanin
+    pages rides its own DMA'd input block (index maps j*fanin+g), shrinking
+    the grid to (B, ceil(max_pages/fanin)) — per-grid-step overhead, not
+    page DMA, dominates decode at production page counts.
     """
     bsz, h, hd = q.shape
     n_pages, page, hkv, hd2 = pool_k.shape
     assert hd == hd2 and h % hkv == 0, (q.shape, pool_k.shape)
     max_pages = page_tables.shape[1]
+    if fanin is None:
+        # cover typical max_pages in <= 2-4 steps without over-fetching
+        # tiny tables; VMEM stays small (fanin * 2 pages in flight)
+        fanin = 1 if max_pages <= 2 else min(4, max_pages)
+    fanin = max(1, min(int(fanin), max_pages))
+    grid_j = -(-max_pages // fanin)
 
-    def live_page(b, j, tables, positions):
+    def live_page(b, jj, tables, positions):
         # clamp dead steps into the live page range (refetch elided)
         pos = positions[b]
         n_live = jax.lax.div(pos, _np.int32(page)) + _np.int32(1)
-        live_j = jnp.minimum(j, n_live - _np.int32(1))
+        live_j = jnp.minimum(jj, n_live - _np.int32(1))
         if window is not None:
             first_live = jnp.maximum(
                 _np.int32(0),
                 jax.lax.div(pos - _np.int32(window) + _np.int32(1), _np.int32(page)),
             )
             live_j = jnp.maximum(live_j, first_live)
+        # fanin tails can push jj past the table width: stay in bounds
+        live_j = jnp.minimum(live_j, _np.int32(max_pages - 1))
         return tables[b, live_j] + _np.int32(page_base)
 
-    def page_idx(b, j, tables, positions):
-        return (live_page(b, j, tables, positions),
-                _np.int32(0), _np.int32(0), _np.int32(0))
+    def page_idx(g):
+        def idx(b, j, tables, positions):
+            jj = j * _np.int32(fanin) + _np.int32(g)
+            return (live_page(b, jj, tables, positions),
+                    _np.int32(0), _np.int32(0), _np.int32(0))
+        return idx
 
-    def page_idx3(b, j, tables, positions):  # rank-3 scale pools
-        return (live_page(b, j, tables, positions), _np.int32(0), _np.int32(0))
+    def page_idx3(g):  # rank-3 scale pools
+        def idx(b, j, tables, positions):
+            jj = j * _np.int32(fanin) + _np.int32(g)
+            return (live_page(b, jj, tables, positions),
+                    _np.int32(0), _np.int32(0))
+        return idx
 
     in_specs = [
         # Mosaic constrains only the LAST TWO block dims ((8,128)-divisible
         # or equal to the array dims): (h, hd) trailing dims satisfy that
         # for any head count, so no reshapes are needed anywhere
         pl.BlockSpec((1, h, hd), lambda b, j, t, p: (b, _np.int32(0), _np.int32(0))),
-        pl.BlockSpec((1, page, hkv, hd), page_idx),
-        pl.BlockSpec((1, page, hkv, hd), page_idx),
     ]
-    operands = [q, pool_k, pool_v]
+    in_specs += [pl.BlockSpec((1, page, hkv, hd), page_idx(g))
+                 for g in range(fanin)]
+    in_specs += [pl.BlockSpec((1, page, hkv, hd), page_idx(g))
+                 for g in range(fanin)]
+    operands = [q] + [pool_k] * fanin + [pool_v] * fanin
     if scales is not None:
-        in_specs += [
-            pl.BlockSpec((1, page, hkv), page_idx3),
-            pl.BlockSpec((1, page, hkv), page_idx3),
-        ]
-        operands += [scales[0].astype(jnp.float32), scales[1].astype(jnp.float32)]
+        sk = scales[0].astype(jnp.float32)
+        sv = scales[1].astype(jnp.float32)
+        in_specs += [pl.BlockSpec((1, page, hkv), page_idx3(g))
+                     for g in range(fanin)]
+        in_specs += [pl.BlockSpec((1, page, hkv), page_idx3(g))
+                     for g in range(fanin)]
+        operands += [sk] * fanin + [sv] * fanin
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(bsz, max_pages),
+        grid=(bsz, grid_j),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (1, h, hd), lambda b, j, t, p: (b, _np.int32(0), _np.int32(0))
@@ -198,7 +253,7 @@ def paged_decode_attention(q, pool_k, pool_v, page_tables, positions, window=Non
     out = pl.pallas_call(
         functools.partial(
             _decode_kernel, page=page, h=h, hkv=hkv, hd=hd, max_pages=max_pages,
-            window=window, quantized=scales is not None,
+            window=window, quantized=scales is not None, fanin=fanin,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((bsz, h, hd), q.dtype),
