@@ -151,11 +151,107 @@ def _decode_kernel(
         o_ref[0] = (acc_ref[:] / l_safe).astype(o_ref.dtype)
 
 
+def _decode_kernel_mxu(
+    tables_ref, positions_ref, qbd_ref, k_ref, v_ref, *rest,
+    page, h, hkv, hd, max_pages, window=None, quantized=False
+):
+    """MXU variant: scores and PV ride two plain 2-D dots over the flat
+    (page, Hkv*hd) KV tiles — a host-built block-diagonal q expansion
+    contracts straight to (H, page) (no transposes, no per-head loops, one
+    path for MHA and GQA).  Mosaic rejects both in-kernel lane-merging
+    reshapes and batched matvec dots (tools_r4 kern_tune2/3 logs), so the
+    flattening happens in the wrapper's BlockSpecs and the block-diagonal
+    on the host."""
+    if quantized:
+        sk_ref, sv_ref, o_ref, m_ref, l_ref, acc_ref = rest
+    else:
+        o_ref, m_ref, l_ref, acc_ref = rest
+    b = pl.program_id(0)
+    j = pl.program_id(1)
+    group = h // hkv
+
+    @pl.when(j == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    pos = positions_ref[b]
+    n_live = jax.lax.div(pos, _np.int32(page)) + _np.int32(1)
+    first_live = _np.int32(0)
+    if window is not None:
+        first_live = jnp.maximum(
+            _np.int32(0),
+            jax.lax.div(pos - _np.int32(window) + _np.int32(1), _np.int32(page)),
+        )
+
+    @pl.when((j < n_live) & (j >= first_live))
+    def _compute():
+        # bf16 models run the dots at the native bf16 MXU rate with fp32
+        # accumulation (fp32-operand MXU passes measured 40% SLOWER than
+        # the VPU chain, bf16 4x faster; int8 pool values cast into bf16
+        # exactly).  fp32 models keep fp32 operands for oracle parity.
+        cdt = (jnp.bfloat16 if o_ref.dtype == jnp.bfloat16
+               else jnp.float32)
+        qbd = qbd_ref[0].astype(cdt)  # (Hkv*hd, H) block-diag over kv heads
+        k = k_ref[0].astype(cdt)  # (page, Hkv*hd)
+        v = v_ref[0].astype(cdt)
+        s = jax.lax.dot_general(
+            qbd, k, (((0,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (H, page)
+        if quantized:
+            skt = sk_ref[0].T  # (Hkv, page)
+            svt = sv_ref[0].T
+            if group > 1:  # expand kv-head scales to query-head rows
+                skt = jnp.concatenate(
+                    [jnp.broadcast_to(skt[kk:kk + 1], (group, page))
+                     for kk in range(hkv)], axis=0)
+                svt = jnp.concatenate(
+                    [jnp.broadcast_to(svt[kk:kk + 1], (group, page))
+                     for kk in range(hkv)], axis=0)
+            s = s * skt
+        slot = j * _np.int32(page) + jax.lax.broadcasted_iota(
+            jnp.int32, (h, page), 1)
+        ok = slot <= pos
+        if window is not None:
+            ok = ok & (slot > pos - _np.int32(window))
+        s = jnp.where(ok, s, NEG_INF)
+
+        m_prev = m_ref[:, 0:1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)
+        l_ref[:] = jnp.broadcast_to(
+            l_ref[:, 0:1] * alpha + jnp.sum(p, axis=1, keepdims=True),
+            l_ref.shape,
+        )
+        pw = p * svt if quantized else p
+        full = jax.lax.dot_general(
+            pw.astype(cdt), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (H, Hkv*hd); the (query-head, kv-head) diagonal blocks are
+        #    the answer, cross terms are discarded below
+        row = jax.lax.broadcasted_iota(jnp.int32, (h, hd), 0)
+        upd = jnp.zeros((h, hd), jnp.float32)
+        for kk in range(hkv):
+            upd = upd + jnp.where(
+                row // _np.int32(group) == kk,
+                full[:, kk * hd:(kk + 1) * hd], _np.float32(0.0))
+        acc_ref[:] = acc_ref[:] * alpha + upd
+        m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+
+    @pl.when(j == pl.num_programs(1) - 1)
+    def _store():
+        l_safe = jnp.where(l_ref[:, 0:1] == 0.0, _np.float32(1.0), l_ref[:, 0:1])
+        o_ref[0] = (acc_ref[:] / l_safe).astype(o_ref.dtype)
+
+
 @functools.partial(jax.jit, static_argnames=("window", "interpret",
-                                             "page_base", "fanin"))
+                                             "page_base", "fanin", "mxu"))
 def paged_decode_attention(q, pool_k, pool_v, page_tables, positions, window=None,
                            scales=None, interpret=False, page_base: int = 0,
-                           fanin: int | None = None):
+                           fanin: int | None = None, mxu: bool = False):
     """q: (B, H, hd) PRE-SCALED by 1/sqrt(hd); pool_k/v: (n_pages, page, H, hd);
     page_tables: (B, max_pages) int32; positions: (B,) int32 (query's slot).
     Returns (B, H, hd) attention outputs over slots <= position per sequence.
@@ -178,8 +274,18 @@ def paged_decode_attention(q, pool_k, pool_v, page_tables, positions, window=Non
     page DMA, dominates decode at production page counts.
     """
     bsz, h, hd = q.shape
-    n_pages, page, hkv, hd2 = pool_k.shape
-    assert hd == hd2 and h % hkv == 0, (q.shape, pool_k.shape)
+    if pool_k.ndim == 3:
+        # pre-flattened (n_pages, page, Hkv*hd) pools (the serving layout:
+        # an XLA reshape here would MATERIALIZE a relayout copy of the
+        # whole pool on every call — the last-two-dims tiling changes)
+        n_pages, page, hkvhd = pool_k.shape
+        hkv = hkvhd // hd
+        assert hkvhd % hd == 0 and h % hkv == 0, (q.shape, pool_k.shape)
+        if not mxu:
+            raise ValueError("flat 3-D pools require the mxu kernel path")
+    else:
+        n_pages, page, hkv, hd2 = pool_k.shape
+        assert hd == hd2 and h % hkv == 0, (q.shape, pool_k.shape)
     max_pages = page_tables.shape[1]
     if fanin is None:
         # cover typical max_pages in <= 2-4 steps without over-fetching
@@ -216,6 +322,58 @@ def paged_decode_attention(q, pool_k, pool_v, page_tables, positions, window=Non
             return (live_page(b, jj, tables, positions),
                     _np.int32(0), _np.int32(0))
         return idx
+
+    if mxu and fanin == 1:
+        # flat (page, Hkv*hd) KV blocks (free host reshape of the pools)
+        # + host-built block-diagonal q expansion; see _decode_kernel_mxu
+        group = h // hkv
+        rowk = (jnp.arange(hkv * hd, dtype=jnp.int32) // hd)[:, None]
+        colk = (jnp.arange(h, dtype=jnp.int32) // group)[None, :]
+        qbd = (jnp.tile(jnp.swapaxes(q, 1, 2), (1, hkv, 1))
+               * (rowk == colk).astype(q.dtype))  # (B, Hkv*hd, H), q.dtype
+        in_specs = [
+            pl.BlockSpec((1, hkv * hd, h),
+                         lambda b, j, t, p: (b, _np.int32(0), _np.int32(0))),
+            pl.BlockSpec((1, page, hkv * hd), page_idx3(0)),
+            pl.BlockSpec((1, page, hkv * hd), page_idx3(0)),
+        ]
+        operands = [qbd,
+                    pool_k if pool_k.ndim == 3
+                    else pool_k.reshape(n_pages, page, hkv * hd),
+                    pool_v if pool_v.ndim == 3
+                    else pool_v.reshape(n_pages, page, hkv * hd)]
+        if scales is not None:
+            in_specs += [pl.BlockSpec((1, page, hkv), page_idx3(0)),
+                         pl.BlockSpec((1, page, hkv), page_idx3(0))]
+            operands += [scales[0].astype(jnp.float32),
+                         scales[1].astype(jnp.float32)]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(bsz, max_pages),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec(
+                (1, h, hd), lambda b, j, t, p: (b, _np.int32(0), _np.int32(0))
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((h, 128), jnp.float32),  # m
+                pltpu.VMEM((h, 128), jnp.float32),  # l
+                pltpu.VMEM((h, hd), jnp.float32),  # acc
+            ],
+        )
+        return pl.pallas_call(
+            functools.partial(
+                _decode_kernel_mxu, page=page, h=h, hkv=hkv, hd=hd,
+                max_pages=max_pages, window=window,
+                quantized=scales is not None,
+            ),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((bsz, h, hd), q.dtype),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary", "arbitrary"),
+            ),
+            interpret=interpret,
+        )(page_tables.astype(jnp.int32), positions.astype(jnp.int32),
+          *operands)
 
     in_specs = [
         # Mosaic constrains only the LAST TWO block dims ((8,128)-divisible

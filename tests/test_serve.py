@@ -285,6 +285,44 @@ class TestPagedDecodeKernel:
                 assert np.allclose(np.asarray(got), np.asarray(want),
                                    atol=1e-6), (window, fanin)
 
+    def test_mxu_path_equivalence(self):
+        """The MXU (flat-tile block-diagonal dot) kernel variant must match
+        the VPU kernel for MHA and GQA, windowed and quantized."""
+        from kfunca_tpu.ops.pallas_kernels.paged_attention import (
+            paged_decode_attention,
+        )
+        from kfunca_tpu.ops.quant import quantize_vecs
+
+        rng = np.random.default_rng(11)
+        n_pages, page, hd = 16, 4, 128
+        bsz, max_pages = 3, 4
+        tables = jnp.asarray(
+            [[1, 2, 3, 15], [4, 5, 15, 15], [6, 15, 15, 15]], jnp.int32)
+        positions = jnp.asarray([13, 6, 2], jnp.int32)
+        for h, hkv in ((2, 2), (4, 2)):
+            pool_k = jnp.asarray(
+                rng.standard_normal((n_pages, page, hkv, hd)), jnp.float32)
+            pool_v = jnp.asarray(
+                rng.standard_normal((n_pages, page, hkv, hd)), jnp.float32)
+            qk, qsk = quantize_vecs(pool_k)
+            qv, qsv = quantize_vecs(pool_v)
+            q = jnp.asarray(rng.standard_normal((bsz, h, hd)),
+                            jnp.float32) / (hd ** 0.5)
+            for window in (None, 7):
+                for quant in (False, True):
+                    kw = dict(window=window, interpret=True)
+                    if quant:
+                        kw["scales"] = (qsk, qsv)
+                        args = (qk, qv)
+                    else:
+                        args = (pool_k, pool_v)
+                    want = paged_decode_attention(q, *args, tables,
+                                                  positions, **kw)
+                    got = paged_decode_attention(q, *args, tables,
+                                                 positions, mxu=True, **kw)
+                    assert np.allclose(np.asarray(got), np.asarray(want),
+                                       atol=2e-5), (h, hkv, window, quant)
+
     def test_dead_pages_never_read(self):
         """Clamped dead steps must not let trash-page contents leak in:
         fill unreferenced pages with NaN and check the output is finite."""

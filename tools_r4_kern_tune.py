@@ -59,7 +59,7 @@ def main():
             print(f"[oracle quant={quant} fanin={fanin}] maxdiff {d:.2e}")
             assert d < 2e-2, (quant, fanin, d)
 
-    def mk_kernel(quant, fanin):
+    def mk_kernel(quant, fanin, mxu=False, flat3=False):
         def mk(K):
             @jax.jit
             def f(pka, pva, pos, q):
@@ -68,13 +68,17 @@ def main():
                     fv, sv = flat(pva[0]), flat(pva[1])
                 else:
                     fk, fv = flat(pka), flat(pva)
+                if flat3:  # pre-flatten heads OUTSIDE the layer loop
+                    fk = fk.reshape(fk.shape[0], PAGE, H * HD)
+                    fv = fv.reshape(fv.shape[0], PAGE, H * HD)
 
                 def body(i, carry):
                     acc, q, pos = carry
                     qs = jnp.maximum(q, acc.astype(q.dtype) * jnp.bfloat16(
                         1e-9) - jnp.bfloat16(1e9))
                     for li in range(L):
-                        kw = dict(page_base=li * n_pages, fanin=fanin)
+                        kw = dict(page_base=li * n_pages, fanin=fanin,
+                                  mxu=mxu)
                         if quant:
                             attn = paged_decode_attention(
                                 qs, fk, fv, tables, pos,
@@ -91,10 +95,14 @@ def main():
             return lambda: f(src[0], src[1], pos0, q0)
         return mk
 
-    variants = []
-    for fanin in (1, 2, 4):
-        variants.append((f"bf16_f{fanin}", mk_kernel(False, fanin)))
-        variants.append((f"int8_f{fanin}", mk_kernel(True, fanin)))
+    variants = [
+        ("bf16_f1", mk_kernel(False, 1)),
+        ("int8_f1", mk_kernel(True, 1)),
+        ("bf16_mxu", mk_kernel(False, 1, mxu=True)),
+        ("int8_mxu", mk_kernel(True, 1, mxu=True)),
+        ("bf16_mxu3", mk_kernel(False, 1, mxu=True, flat3=True)),
+        ("int8_mxu3", mk_kernel(True, 1, mxu=True, flat3=True)),
+    ]
     res = {}
     for rnd in range(2):
         for name, mk in variants:
