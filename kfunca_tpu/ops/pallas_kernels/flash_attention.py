@@ -515,8 +515,10 @@ def _fused_bwd_kernel(iq_t, ik_t, fl_t, ov_t, q_ref, k_ref, v_ref, g_ref,
 # backward tile defaults (fallback when the autotune cache has no entry —
 # production consults runtime/autotune.py per shape).  Post in-kernel-stats
 # rework sweep (tools_attnbwd2.py, interleaved, DCE-proofed, v5e): s=2048
-# wants (512, 1024) — 2.45-2.50 ms = 96-98 TFLOP/s, vs 92.7 at 512^2 and
-# 89.9 at 1024^2 — and s=8192 wants 1024^2 (130 TFLOP/s vs 121 at 512^2);
+# wants (512, 1024) — 2.6-2.7 ms = 89-93 TFLOP/s steady-state (the sweep's
+# 2.45 ms reading was cross-process drift, docs/ATTENTION_CEILING.md §r4),
+# vs 92.7 at 512^2 and 89.9 at 1024^2 in the same sweep session — and
+# s=8192 wants 1024^2 (133.8 TFLOP/s reconciled, vs 121 at 512^2);
 # both shipped in autotune_defaults.json.  512^2 stays the static fallback
 # (never worse than 2nd by >4% at any swept shape).
 BQ_BWD_DEFAULT = 512
