@@ -247,6 +247,315 @@ def _decode_kernel_mxu(
         o_ref[0] = (acc_ref[:] / l_safe).astype(o_ref.dtype)
 
 
+def _expand_kv_rows(skt, h, hkv, page):
+    """(Hkv, page) per-kv-head values -> (H, page) per-query-head rows."""
+    group = h // hkv
+    if group == 1:
+        return skt
+    return jnp.concatenate(
+        [jnp.broadcast_to(skt[kk:kk + 1], (group, page)) for kk in range(hkv)],
+        axis=0)
+
+
+def _decode_kernel_dma(
+    tables_ref, positions_ref, qbd_ref, kpool_ref, *rest,
+    page, h, hkv, hd, max_pages, depth, window=None, quantized=False,
+    page_base=0, fused=False,
+):
+    """Manual-DMA decode: grid (B,), KV pools stay in HBM (memory_space
+    ANY); the kernel issues its own `depth`-deep pipelined async copies of
+    EXACTLY the live pages (dynamic fori_loop trip count — no clamped dead
+    steps, no per-page grid-step overhead, which dominates the BlockSpec
+    variant: tools_r5_decode_probe measured it at ~15% of its own DMA
+    roofline with the bytes nowhere near the bound).
+
+    Layout is the flat-minor form throughout: pool pages are (page, Hkv*hd)
+    rows (contiguous 2-4KB DMA descriptors; the 4-D (page, Hkv, hd<128)
+    form is a hard Mosaic error — VMEM tiles pad the minor dim to 128 lanes
+    and the pool slice comes out misaligned) and scale pools are HEAD-MAJOR
+    (Hkv, page) so their VMEM tiles are lane-aligned too.  Scores and PV
+    ride the same block-diagonal MXU dots as _decode_kernel_mxu; the
+    (query-head, kv-head) diagonal extraction is deferred to ONE fold at
+    the end by keeping acc as (H, Hkv*hd).
+
+    fused=True: ONE pool holds k|v side by side per page row (page,
+    2*Hkv*hd) and one scale pool holds k-rows|v-rows (2*Hkv, page) — one
+    data DMA (+ one scale DMA) per page instead of two (four), halving the
+    per-page DMA-issue overhead that the probe shows dominating."""
+    if fused:
+        if quantized:
+            (spool_ref, o_ref, kbuf, sbuf,
+             m_ref, l_ref, acc_ref, sems) = rest
+        else:
+            o_ref, kbuf, m_ref, l_ref, acc_ref, sems = rest
+            spool_ref = sbuf = None
+        vpool_ref = vbuf = skbuf = svbuf = None
+        skpool_ref = svpool_ref = None
+    elif quantized:
+        (vpool_ref, skpool_ref, svpool_ref, o_ref,
+         kbuf, vbuf, skbuf, svbuf, m_ref, l_ref, acc_ref, sems) = rest
+        spool_ref = sbuf = None
+    else:
+        vpool_ref, o_ref, kbuf, vbuf, m_ref, l_ref, acc_ref, sems = rest
+        skpool_ref = svpool_ref = skbuf = svbuf = None
+        spool_ref = sbuf = None
+    b = pl.program_id(0)
+    pos = positions_ref[b]
+    n_live = jax.lax.div(pos, _np.int32(page)) + _np.int32(1)
+    first_live = _np.int32(0)
+    if window is not None:
+        first_live = jnp.maximum(
+            _np.int32(0),
+            jax.lax.div(pos - _np.int32(window) + _np.int32(1),
+                        _np.int32(page)),
+        )
+    n_steps = n_live - first_live
+
+    def dmas(i, slot):
+        jj = first_live + i
+        pid = tables_ref[b, jj] + _np.int32(page_base)
+        # NB: literal sem indices must be int32 — python ints weak-promote
+        # to i64 under the package's x64 mode and tpu.memref_slice rejects it
+        out = [
+            pltpu.make_async_copy(kpool_ref.at[pid], kbuf.at[slot],
+                                  sems.at[slot, _np.int32(0)]),
+        ]
+        if not fused:
+            out.append(
+                pltpu.make_async_copy(vpool_ref.at[pid], vbuf.at[slot],
+                                      sems.at[slot, _np.int32(1)]))
+        if quantized:
+            if fused:
+                out.append(
+                    pltpu.make_async_copy(spool_ref.at[pid], sbuf.at[slot],
+                                          sems.at[slot, _np.int32(1)]))
+            else:
+                out += [
+                    pltpu.make_async_copy(skpool_ref.at[pid], skbuf.at[slot],
+                                          sems.at[slot, _np.int32(2)]),
+                    pltpu.make_async_copy(svpool_ref.at[pid], svbuf.at[slot],
+                                          sems.at[slot, _np.int32(3)]),
+                ]
+        return out
+
+    m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+    l_ref[:] = jnp.zeros_like(l_ref)
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    # warm-up: fill the pipeline depth-1 deep (slot i%depth is overwritten
+    # by step i+depth-1's start — one slot must stay free for the step
+    # being computed, so the lookahead is depth-1, not depth)
+    def warm(i, c):
+        @pl.when(i < n_steps)
+        def _():
+            for d in dmas(i, jax.lax.rem(i, _np.int32(depth))):
+                d.start()
+        return c
+    # int32 bounds: python-int bounds weak-promote to int64 under the
+    # package's x64 mode and Mosaic's i64->i32 conversion recurses to death
+    # the carry must be int32 too — a weak python 0 promotes to i64 under
+    # the package's x64 mode (same Mosaic recursion hazard as the bounds)
+    jax.lax.fori_loop(jnp.asarray(0, jnp.int32),
+                      jnp.asarray(depth - 1, jnp.int32), warm,
+                      jnp.asarray(0, jnp.int32))
+
+    # bf16 MXU passes for bf16 models (fp32-operand passes measured 40%
+    # slower than the VPU chain in tools_r4 kern_tune); fp32 keeps fp32
+    # with HIGHEST precision (default MXU precision decomposes f32 into
+    # bf16 passes — 1.8e-3 error vs the f32 VPU oracle)
+    cdt = jnp.bfloat16 if o_ref.dtype == jnp.bfloat16 else jnp.float32
+    prec = (jax.lax.Precision.DEFAULT if cdt == jnp.bfloat16
+            else jax.lax.Precision.HIGHEST)
+    qbd = qbd_ref[0].astype(cdt)  # (Hkv*hd, H) block-diag over kv heads
+
+    def body(i, c):
+        slot = jax.lax.rem(i, _np.int32(depth))
+        ahead = i + _np.int32(depth - 1)
+
+        @pl.when(ahead < n_steps)
+        def _():
+            for d in dmas(ahead, jax.lax.rem(ahead, _np.int32(depth))):
+                d.start()
+        for d in dmas(i, slot):
+            d.wait()
+        jj = first_live + i
+        if fused:
+            kv = kbuf[slot]  # (page, 2*Hkv*hd), k | v side by side
+            k = kv[:, :hkv * hd].astype(cdt)
+            v = kv[:, hkv * hd:].astype(cdt)
+        else:
+            k = kbuf[slot].astype(cdt)  # (page, Hkv*hd)
+            v = vbuf[slot].astype(cdt)
+        s = jax.lax.dot_general(
+            qbd, k, (((0,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        )  # (H, page)
+        if quantized:
+            skv = sbuf[slot] if fused else None  # (2*Hkv, page)
+            sk = skv[:hkv] if fused else skbuf[slot]
+            s = s * _expand_kv_rows(sk, h, hkv, page)
+        slot_ids = jj * _np.int32(page) + jax.lax.broadcasted_iota(
+            jnp.int32, (h, page), 1)
+        ok = slot_ids <= pos
+        if window is not None:
+            ok = ok & (slot_ids > pos - _np.int32(window))
+        s = jnp.where(ok, s, NEG_INF)
+
+        m_prev = m_ref[:, 0:1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)
+        l_ref[:] = jnp.broadcast_to(
+            l_ref[:, 0:1] * alpha + jnp.sum(p, axis=1, keepdims=True),
+            l_ref.shape,
+        )
+        if quantized:
+            sv = skv[hkv:] if fused else svbuf[slot]
+            p = p * _expand_kv_rows(sv, h, hkv, page)
+        full = jax.lax.dot_general(
+            p.astype(cdt), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        )  # (H, Hkv*hd); cross-head blocks are garbage, dropped in the fold
+        acc_ref[:] = acc_ref[:] * alpha + full
+        m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+        return c
+
+    jax.lax.fori_loop(jnp.asarray(0, jnp.int32), n_steps, body,
+                      jnp.asarray(0, jnp.int32))
+    l_safe = jnp.where(l_ref[:, 0:1] == 0.0, _np.float32(1.0), l_ref[:, 0:1])
+    group = h // hkv
+    row = jax.lax.broadcasted_iota(jnp.int32, (h, hd), 0)
+    acc = acc_ref[:]  # slice the VALUE: ref slices at hd<128 lane offsets
+    out = jnp.zeros((h, hd), jnp.float32)  # are misaligned with VMEM tiling
+    for kk in range(hkv):  # extract each query row's own kv-head block
+        out = out + jnp.where(row // _np.int32(group) == kk,
+                              acc[:, kk * hd:(kk + 1) * hd],
+                              _np.float32(0.0))
+    o_ref[0] = (out / l_safe).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "window", "interpret", "page_base", "depth", "head_major_scales"))
+def paged_decode_attention_dma(q, pool_k, pool_v, page_tables, positions,
+                               window=None, scales=None, interpret=False,
+                               page_base: int = 0, depth: int | None = None,
+                               head_major_scales: bool = False):
+    """Manual-DMA variant of paged_decode_attention (same contract): the
+    pools never enter the BlockSpec pipeline — the kernel DMAs exactly the
+    live pages itself, `depth`-deep.  Grid is (B,) so per-grid-step
+    machinery is paid once per sequence, not once per page bundle.
+
+    pool_k/v may be the canonical 4-D (n_pages, page, Hkv, hd) or the
+    serving engine's flat 3-D (n_pages, page, Hkv*hd) — flat is the
+    kernel-native form (the host reshape of a 4-D pool costs an XLA copy).
+    scales: (sk, sv) in the canonical slot-major (n_pages, page, Hkv) form,
+    or head-major (n_pages, Hkv, page) with head_major_scales=True (the
+    serving engine stores head-major so no per-call transpose is paid)."""
+    bsz, h, hd = q.shape
+    fused = pool_v is None
+    if fused:
+        # ONE pool, k|v side by side per page row: (n_pages, page, 2*Hkv*hd)
+        n_pages, page, kv2 = pool_k.shape
+        hkv = kv2 // (2 * hd)
+        assert kv2 == 2 * hkv * hd and h % hkv == 0, (q.shape, pool_k.shape)
+        assert (hkv * hd) % 128 == 0, (
+            "fused KV pages need a 128-lane-aligned k|v split "
+            f"(hkv*hd = {hkv * hd})")
+    elif pool_k.ndim == 3:
+        n_pages, page, hkvhd = pool_k.shape
+        hkv = hkvhd // hd
+        assert hkvhd % hd == 0 and h % hkv == 0, (q.shape, pool_k.shape)
+    else:
+        n_pages, page, hkv, hd2 = pool_k.shape
+        assert hd == hd2 and h % hkv == 0, (q.shape, pool_k.shape)
+        pool_k = pool_k.reshape(n_pages, page, hkv * hd)
+        pool_v = pool_v.reshape(n_pages, page, hkv * hd)
+    max_pages = page_tables.shape[1]
+    if depth is None:
+        depth = max(2, min(8, max_pages))
+    depth = max(1, min(int(depth), max_pages))
+    quantized = scales is not None
+
+    # host-built block-diagonal q expansion (see _decode_kernel_mxu)
+    group = h // hkv
+    rowk = (jnp.arange(hkv * hd, dtype=jnp.int32) // hd)[:, None]
+    colk = (jnp.arange(h, dtype=jnp.int32) // group)[None, :]
+    qbd = (jnp.tile(jnp.swapaxes(q, 1, 2), (1, hkv, 1))
+           * (rowk == colk).astype(q.dtype))  # (B, Hkv*hd, H)
+
+    in_specs = [
+        pl.BlockSpec((1, hkv * hd, h),
+                     lambda b, t, p: (b, _np.int32(0), _np.int32(0))),
+        pl.BlockSpec(memory_space=pltpu.ANY),
+    ]
+    operands = [qbd, pool_k]
+    if not fused:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+        operands.append(pool_v)
+    if quantized:
+        if fused:
+            # one (n_pages, 2*Hkv, page) scale pool: k rows | v rows
+            skv = scales[0] if isinstance(scales, tuple) else scales
+            assert skv.shape == (n_pages, 2 * hkv, page), skv.shape
+            in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+            operands.append(skv.astype(jnp.float32))
+        else:
+            sk, sv = scales
+            if not head_major_scales:
+                sk = jnp.swapaxes(sk, 1, 2)  # -> (n_pages, Hkv, page)
+                sv = jnp.swapaxes(sv, 1, 2)
+            in_specs += [pl.BlockSpec(memory_space=pltpu.ANY),
+                         pl.BlockSpec(memory_space=pltpu.ANY)]
+            operands += [sk.astype(jnp.float32), sv.astype(jnp.float32)]
+
+    kv_mult = 2 if fused else 1
+    scratch = [
+        pltpu.VMEM((depth, page, kv_mult * hkv * hd), pool_k.dtype),  # kbuf
+    ]
+    if not fused:
+        scratch.append(pltpu.VMEM((depth, page, hkv * hd), pool_v.dtype))
+    if quantized:
+        if fused:
+            scratch.append(pltpu.VMEM((depth, 2 * hkv, page), jnp.float32))
+        else:
+            scratch += [pltpu.VMEM((depth, hkv, page), jnp.float32),
+                        pltpu.VMEM((depth, hkv, page), jnp.float32)]
+    scratch += [
+        pltpu.VMEM((h, 128), jnp.float32),  # m
+        pltpu.VMEM((h, 128), jnp.float32),  # l
+        pltpu.VMEM((h, hkv * hd), jnp.float32),  # acc
+        pltpu.SemaphoreType.DMA((depth, 4)),
+    ]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(bsz,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, h, hd), lambda b, t, p: (b, _np.int32(0), _np.int32(0))
+        ),
+        scratch_shapes=scratch,
+    )
+    vmem_limit = max(
+        64 * 1024 * 1024,
+        int(depth * page * hkv * hd * pool_k.dtype.itemsize * 4),
+    )
+    return pl.pallas_call(
+        functools.partial(
+            _decode_kernel_dma, page=page, h=h, hkv=hkv, hd=hd,
+            max_pages=max_pages, depth=depth, window=window,
+            quantized=quantized, page_base=page_base, fused=fused,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((bsz, h, hd), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=vmem_limit,
+        ),
+        interpret=interpret,
+    )(page_tables.astype(jnp.int32), positions.astype(jnp.int32), *operands)
+
+
 @functools.partial(jax.jit, static_argnames=("window", "interpret",
                                              "page_base", "fanin", "mxu"))
 def paged_decode_attention(q, pool_k, pool_v, page_tables, positions, window=None,
@@ -408,6 +717,15 @@ def paged_decode_attention(q, pool_k, pool_v, page_tables, positions, window=Non
             pltpu.VMEM((h, hd), jnp.float32),  # acc
         ],
     )
+    # fanin lanes multiply the in-flight block bytes; the default 16MB
+    # scoped-VMEM cap is 24KB short at fanin=8 bf16 (page 128, 16 heads,
+    # hd 64) — raise it to the blocks' actual double-buffered footprint
+    # plus headroom (v5e VMEM is far larger than the 16MB default scope)
+    blk_bytes = sum(
+        int(_np.prod(s.block_shape)) * op.dtype.itemsize
+        for s, op in zip(in_specs, operands)
+    )
+    vmem_limit = max(32 * 1024 * 1024, int(blk_bytes * 2.5))
     out = pl.pallas_call(
         functools.partial(
             _decode_kernel, page=page, h=h, hkv=hkv, hd=hd, max_pages=max_pages,
@@ -417,6 +735,7 @@ def paged_decode_attention(q, pool_k, pool_v, page_tables, positions, window=Non
         out_shape=jax.ShapeDtypeStruct((bsz, h, hd), q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=vmem_limit,
         ),
         interpret=interpret,
     )(page_tables.astype(jnp.int32), positions.astype(jnp.int32), *operands)
