@@ -376,8 +376,10 @@ def _paged_block(x, p, pools_k, pools_v, li, page_tables, positions, cfg,
     """One transformer block over B single tokens against paged KV.
 
     x: (B, 1, dm); pools_k/v: the FULL (L, n_pages, page, H, hd) stacked
-    pools — the block scatters its new K/V at [li, page, offset] in place
-    (one dynamic-update-slice on the donated buffer) and the attention
+    pools — or, in the fused single-chip layout (pools_v=None), ONE
+    (L, n_pages, page, 2*H*hd) stack of [k | v] page rows.  The block
+    scatters its new K/V at [li, page, offset] in place (one
+    dynamic-update-slice on the donated buffer) and the attention
     kernel reads the layer slice.  Keeping the stack intact is load-bearing
     for throughput: the previous per-layer unstack + jnp.stack restack
     materialized a full copy of both pools every step (~2.5 ms of the
@@ -421,7 +423,32 @@ def _paged_block(x, p, pools_k, pools_v, li, page_tables, positions, cfg,
     page_slot = page_tables[jnp.arange(b), positions // page_size]  # (B,)
     offset = positions % page_size
     kv_quant = isinstance(pools_k, tuple)  # int8 KV: (pool_q8, scales) pairs
-    if kv_quant:
+    # fused layout (pools_v is None): pools_k is ONE stack of fused page
+    # rows (L, n_pages, page, 2*Hkv*hd) = [k | v] halves, quantized form
+    # (int8 stack, fp32 head-major (L, n_pages, 2*Hkv, page) scales).  One
+    # page = ONE contiguous DMA in the decode kernel — measured 710 GB/s
+    # (87% HBM roofline) vs 290 for split pools (tools_r5_decode_probe).
+    fused = pools_v is None
+    if fused and kv_quant:
+        from ..ops.quant import quantize_vecs
+
+        qk, sk_new = quantize_vecs(k[:, :, 0])  # (B, Hkv, hd), (B, Hkv)
+        qv, sv_new = quantize_vecs(v[:, :, 0])
+        kvnew = jnp.concatenate(
+            [qk.reshape(b, -1), qv.reshape(b, -1)], axis=-1)
+        # scale rows are slot-major lane-padded (page, 128): the write is
+        # the same clean row scatter as the data write (a head-major
+        # .at[li, ps, :, off] lane scatter compiled pathologically)
+        scnew = jnp.concatenate([sk_new, sv_new], axis=-1)  # (B, 2*Hkv)
+        scnew = jnp.pad(scnew, ((0, 0), (0, 128 - scnew.shape[1])))
+        pools_k = (pools_k[0].at[li, page_slot, offset].set(kvnew),
+                   pools_k[1].at[li, page_slot, offset].set(scnew))
+    elif fused:
+        kvnew = jnp.concatenate(
+            [k[:, :, 0].reshape(b, -1), v[:, :, 0].reshape(b, -1)], axis=-1)
+        pools_k = pools_k.at[li, page_slot, offset].set(
+            kvnew.astype(pools_k.dtype))
+    elif kv_quant:
         from ..ops.quant import quantize_vecs
 
         qk, sk_new = quantize_vecs(k[:, :, 0])  # (B, Hkv, hd), (B, Hkv)
@@ -447,12 +474,24 @@ def _paged_block(x, p, pools_k, pools_v, li, page_tables, positions, cfg,
         # gather path below (tests + on-chip oracle check).  The kernel
         # reads layer li's pages straight from the stacked pool via a free
         # flattened view + page_base — no pools[li] slice copy.
-        from ..ops.pallas_kernels.paged_attention import paged_decode_attention
+        from ..ops.pallas_kernels.paged_attention import (
+            paged_decode_attention, paged_decode_attention_dma)
 
         n_pages = (pools_k[0] if kv_quant else pools_k).shape[1]
         _flat = lambda a: a.reshape((a.shape[0] * a.shape[1],) + a.shape[2:])
         qs = (q[:, :, 0] * jnp.asarray(scale, q.dtype))  # (B, H, hd)
-        if kv_quant:
+        if fused and kv_quant:
+            attn = paged_decode_attention_dma(
+                qs, _flat(pools_k[0]), None, page_tables, positions,
+                window=cfg.attention_window, scales=_flat(pools_k[1]),
+                page_base=li * n_pages,
+            )
+        elif fused:
+            attn = paged_decode_attention_dma(
+                qs, _flat(pools_k), None, page_tables, positions,
+                window=cfg.attention_window, page_base=li * n_pages,
+            )
+        elif kv_quant:
             attn = paged_decode_attention(
                 qs, _flat(pools_k[0]), _flat(pools_v[0]), page_tables,
                 positions, window=cfg.attention_window,
@@ -466,22 +505,31 @@ def _paged_block(x, p, pools_k, pools_v, li, page_tables, positions, cfg,
             )
         attn = attn.astype(x.dtype).reshape(b, 1, h * hd)
     else:
-        # XLA gather path reads the per-layer slices
-        pool_k = ((pools_k[0][li], pools_k[1][li]) if kv_quant
-                  else pools_k[li])
-        pool_v = ((pools_v[0][li], pools_v[1][li]) if kv_quant
-                  else pools_v[li])
         # XLA gather path (oracle + CPU tier): reads the full table width.
         # GQA: grouped queries (B, Hkv, G, 1, hd) against the shared kv head
         group = h // hkv
         L = max_pages * page_size
-        if kv_quant:
-            kc = (pool_k[0][page_tables].astype(jnp.float32)
-                  * pool_k[1][page_tables][..., None])
-            vc = (pool_v[0][page_tables].astype(jnp.float32)
-                  * pool_v[1][page_tables][..., None])
+        if fused:
+            src = (pools_k[0] if kv_quant else pools_k)[li]
+            kv = src[page_tables]  # (B, maxp, page, 2*Hkv*hd)
+            if kv_quant:
+                sc = pools_k[1][li][page_tables]  # (B, maxp, page, 128)
+                scexp = jnp.repeat(sc[..., :2 * hkv], hd, axis=-1)
+                kv = kv.astype(jnp.float32) * scexp
+            kc = kv[..., :hkv * hd]
+            vc = kv[..., hkv * hd:]
         else:
-            kc, vc = pool_k[page_tables], pool_v[page_tables]
+            pool_k = ((pools_k[0][li], pools_k[1][li]) if kv_quant
+                      else pools_k[li])
+            pool_v = ((pools_v[0][li], pools_v[1][li]) if kv_quant
+                      else pools_v[li])
+            if kv_quant:
+                kc = (pool_k[0][page_tables].astype(jnp.float32)
+                      * pool_k[1][page_tables][..., None])
+                vc = (pool_v[0][page_tables].astype(jnp.float32)
+                      * pool_v[1][page_tables][..., None])
+            else:
+                kc, vc = pool_k[page_tables], pool_v[page_tables]
         kc = kc.reshape(b, L, hkv, hd).transpose(0, 2, 1, 3)
         vc = vc.reshape(b, L, hkv, hd).transpose(0, 2, 1, 3)
         qg = q.reshape(b, hkv, group, 1, hd)
@@ -530,7 +578,9 @@ def _decode_step_impl(
     pools_k/v: (L, n_pages, page, H, hd) stacked per-layer pools (donated —
     XLA updates the pool in place in HBM); with quantize_kv they are
     (int8 pool, fp32 (L, n_pages, page, H) scale pool) pairs and the
-    donation covers both leaves.
+    donation covers both leaves.  Fused layout: pools_v=None and pools_k
+    is the single [k | v] page-row stack (see _paged_block) — the decode
+    kernel then runs the one-DMA-per-page fast path.
     Returns (new_tokens (B,), pools_k, pools_v).  Inactive slots decode
     garbage harmlessly (their pages are reserved); callers ignore them.
     """
@@ -806,6 +856,7 @@ class InferenceServer:
         mesh=None,
         prefill_chunk: int | None = None,
         decode_burst: int = 1,
+        fused_pool: bool | None = None,
     ):
         if cfg.attention_window is not None and prefix_cache:
             raise NotImplementedError(
@@ -951,7 +1002,33 @@ class InferenceServer:
         # so the same HBM holds ~2-4x the context.  Dequant is fused into
         # the paged kernel (VMEM, post-DMA) / the XLA gather.
         self.quantize_kv = bool(quantize_kv)
-        if quantize_kv:
+        # fused pool layout (single-chip): ONE stack of [k | v] page rows
+        # (L, n_pages, page, 2*Hkv*hd) + head-major scales, signalled by
+        # pools_v=None — one contiguous DMA per page in the decode kernel
+        # (87% of HBM roofline, tools_r5_decode_probe).  Mesh serving keeps
+        # the split per-head layout: its GSPMD engine shards pools over kv
+        # heads, and a contiguous split of the fused row would put k heads
+        # and v heads on different ranks.
+        if fused_pool is None:  # auto; explicit False = layout A/B tests
+            fused_pool = (mesh is None and (h * hd) % 128 == 0
+                          and 2 * h <= 128)
+        elif fused_pool:
+            assert mesh is None and (h * hd) % 128 == 0 and 2 * h <= 128, (
+                "fused pools need single-chip serving, 128-lane-aligned "
+                f"k|v halves (kv_heads*head_dim = {h * hd}) and scale rows "
+                f"that fit one 128-lane tile (2*kv_heads = {2 * h})")
+        self.fused_pool = bool(fused_pool)
+        if self.fused_pool:
+            fshape = (cfg.n_layers, n_pages, page_size, 2 * h * hd)
+            if quantize_kv:
+                self.pools_k = (
+                    jnp.zeros(fshape, jnp.int8),
+                    jnp.ones((cfg.n_layers, n_pages, page_size, 128),
+                             jnp.float32))
+            else:
+                self.pools_k = jnp.zeros(fshape, cfg.act_dtype)
+            self.pools_v = None
+        elif quantize_kv:
             self.pools_k = (jnp.zeros(shape, jnp.int8),
                             jnp.ones(shape[:-1], jnp.float32))
             self.pools_v = (jnp.zeros(shape, jnp.int8),
@@ -1382,19 +1459,34 @@ class InferenceServer:
         if prefix_len:
             npre = prefix_len // ps
             pre_pages = jnp.asarray(self.slot_pages[slot][:npre], jnp.int32)
+            hkv, hd = cfg.kv_heads, cfg.head_dim
 
-            def _read(pool, li):
-                # (npre, ps, H, hd) -> (prefix, H, hd); int8 pools dequant
-                if self.quantize_kv:
-                    x = (pool[0][li, pre_pages].astype(jnp.float32)
-                         * pool[1][li, pre_pages][..., None]).astype(cfg.act_dtype)
-                else:
-                    x = pool[li, pre_pages]
-                return x.reshape(prefix_len, cfg.kv_heads, -1)
+            def _read_kv(li):
+                # -> ((prefix, H, hd), (prefix, H, hd)); int8 pools dequant
+                if self.fused_pool:
+                    src = self.pools_k[0] if self.quantize_kv else self.pools_k
+                    kv = src[li, pre_pages]  # (npre, ps, 2*Hkv*hd)
+                    if self.quantize_kv:
+                        sc = self.pools_k[1][li, pre_pages]  # (npre, ps, 128)
+                        kv = (kv.astype(jnp.float32) * jnp.repeat(
+                            sc[..., :2 * hkv], hd, axis=-1)
+                        ).astype(cfg.act_dtype)
+                    kv = kv.reshape(prefix_len, 2 * hkv * hd)
+                    return (kv[:, :hkv * hd].reshape(prefix_len, hkv, hd),
+                            kv[:, hkv * hd:].reshape(prefix_len, hkv, hd))
+
+                def _one(pool):
+                    if self.quantize_kv:
+                        x = (pool[0][li, pre_pages].astype(jnp.float32)
+                             * pool[1][li, pre_pages][..., None]
+                             ).astype(cfg.act_dtype)
+                    else:
+                        x = pool[li, pre_pages]
+                    return x.reshape(prefix_len, hkv, -1)
+                return _one(self.pools_k), _one(self.pools_v)
 
             for li, lc in enumerate(cache):
-                k = _read(self.pools_k, li)
-                v = _read(self.pools_v, li)
+                k, v = _read_kv(li)
                 lc["k"] = lc["k"].at[:, :, :prefix_len].set(k.transpose(1, 0, 2)[None])
                 lc["v"] = lc["v"].at[:, :, :prefix_len].set(v.transpose(1, 0, 2)[None])
         return tokens, cache
@@ -1418,6 +1510,22 @@ class InferenceServer:
                         pool[1].at[li, page, :n].set(s))
             return pool.at[li, page, :n].set(x.astype(pool.dtype))
 
+        def _write_fused(pool, li, page, n, xk, xv):
+            if self.quantize_kv:
+                from ..ops.quant import quantize_vecs
+
+                q8k, sk = quantize_vecs(xk)  # (n, H, hd), (n, H)
+                q8v, sv = quantize_vecs(xv)
+                kv8 = jnp.concatenate(
+                    [q8k.reshape(n, -1), q8v.reshape(n, -1)], axis=-1)
+                sc = jnp.concatenate([sk, sv], axis=-1)  # (n, 2H)
+                sc = jnp.pad(sc, ((0, 0), (0, 128 - sc.shape[1])))
+                return (pool[0].at[li, page, :n].set(kv8),
+                        pool[1].at[li, page, :n].set(sc))
+            kvx = jnp.concatenate(
+                [xk.reshape(n, -1), xv.reshape(n, -1)], axis=-1)
+            return pool.at[li, page, :n].set(kvx.astype(pool.dtype))
+
         for li, lc in enumerate(cache):
             k = lc["k"][0].transpose(1, 0, 2)  # (prefix+stp, H, hd), absolute
             v = lc["v"][0].transpose(1, 0, 2)
@@ -1425,8 +1533,12 @@ class InferenceServer:
                 page = self.slot_pages[slot][pi]
                 lo = pi * ps
                 n = ps if pi < n_full else rem
-                pk = _write(pk, li, page, n, k[lo : lo + n])
-                pv = _write(pv, li, page, n, v[lo : lo + n])
+                if self.fused_pool:
+                    pk = _write_fused(pk, li, page, n,
+                                      k[lo : lo + n], v[lo : lo + n])
+                else:
+                    pk = _write(pk, li, page, n, k[lo : lo + n])
+                    pv = _write(pv, li, page, n, v[lo : lo + n])
         self.pools_k, self.pools_v = pk, pv
 
     def _constraint_row(self, req: Request):

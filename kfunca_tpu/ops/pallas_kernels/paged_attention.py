@@ -279,9 +279,16 @@ def _decode_kernel_dma(
     the end by keeping acc as (H, Hkv*hd).
 
     fused=True: ONE pool holds k|v side by side per page row (page,
-    2*Hkv*hd) and one scale pool holds k-rows|v-rows (2*Hkv, page) — one
-    data DMA (+ one scale DMA) per page instead of two (four), halving the
-    per-page DMA-issue overhead that the probe shows dominating."""
+    2*Hkv*hd) — one data DMA (+ one scale DMA) per page instead of two
+    (four), halving the per-page DMA-issue overhead that the probe shows
+    dominating.  The fused scale pool is SLOT-MAJOR and lane-padded,
+    (page, 128) rows whose first 2*Hkv lanes are [sk_h0..sk_h{Hkv-1},
+    sv_h0..]: the serving engine's per-token scale write is then the same
+    clean row scatter as the data write (the head-major layout's
+    .at[li, ps, :, off] lane scatter compiled pathologically), and the
+    kernel recovers head-major rows with one tiny selector dot per page
+    (exact: f32 decomposes exactly into bf16 hi+lo passes under HIGHEST,
+    and selection multiplies by 1)."""
     if fused:
         if quantized:
             (spool_ref, o_ref, kbuf, sbuf,
@@ -367,6 +374,12 @@ def _decode_kernel_dma(
     prec = (jax.lax.Precision.DEFAULT if cdt == jnp.bfloat16
             else jax.lax.Precision.HIGHEST)
     qbd = qbd_ref[0].astype(cdt)  # (Hkv*hd, H) block-diag over kv heads
+    if fused and quantized:
+        # selector for the slot-major scale rows: skv = SEL . sp^T puts
+        # lane r of every slot's scale row into row r (exact under HIGHEST)
+        sel = (jax.lax.broadcasted_iota(jnp.int32, (2 * hkv, 128), 0)
+               == jax.lax.broadcasted_iota(jnp.int32, (2 * hkv, 128), 1)
+               ).astype(jnp.float32)
 
     def body(i, c):
         slot = jax.lax.rem(i, _np.int32(depth))
@@ -391,8 +404,15 @@ def _decode_kernel_dma(
             preferred_element_type=jnp.float32, precision=prec,
         )  # (H, page)
         if quantized:
-            skv = sbuf[slot] if fused else None  # (2*Hkv, page)
-            sk = skv[:hkv] if fused else skbuf[slot]
+            if fused:  # (page, 128) slot-major row -> (2*Hkv, page)
+                skv = jax.lax.dot_general(
+                    sel, sbuf[slot], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+                sk = skv[:hkv]
+            else:
+                skv = None
+                sk = skbuf[slot]
             s = s * _expand_kv_rows(sk, h, hkv, page)
         slot_ids = jj * _np.int32(page) + jax.lax.broadcasted_iota(
             jnp.int32, (h, page), 1)
@@ -486,26 +506,28 @@ def paged_decode_attention_dma(q, pool_k, pool_v, page_tables, positions,
     in_specs = [
         pl.BlockSpec((1, hkv * hd, h),
                      lambda b, t, p: (b, _np.int32(0), _np.int32(0))),
-        pl.BlockSpec(memory_space=pltpu.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
     ]
     operands = [qbd, pool_k]
     if not fused:
-        in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
         operands.append(pool_v)
     if quantized:
         if fused:
-            # one (n_pages, 2*Hkv, page) scale pool: k rows | v rows
+            # one slot-major lane-padded (n_pages, page, 128) scale pool;
+            # each row's first 2*Hkv lanes are [sk_h... | sv_h...]
             skv = scales[0] if isinstance(scales, tuple) else scales
-            assert skv.shape == (n_pages, 2 * hkv, page), skv.shape
-            in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+            assert 2 * hkv <= 128, hkv
+            assert skv.shape == (n_pages, page, 128), skv.shape
+            in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
             operands.append(skv.astype(jnp.float32))
         else:
             sk, sv = scales
             if not head_major_scales:
                 sk = jnp.swapaxes(sk, 1, 2)  # -> (n_pages, Hkv, page)
                 sv = jnp.swapaxes(sv, 1, 2)
-            in_specs += [pl.BlockSpec(memory_space=pltpu.ANY),
-                         pl.BlockSpec(memory_space=pltpu.ANY)]
+            in_specs += [pl.BlockSpec(memory_space=pl.ANY),
+                         pl.BlockSpec(memory_space=pl.ANY)]
             operands += [sk.astype(jnp.float32), sv.astype(jnp.float32)]
 
     kv_mult = 2 if fused else 1
@@ -516,7 +538,7 @@ def paged_decode_attention_dma(q, pool_k, pool_v, page_tables, positions,
         scratch.append(pltpu.VMEM((depth, page, hkv * hd), pool_v.dtype))
     if quantized:
         if fused:
-            scratch.append(pltpu.VMEM((depth, 2 * hkv, page), jnp.float32))
+            scratch.append(pltpu.VMEM((depth, page, 128), jnp.float32))
         else:
             scratch += [pltpu.VMEM((depth, hkv, page), jnp.float32),
                         pltpu.VMEM((depth, hkv, page), jnp.float32)]
