@@ -196,6 +196,44 @@ def _scalar_operand(value, dt):
     return arr  # one-shot value: the jit C++ arg path converts it
 
 
+# -- memoized hot-path dispatch ---------------------------------------------
+#
+# The general run_op path pays ~19 us of per-call Python (plan_loops,
+# slot/meta construction, dtype conversions, program-key rebuild) even
+# though every piece of it is a pure function of the operand LAYOUTS.  The
+# fast table memoizes the complete dispatch decision — compiled program,
+# result shape/dtype — under one small key, so a steady-state eager loop
+# does: key build -> dict hit -> program(bufs) -> adopt_flat.  Misses seed
+# the entry from the general path's own plan, so behavior is identical by
+# construction (reference analog: TensorIterator::build is likewise the
+# only per-call cost once the kernel is resolved, SURVEY §3.2).
+_FAST_TABLE: dict = {}
+_FAST_MAX = 1024
+
+
+def fast_lookup(key):
+    return _FAST_TABLE.get(key)
+
+
+def fast_seed(key, op, in_metas, out_shape, acc_jnp, common_jnp,
+              common_storage_dt, has_scalar):
+    program = _fused_program(
+        op, in_metas, None, tuple(out_shape), acc_jnp, common_jnp, None,
+        has_scalar, key[-1],
+    )
+    if len(_FAST_TABLE) >= _FAST_MAX:
+        _FAST_TABLE.clear()
+    _FAST_TABLE[key] = (program, tuple(out_shape), common_storage_dt, acc_jnp)
+
+
+def fast_engine():
+    return _elementwise_engine()
+
+
+def fast_scalar_operand(value, acc_jnp):
+    return _scalar_operand(value, acc_jnp)
+
+
 def _storage_slots(tensors):
     """Deduplicate storages into buffer slots (donation-sound aliasing)."""
     if len(tensors) == 2:  # hot path: binary op, distinct storages

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from ..core import dispatch as _dsp
 from ..core.dispatch import run_op
 from ..core.dtype import (
     ScalarType,
@@ -33,6 +34,7 @@ from ..core.dtype import (
 )
 from ..core.iterator import plan_loops
 from ..core.tensor import GradFunction, Tensor, adopt_flat, empty
+from ..runtime.launcher import Launcher
 
 
 def wrap_array(arr, dtype: ScalarType, device: int) -> Tensor:
@@ -90,6 +92,22 @@ class BinaryGradFunction(GradFunction):
 
 
 def binary_op(name, a: Tensor, b: Tensor, out: Tensor | None = None, track_grad=True) -> Tensor:
+    # memoized hot path: fresh-output, no-grad, distinct-storage binary —
+    # the complete dispatch decision is a pure function of this key
+    # (core/dispatch._FAST_TABLE); misses run the general path and seed
+    fkey = None
+    if out is None and not a.requires_grad() and not b.requires_grad():
+        ia, ib = a.impl(), b.impl()
+        if ia.storage is not ib.storage:
+            fkey = (name, ia.shape, ia.strides, ia.offset, ia.dtype,
+                    ib.shape, ib.strides, ib.offset, ib.dtype,
+                    ia.storage.device, _dsp.fast_engine())
+            hit = _dsp.fast_lookup(fkey)
+            if hit is not None:
+                program, out_shape, common, _acc_jnp = hit
+                flat = Launcher.instance().submit(
+                    program, ia.storage.read(), ib.storage.read(), name=name)
+                return adopt_flat(flat, out_shape, common, ia.storage.device)
     plan = plan_loops([a, b], out=out)
     common = plan.common_dtype
     acc = _acc_of(common)
@@ -102,6 +120,13 @@ def binary_op(name, a: Tensor, b: Tensor, out: Tensor | None = None, track_grad=
     flat = run_op(
         name, [a, b], out_shape=plan.out_shape, acc=to_jnp(acc), common=to_jnp(common)
     )
+    if fkey is not None:
+        ia, ib = a.impl(), b.impl()
+        _dsp.fast_seed(
+            fkey, name,
+            ((0, ia.shape, ia.strides, ia.offset),
+             (1, ib.shape, ib.strides, ib.offset)),
+            plan.out_shape, to_jnp(acc), to_jnp(common), common, False)
     out = adopt_flat(flat, plan.out_shape, common, plan.device)
     if track_grad and (a.requires_grad() or b.requires_grad()) and is_floating_type(common):
         out.set_requires_grad(True)
@@ -118,8 +143,29 @@ def binary_scalar_op(name, t: Tensor, scalar, out: Tensor | None = None) -> Tens
     common = t.dtype()
     acc = _acc_of(common)
     scalar = int(scalar) if is_integral_type(common) else float(scalar)
-    shape = t.impl().shape
-    if out is not None and out.defined():
+    it = t.impl()
+    shape = it.shape
+    if out is None:  # memoized hot path (see binary_op)
+        fkey = (name + "_scalar", it.shape, it.strides, it.offset, it.dtype,
+                it.storage.device, _dsp.fast_engine())
+        hit = _dsp.fast_lookup(fkey)
+        if hit is not None:
+            program, out_shape, common_dt, acc_jnp = hit
+            flat = Launcher.instance().submit(
+                program, it.storage.read(),
+                _dsp.fast_scalar_operand(scalar, acc_jnp),
+                name=name + "_scalar")
+            return adopt_flat(flat, out_shape, common_dt, it.storage.device)
+        flat = run_op(
+            name + "_scalar", [t], out_shape=shape,
+            acc=to_jnp(acc), common=to_jnp(common), fill_value=scalar,
+        )
+        _dsp.fast_seed(
+            fkey, name + "_scalar",
+            ((0, it.shape, it.strides, it.offset),),
+            shape, to_jnp(acc), to_jnp(common), common, True)
+        return adopt_flat(flat, shape, common, t.device())
+    if out.defined():
         run_op(
             name + "_scalar", [t], out=out, out_shape=shape,
             acc=to_jnp(acc), common=to_jnp(common), fill_value=scalar,

@@ -110,12 +110,15 @@ class TestMisc:
         from kfunca_tpu.core import dispatch
 
         t = kfunca.from_numpy(np.ones((4, 4), np.float32), 0)
-        _ = t * 0.5
-        baseline_hits = dispatch._fused_program.cache_info().hits
+        _ = t * 0.5  # seeds the fast-dispatch table (one compile)
+        baseline_misses = dispatch._fused_program.cache_info().misses
         for s in (0.25, 1.75, float("nan"), 3.0):
             _ = t * s
         info = dispatch._fused_program.cache_info()
-        assert info.hits >= baseline_hits + 4  # every later value reuses the program
+        # every later value reuses the seeded program: the fast table skips
+        # _fused_program entirely, so neither misses (compiles) NOR hits
+        # may grow — the churn guard is the miss count
+        assert info.misses == baseline_misses
         f = t.fill_(2.0)
         f.fill_(float("nan"))
         assert np.all(np.isnan(f.numpy()))
