@@ -694,7 +694,8 @@ def bench_serving_e2e(L=8, dm=1024, h=16, page=128, n_requests=24,
 
 
 def bench_train_mfu(dm=1024, L=12, h=8, ff=4096, B=8, S=2048, vocab=32000,
-                    peak=197.0, remat=False, loss_chunk=4096):
+                    peak=197.0, remat=False, loss_chunk=4096,
+                    state_dtype="float32", kv_heads=None, reps=3, k2=4):
     """End-to-end training-step MFU on one chip: full fwd+bwd+AdamW for a
     ~230M-param LM (SwiGLU blocks, bf16 activations / fp32 master
     params).  K steps chain inside ONE jit (params/opt-state feed forward,
@@ -728,11 +729,12 @@ def bench_train_mfu(dm=1024, L=12, h=8, ff=4096, B=8, S=2048, vocab=32000,
     from kfunca_tpu.models.transformer import TransformerConfig, init_params
 
     cfg = TransformerConfig(vocab_size=vocab, d_model=dm, n_heads=h,
-                            n_layers=L, d_ff=ff, max_seq_len=S, remat=remat)
+                            n_layers=L, d_ff=ff, max_seq_len=S, remat=remat,
+                            n_kv_heads=kv_heads)
+    oc = OptConfig(lr=1e-4, weight_decay=0.1, state_dtype=state_dtype)
     params = init_params(jax.random.PRNGKey(0), cfg)
-    opt_state = init_opt_state(params)
-    step = make_train_step(cfg, OptConfig(lr=1e-4, weight_decay=0.1),
-                           loss_chunk=loss_chunk)
+    opt_state = init_opt_state(params, oc)
+    step = make_train_step(cfg, oc, loss_chunk=loss_chunk)
     key = jax.random.PRNGKey(1)
     tokens = jax.random.randint(key, (B, S), 0, vocab, jnp.int32)
     targets = jnp.roll(tokens, -1, axis=1)
@@ -759,13 +761,15 @@ def bench_train_mfu(dm=1024, L=12, h=8, ff=4096, B=8, S=2048, vocab=32000,
             return p["final_norm"][:1] + o["step"].astype(jnp.float32)
         return lambda: f(params, opt_state, tokens, targets)
 
-    dt = slope_time(mk, k1=1, k2=4, iters=3, label="train-step", reps=3)
+    dt = slope_time(mk, k1=1, k2=k2, iters=3, label="train-step", reps=reps)
     mfu = flops_per_step / dt / 1e12 / peak
     return {
         "step_ms": round(dt * 1e3, 2),
         "mfu": round(mfu, 4),
         "tokens_per_s": round(B * S / dt, 1),
-        "model": f"L{L} d{dm} ff{ff} h{h} B{B} S{S} remat={remat} ~{n_mm/1e6:.0f}M matmul params",
+        "model": (f"L{L} d{dm} ff{ff} h{h} kv{kv_heads or h} B{B} S{S} "
+                  f"remat={remat} opt_state={state_dtype} "
+                  f"~{n_mm/1e6:.0f}M matmul params"),
     }
 
 
@@ -859,6 +863,17 @@ def main():
     serving_e2e_q = section(
         "serving_e2e_w8kv8", lambda: bench_serving_e2e(quantized=True), {})
     train = section("train_mfu", lambda: bench_train_mfu(peak=peak), {})
+    # bf16 optimizer moments: same model/shape, m+v stored bf16 (the r4
+    # verdict's sanctioned state-traffic lever; docs/TRAINING.md)
+    train_bf16s = section(
+        "train_mfu_bf16state",
+        lambda: bench_train_mfu(peak=peak, state_dtype="bfloat16", reps=2), {})
+    # long-context row: S=8192 GQA(2 kv heads) + remat — where the flash
+    # kernel's s>=8k rates (docs/ATTENTION_CEILING.md) show up end to end
+    train_long = section(
+        "train_long_s8192_gqa",
+        lambda: bench_train_mfu(peak=peak, B=2, S=8192, kv_heads=2,
+                                remat=True, reps=2, k2=3), {})
     mamba = section("mamba_train", bench_mamba_train, {})
     # kfunca_tpu.gemm dispatches XLA's dot by default (the vendor-library
     # path, mirroring the reference's CUTLASS call); the Pallas kernel is
@@ -896,6 +911,8 @@ def main():
                     "serving_e2e": serving_e2e,
                     "serving_e2e_w8kv8": serving_e2e_q,
                     "train_step": train,
+                    "train_step_bf16state": train_bf16s,
+                    "train_long_s8192_gqa": train_long,
                     "mamba_train": mamba,
                     "elementwise_chained_ms_per_op": {
                         "xla": round(ew_xla_ms, 4),

@@ -56,6 +56,15 @@ class OptConfig:
     # muon knob: momentum coefficient (paper default 0.95); muon's 1-D
     # fallback uses the adamw beta1/beta2/eps above
     muon_beta: float = 0.95
+    # optimizer-moment STORAGE dtype: "float32" (default) or "bfloat16".
+    # bf16 halves the m+v HBM traffic that dominates the update's cost
+    # (the update itself is O(1) FLOPs/param — pure bandwidth); moments
+    # still COMPUTE in fp32 every step (cast in, cast out).  The v-EMA
+    # increment (1-beta2)*g^2 stays well above bf16's ~2^-8 relative ulp
+    # for beta2 <= 0.99 (the LLM-standard 0.95 here); avoid for
+    # beta2 >= 0.999 where increments round to zero.  Master params and
+    # the EMA tree stay fp32 regardless.
+    state_dtype: str = "float32"
 
 
 def schedule_lr(oc: OptConfig, step):
@@ -92,7 +101,8 @@ def init_opt_state(params, oc: OptConfig | None = None):
     scalars so every field stays a params-shaped pytree (tree_map- and
     sharding-friendly)."""
     algo = oc.algo if oc is not None else "adamw"
-    zeros = lambda p: jnp.zeros_like(p, dtype=jnp.float32)
+    sd = jnp.dtype(oc.state_dtype) if oc is not None else jnp.dtype(jnp.float32)
+    zeros = lambda p: jnp.zeros_like(p, dtype=sd)
     state = {"step": jnp.zeros((), jnp.int32)}
     if algo in ("adamw", "sgd", "lion", "muon"):
         state["m"] = jax.tree_util.tree_map(zeros, params)
@@ -138,14 +148,15 @@ def adamw_update(params, grads, opt_state, oc: OptConfig):
         gscale = jnp.minimum(1.0, jnp.float32(oc.clip_norm) / (gn + 1e-12))
 
     def upd(p, g, m, v):
+        sd = m.dtype  # storage dtype (OptConfig.state_dtype); compute fp32
         g = g.astype(jnp.float32) * gscale
-        m = oc.beta1 * m + (1 - oc.beta1) * g
-        v = oc.beta2 * v + (1 - oc.beta2) * g * g
+        m = oc.beta1 * m.astype(jnp.float32) + (1 - oc.beta1) * g
+        v = oc.beta2 * v.astype(jnp.float32) + (1 - oc.beta2) * g * g
         mh = m / bc1
         vh = v / bc2
         wd = oc.weight_decay if (p.ndim >= 2 or not oc.decay_mask_1d) else 0.0
         new_p = p - lr * (mh / (jnp.sqrt(vh) + oc.eps) + wd * p)
-        return new_p, m, v
+        return new_p, m.astype(sd), v.astype(sd)
 
     flat_p, treedef = jax.tree_util.tree_flatten(params)
     flat_g = jax.tree_util.tree_leaves(grads)
@@ -189,10 +200,11 @@ def sgd_update(params, grads, opt_state, oc: OptConfig):
     mu = jnp.float32(oc.momentum)
 
     def upd(p, g, m):
+        sd = m.dtype
         g = g.astype(jnp.float32) * gscale
-        m = mu * m + g
+        m = mu * m.astype(jnp.float32) + g
         u = g + mu * m if oc.nesterov else m
-        return p - lr * (u + _wd(p, oc) * p), m
+        return p - lr * (u + _wd(p, oc) * p), m.astype(sd)
 
     new_params, new_m = _tree_zip_update(params, upd, grads, opt_state["m"])
     return new_params, {"step": step, "m": new_m}
@@ -204,10 +216,12 @@ def lion_update(params, grads, opt_state, oc: OptConfig):
     step, lr, gscale = _clip_and_lr(grads, opt_state, oc)
 
     def upd(p, g, m):
+        sd = m.dtype
         g = g.astype(jnp.float32) * gscale
-        u = jnp.sign(oc.beta1 * m + (1 - oc.beta1) * g)
-        m = oc.beta2 * m + (1 - oc.beta2) * g
-        return p - lr * (u + _wd(p, oc) * p), m
+        m32 = m.astype(jnp.float32)
+        u = jnp.sign(oc.beta1 * m32 + (1 - oc.beta1) * g)
+        m32 = oc.beta2 * m32 + (1 - oc.beta2) * g
+        return p - lr * (u + _wd(p, oc) * p), m32.astype(sd)
 
     new_params, new_m = _tree_zip_update(params, upd, grads, opt_state["m"])
     return new_params, {"step": step, "m": new_m}
@@ -223,6 +237,7 @@ def adafactor_update(params, grads, opt_state, oc: OptConfig):
     eps = jnp.float32(1e-30)
 
     def upd(p, g, vr, vc, v1):
+        sd1 = v1.dtype
         g = g.astype(jnp.float32) * gscale
         g2 = g * g + eps
         if p.ndim >= 2:
@@ -232,13 +247,13 @@ def adafactor_update(params, grads, opt_state, oc: OptConfig):
             denom = jnp.mean(vr, axis=-1, keepdims=True)
             vhat = vr[..., :, None] * vc[..., None, :] / denom[..., None]
         else:
-            v1 = b2 * v1 + (1 - b2) * g2
+            v1 = b2 * v1.astype(jnp.float32) + (1 - b2) * g2
             vhat = v1
         u = g / jnp.sqrt(vhat)
         # clip the update's RMS to 1.0 (the paper's d=1 stabilizer)
         rms_u = jnp.sqrt(jnp.mean(u * u) + eps)
         u = u / jnp.maximum(1.0, rms_u)
-        return p - lr * (u + _wd(p, oc) * p), vr, vc, v1
+        return p - lr * (u + _wd(p, oc) * p), vr, vc, v1.astype(sd1)
 
     new_params, vr, vc, v1 = _tree_zip_update(
         params, upd, grads, opt_state["vr"], opt_state["vc"], opt_state["v1"]
@@ -276,16 +291,18 @@ def muon_update(params, grads, opt_state, oc: OptConfig):
     bc2 = 1.0 - oc.beta2**t
 
     def upd(p, g, m, v1):
+        sd = m.dtype
         g = g.astype(jnp.float32) * gscale
         if p.ndim >= 2:
-            m = mu * m + g
-            o = _newton_schulz5(g + mu * m)  # nesterov-style lookahead
+            m32 = mu * m.astype(jnp.float32) + g
+            o = _newton_schulz5(g + mu * m32)  # nesterov-style lookahead
             scale = jnp.sqrt(jnp.maximum(1.0, p.shape[-2] / p.shape[-1]))
-            return p - lr * (scale * o + _wd(p, oc) * p), m, v1
-        m = oc.beta1 * m + (1 - oc.beta1) * g
-        v1 = oc.beta2 * v1 + (1 - oc.beta2) * g * g
-        u = (m / bc1) / (jnp.sqrt(v1 / bc2) + oc.eps)
-        return p - lr * (u + _wd(p, oc) * p), m, v1
+            return p - lr * (scale * o + _wd(p, oc) * p), m32.astype(sd), v1
+        m32 = oc.beta1 * m.astype(jnp.float32) + (1 - oc.beta1) * g
+        v32 = oc.beta2 * v1.astype(jnp.float32) + (1 - oc.beta2) * g * g
+        u = (m32 / bc1) / (jnp.sqrt(v32 / bc2) + oc.eps)
+        return (p - lr * (u + _wd(p, oc) * p), m32.astype(sd),
+                v32.astype(v1.dtype))
 
     new_params, new_m, new_v1 = _tree_zip_update(
         params, upd, grads, opt_state["m"], opt_state["v1"]

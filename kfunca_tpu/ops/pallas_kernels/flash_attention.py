@@ -53,7 +53,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .common import pad_to, pick_block, round_up
+from .common import assert_vmem_fits, pad_to, pick_block, round_up
 
 import numpy as _np
 
@@ -564,15 +564,23 @@ def flash_attention_backward(q, k, v, g, out=None, lse=None, stats128=None,
     hkv, skv = k.shape[1], k.shape[2]
     assert h % hkv == 0, (h, hkv)
     scale = 1.0 / math.sqrt(d)
-    if out is None or (lse is None and stats128 is None):
-        out, stats128 = flash_attention_fwd_stats(
-            q, k, v, window=window, raw_stats=True, interpret=interpret
-        )
 
     bq = pick_block(sq, bq)
     bk = pick_block(skv, bk)
     sqp, skvp, dp = round_up(sq, bq), round_up(skv, bk), round_up(d, 128)
     nqb, nkb = sqp // bq, skvp // bk
+    # Sequence-bounded VMEM guard (common.py rails): this kernel keeps dq,
+    # lse, and delta resident for the WHOLE padded sequence, plus the
+    # per-step operand blocks — cap S before Mosaic fails opaquely.
+    assert_vmem_fits(
+        sqp * (dp + 256) * 4 + (bk * dp * 2 * 4)  # seq scratch + dk/dv acc
+        + (3 * bq * dp + 2 * bk * dp + bq * 128) * q.dtype.itemsize * 2,
+        f"flash_attention_backward (sq={sq}, d={d}, bq={bq}, bk={bk})",
+    )
+    if out is None or (lse is None and stats128 is None):
+        out, stats128 = flash_attention_fwd_stats(
+            q, k, v, window=window, raw_stats=True, interpret=interpret
+        )
 
     qs = (q * jnp.asarray(scale * float(LOG2E), q.dtype)).reshape(b * h, sq, d)
     qf = pad_to(qs, (b * h, sqp, dp))

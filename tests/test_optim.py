@@ -383,3 +383,55 @@ class TestTrainMetrics:
         np.testing.assert_allclose(float(m2["loss"]), float(m1["loss"]), rtol=1e-5)
         np.testing.assert_allclose(float(m2["grad_norm"]), float(m1["grad_norm"]),
                                    rtol=1e-4)
+
+
+class TestStateDtype:
+    """OptConfig(state_dtype="bfloat16"): moments stored bf16, computed
+    fp32 — halves AdamW's m+v HBM traffic (the optimizer phase is pure
+    bandwidth; docs/TRAINING.md).  Contract: storage dtype sticks across
+    steps (loop-carry stable) and the trajectory tracks the fp32-state
+    one closely at beta2<=0.99."""
+
+    def test_storage_dtype_and_carry_stability(self):
+        for algo in ("adamw", "sgd", "lion", "muon", "adafactor"):
+            oc = OptConfig(algo=algo, lr=1e-3, state_dtype="bfloat16")
+            p = _toy_params()
+            s = init_opt_state(p, oc)
+            for key in ("m", "v", "v1"):
+                if key in s:
+                    assert s[key]["b"].dtype == jnp.bfloat16, (algo, key)
+            p2, s2 = apply_update(p, _toy_grads(), s, oc)
+            # dtypes unchanged after a step => usable as a fori_loop carry
+            assert jax.tree_util.tree_all(jax.tree_util.tree_map(
+                lambda a, b: a.dtype == b.dtype, s, s2)), algo
+            assert p2["w"].dtype == jnp.float32
+
+    def test_adamw_tracks_fp32_trajectory(self):
+        oc32 = OptConfig(lr=1e-2, weight_decay=0.1)
+        oc16 = OptConfig(lr=1e-2, weight_decay=0.1, state_dtype="bfloat16")
+        p32, p16 = _toy_params(), _toy_params()
+        s32, s16 = init_opt_state(p32, oc32), init_opt_state(p16, oc16)
+        key = jax.random.PRNGKey(3)
+        for i in range(20):
+            key, k = jax.random.split(key)
+            g = {"w": jax.random.normal(k, (2, 2)) * 0.3,
+                 "b": jax.random.normal(k, (2,)) * 0.1}
+            p32, s32 = apply_update(p32, g, s32, oc32)
+            p16, s16 = apply_update(p16, g, s16, oc16)
+        for leaf in ("w", "b"):
+            a, b = np.asarray(p32[leaf]), np.asarray(p16[leaf])
+            np.testing.assert_allclose(b, a, rtol=0, atol=2e-2)
+
+    def test_train_step_loss_decreases_bf16_state(self):
+        cfg = tiny_cfg()
+        oc = OptConfig(lr=3e-3, state_dtype="bfloat16")
+        params = init_params(jax.random.PRNGKey(0), cfg)
+        opt = init_opt_state(params, oc)
+        step = jax.jit(make_train_step(cfg, oc))
+        tokens = (jnp.arange(4 * 16, dtype=jnp.int32).reshape(4, 16) * 7) % 64
+        targets = jnp.roll(tokens, -1, axis=1)
+        losses = []
+        for _ in range(8):
+            params, opt, loss = step(params, opt, tokens, targets)
+            losses.append(float(loss))
+        assert losses[-1] < losses[0]
