@@ -579,7 +579,11 @@ def bench_serving(L=8, dm=1024, h=16, page=None, ctx=960, capacity=1024):
         for label, ch in (("pallas", chain("pallas")), ("xla", chain("xla")),
                           ("pallas_w8", chain("pallas", q8=True)),
                           ("pallas_w8kv8", chain("pallas", q8=True, kv8=True))):
-            dt = slope_time(ch, k1=4, k2=16, label=f"decode-{label}-B{B}", reps=2)
+            # reps=3: decode slopes swing ±30% with relay weather (the r5
+            # page probe measured the SAME bf16 B8 config at 0.85-1.28
+            # ms/step across windows); the min-based slope needs more
+            # chances to catch an uncongested stretch
+            dt = slope_time(ch, k1=4, k2=16, label=f"decode-{label}-B{B}", reps=3)
             wbytes = wpar * (1 if "w8" in label else 2)
             kvbytes = B * kv_elems * (1 if "kv8" in label else 2)
             roofline = B / ((wbytes + kvbytes) / hbm)
@@ -616,11 +620,14 @@ def bench_serving(L=8, dm=1024, h=16, page=None, ctx=960, capacity=1024):
     results["prefill_tokens_per_s"] = round(ctx / dt_pf, 1)
     results["prefill_ctx"] = ctx
     # prefill MFU (VERDICT r4 missing #4 / next #8): prefill is
-    # compute-bound — 6*N FLOPs/token matmul + 12*L*S*dm attention
-    # FLOPs/token (the train_mfu convention, no causal discount) over the
-    # chip's bf16 peak says how far admission cost is from its floor
-    n_par = 16 * dm * dm * L + 2 * dm * cfg.vocab_size
-    pf_flops = 6 * n_par * ctx + 12 * L * ctx * ctx * dm
+    # compute-bound.  FORWARD-ONLY accounting: 2*N FLOPs/token matmul
+    # (N = matmul weights, embedding lookup excluded, tied head included
+    # once) + 4*L*S*dm attention FLOPs/token (QK^T + AV, un-halved dense
+    # convention to match train_mfu's "no causal discount").  NB the
+    # first r5 run used the 6N fwd+bwd convention here and printed an
+    # impossible 195% — prefill has no backward.
+    n_par = 16 * dm * dm * L + dm * cfg.vocab_size
+    pf_flops = 2 * n_par * ctx + 4 * L * ctx * ctx * dm
     results["prefill_tflops"] = round(pf_flops / dt_pf / 1e12, 1)
     results["prefill_mfu_pct"] = round(100 * pf_flops / dt_pf / 197e12, 1)
     return results
