@@ -672,7 +672,7 @@ def bench_serving_e2e(L=8, dm=1024, h=16, page=128, n_requests=24,
     t0 = _time.perf_counter()
     ids = [srv.submit(p, max_new=m) for p, m in reqs[:8]]
     nxt, events = 8, 0
-    for _rid, _tok in srv.stream():
+    for _rid, _tok, _lp, _fin in srv.stream():
         events += 1
         if nxt < n_requests and events % 24 == 0:
             ids.append(srv.submit(*reqs[nxt][:1], max_new=reqs[nxt][1]))
