@@ -308,6 +308,14 @@ def bench_eager_dispatch(n=256, iters=400):
         times.sort()
         results[label] = round(times[len(times) // 2], 1)
         _log(f"eager {label}: {results[label]} us/op")
+    # overhead-over-floor: the framework's own host cost, which is the
+    # window-invariant quantity (absolute us/op swings 70-400 with relay
+    # weather; the floors swing WITH it, so the delta is comparable
+    # across rounds — r4 floor_2arg 25.8 vs r5 windows at ~39)
+    results["binary_minus_floor2"] = round(
+        results["binary_fresh"] - results["floor_2arg"], 1)
+    results["scalar_minus_floor2"] = round(
+        results["scalar_mul"] - results["floor_2arg"], 1)
     return results
 
 

@@ -1193,7 +1193,11 @@ class InferenceServer:
         """Incremental driver: yields (req_id, token, logprob, finished)
         events as tokens are produced — the SSE/streaming-response shape.
         One decode step emits up to batch_slots events; admission emits
-        each new request's prefill token.  run() is stream() drained."""
+        each new request's prefill token.  run() is stream() drained.
+
+        The consumer may submit() new requests BETWEEN yields (the
+        continuous-batching pattern: feed arrivals while streaming) — the
+        emit loop iterates a snapshot so the dict can grow mid-yield."""
         for _ in range(max_steps):
             before = {rid: len(r.tokens) for rid, r in self.requests.items()}
             self._admit()
@@ -1204,7 +1208,7 @@ class InferenceServer:
             )
             if active:
                 self._step()
-            for rid, r in self.requests.items():
+            for rid, r in list(self.requests.items()):
                 for i in range(before.get(rid, 0), len(r.tokens)):
                     last = r.done and i == len(r.tokens) - 1
                     yield rid, r.tokens[i], r.logprobs[i], last

@@ -1293,3 +1293,26 @@ class TestInt4Serving:
         blk = specs["blocks"][0]
         assert blk["wqkv"] == (P(None, "tp"), P(None, "tp"))  # col: scale follows n
         assert blk["wo"] == (P("tp", None), P("tp", None))    # row: scale follows k-groups
+
+
+class TestSubmitDuringStream:
+    def test_submit_between_stream_events(self, model):
+        """The continuous-batching pattern: feeding arrivals while
+        consuming stream() must not break iteration (r5 regression — the
+        emit loop iterated self.requests live and a mid-stream submit()
+        raised 'dictionary changed size during iteration'), and the
+        late request must produce the same greedy tokens as run()."""
+        params, cfg = model
+        srv = InferenceServer(params, cfg, batch_slots=2, page_size=4,
+                              n_pages=64, max_pages_per_seq=8)
+        first = srv.submit([3, 5, 7], max_new=6)
+        late_prompt, late = [11, 2, 9, 4], None
+        events = 0
+        for _rid, _tok, _lp, _fin in srv.stream():
+            events += 1
+            if events == 2 and late is None:
+                late = srv.submit(late_prompt, max_new=6)
+        assert srv.requests[first].done and srv.requests[late].done
+        want = generate(params, jnp.asarray([late_prompt], jnp.int32), cfg,
+                        max_new=6)
+        assert srv.requests[late].tokens == np.asarray(want)[0].tolist()
