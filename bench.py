@@ -658,11 +658,6 @@ def bench_serving_e2e(L=8, dm=1024, h=16, page=128, n_requests=24,
     cfg = TransformerConfig(vocab_size=32000, d_model=dm, n_heads=h,
                             n_layers=L, d_ff=4 * dm, max_seq_len=2048)
     params = init_params(jax.random.PRNGKey(7), cfg)
-    srv = InferenceServer(
-        params, cfg, batch_slots=8, page_size=page, n_pages=96,
-        max_pages_per_seq=8, prefix_cache=True, decode_burst=8,
-        quantize_weights=quantized, quantize_kv=quantized,
-    )
     rng = np.random.default_rng(11)
     shared = rng.integers(1, cfg.vocab_size, size=2 * page).tolist()
     reqs = []
@@ -675,22 +670,38 @@ def bench_serving_e2e(L=8, dm=1024, h=16, page=128, n_requests=24,
                 1, cfg.vocab_size, size=int(rng.integers(64, 640))).tolist()
         reqs.append((body, int(rng.integers(24, 64))))
 
-    # staggered arrivals: 8 upfront, then one more every 24 streamed
-    # tokens (keeps admissions interleaved with decode throughout)
-    t0 = _time.perf_counter()
-    ids = [srv.submit(p, max_new=m) for p, m in reqs[:8]]
-    nxt, events = 8, 0
-    for _rid, _tok, _lp, _fin in srv.stream():
-        events += 1
-        if nxt < n_requests and events % 24 == 0:
-            ids.append(srv.submit(*reqs[nxt][:1], max_new=reqs[nxt][1]))
+    def drive(srv):
+        """Staggered arrivals: 8 upfront, then one more every 24 streamed
+        tokens (keeps admissions interleaved with decode throughout)."""
+        t0 = _time.perf_counter()
+        ids = [srv.submit(p, max_new=m) for p, m in reqs[:8]]
+        nxt, events = 8, 0
+        for _rid, _tok, _lp, _fin in srv.stream():
+            events += 1
+            if nxt < n_requests and events % 24 == 0:
+                ids.append(srv.submit(*reqs[nxt][:1], max_new=reqs[nxt][1]))
+                nxt += 1
+        while nxt < n_requests:  # stream drained early: submit the rest
+            ids.append(srv.submit(reqs[nxt][0], max_new=reqs[nxt][1]))
             nxt += 1
-    while nxt < n_requests:  # stream drained early: submit the rest
-        ids.append(srv.submit(reqs[nxt][0], max_new=reqs[nxt][1]))
-        nxt += 1
-        for _ in srv.stream():
-            pass
-    dt = _time.perf_counter() - t0
+            for _ in srv.stream():
+                pass
+        return _time.perf_counter() - t0
+
+    def fresh_server():
+        return InferenceServer(
+            params, cfg, batch_slots=8, page_size=page, n_pages=96,
+            max_pages_per_seq=8, prefix_cache=True, decode_burst=8,
+            quantize_weights=quantized, quantize_kv=quantized,
+        )
+
+    # pass 1 warms the per-bucket prefill + burst-decode compiles (the
+    # first r5 run measured ttft 231 s — all remote compile time); pass 2
+    # on a FRESH server reuses the process-cached programs and is the
+    # reported steady-state number
+    drive(fresh_server())
+    srv = fresh_server()
+    dt = drive(srv)
     st = srv.throughput_stats()
     assert st["completed"] == n_requests, st
     out = {
