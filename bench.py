@@ -712,6 +712,10 @@ def bench_serving_e2e(L=8, dm=1024, h=16, page=128, n_requests=24,
         "prefix_hit_pages": st["prefix_hit_pages"],
         "n_requests": n_requests,
         "quantized": bool(quantized),
+        "note": ("host-driven loop: every dispatch and per-burst token "
+                 "fetch pays the ~25-50 ms axon relay RTT, which dominates "
+                 "TPOT on this rig; the kernel-level decode rows above are "
+                 "the device-side capability"),
     }
     _log(f"serving_e2e{' w8kv8' if quantized else ''}: "
          f"{out['requests_per_s']} req/s, {out['gen_tokens_per_s']} tok/s, "
